@@ -1,0 +1,193 @@
+"""Flagship pipeline: tiles → decode → cells → PIP → kNN → zonal biomass.
+
+End-to-end Ray-Data expression of the reference's county workflow
+(``comprehensive_biomass_processor_v3.process_county_comprehensive``,
+SURVEY.md §3.2), reordered for a streaming engine:
+
+1. **Georef + PIP first** (cheap arithmetic + broadcast STRtree-analog):
+   the county of a tile is knowable from its id alone, so zone
+   assignment runs BEFORE the expensive image decode.  That makes
+   resume a pre-decode filter (completed counties never decode again)
+   and prunes out-of-domain tiles early — the reference instead paid
+   county setup cost before every run (381 s of its 398 s benchmark,
+   ``FULL_COUNTY_TEST_RESULTS.md:24-36``).
+2. **Decode** (stateless tasks) derives narrow scalar columns and drops
+   the image payload before any shuffle.
+3. **Cells** (hex + S2) vectorized.
+4. **kNN stitch** via broadcast GridKNN actor pool.
+5. **Zonal aggregation** either as the no-shuffle partial-combine path
+   (bench/queries) or as a per-county ``map_groups`` that writes one
+   partition + lineage per county and emits the county summary row
+   (checkpointed path).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import georef as G
+from ..sources.counties import rect_counties
+from ..sources.tiles import read_tiles
+from ..stages.cells import CellEncoder
+from ..stages.decode import decode_batch
+from ..stages.knn_stitch import KNNStitcher, centroid_sidecar
+from ..stages.pip_join import PIPJoiner
+from ..stages.zonal import zonal_aggregate
+from ..state.checkpoint import CheckpointStore
+
+
+def _georef_pip_stage(batch: pa.Table) -> pa.Table:
+    """Cheap pre-decode georeferencing (id → lon/lat) for the PIP join."""
+    from ..sources.tiles import image_ids_to_int
+
+    ids = image_ids_to_int(batch["image_id"])
+    lon, lat = G.derive_lonlat(ids)
+    batch = batch.append_column("tile_int_id", pa.array(ids, pa.int64()))
+    batch = batch.append_column("lon", pa.array(lon))
+    return batch.append_column("lat", pa.array(lat))
+
+
+def build_assignments(
+    tiles,
+    counties: pa.Table | None = None,
+    n_tiles: int | None = None,
+    k: int = 8,
+    hex_res: int = 7,
+    s2_level: int = 13,
+    pip_concurrency=None,
+    knn_concurrency=None,
+    skip_counties: set[str] | None = None,
+):
+    """Dataset of per-tile join-output rows (the reference's J1+J2+G3/G4).
+
+    ``tiles`` is a Dataset or a path.  ``n_tiles`` sizes the broadcast
+    kNN sidecar (derived arithmetically — no data pass needed).
+    """
+    import ray
+
+    if isinstance(tiles, str):
+        tiles = read_tiles(tiles)
+    if counties is None:
+        counties = rect_counties()
+    if n_tiles is None:
+        n_tiles = tiles.count()
+
+    # elastic actor pools sized to the session: min 1 so the pools can
+    # never reserve every CPU and starve the stateless read/decode tasks
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    pip_concurrency = pip_concurrency or (1, max(2, ncpus // 3))
+    knn_concurrency = knn_concurrency or (1, max(2, ncpus // 3))
+
+    counties_ref = ray.put(counties)
+    all_ids = np.arange(n_tiles, dtype=np.int64)
+    lon, lat = G.derive_lonlat(all_ids)
+    sidecar_ref = ray.put(
+        centroid_sidecar(lon, lat, all_ids, G.derive_value(all_ids))
+    )
+
+    ds = tiles.map_batches(_georef_pip_stage, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"counties_ref": counties_ref},
+        batch_format="pyarrow",
+        concurrency=pip_concurrency,
+        batch_size=4096,
+    )
+    if skip_counties:
+        skip = skip_counties
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(batch["county_fips"], pa.array(sorted(skip))))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds = ds.map_batches(decode_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(CellEncoder(hex_res, s2_level), batch_format="pyarrow")
+    ds = ds.map_batches(
+        KNNStitcher,
+        fn_constructor_kwargs={"centroids_ref": sidecar_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=knn_concurrency,
+        batch_size=4096,
+    )
+    return ds
+
+
+def biomass_zonal(tiles, counties=None, n_tiles=None, **kw):
+    """Fast path: assignments → partial-combine zonal aggregate Dataset."""
+    ds = build_assignments(tiles, counties, n_tiles, **kw)
+    return zonal_aggregate(ds, sum_cols=("biomass", "ndvi"))
+
+
+def biomass_zonal_checkpointed(
+    tiles,
+    out_dir: str,
+    counties: pa.Table | None = None,
+    n_tiles: int | None = None,
+    resume: bool = True,
+    **kw,
+) -> pd.DataFrame:
+    """Checkpointed path: per-county partition writes + lineage + resume.
+
+    Completed counties are filtered out BEFORE decode on restart; their
+    summary rows are recovered from lineage, so the final result is
+    identical to an uninterrupted run (FIXTURES.md §5 contract).
+    """
+    store = CheckpointStore(out_dir)
+    done = store.completed() if resume else set()
+    ds = build_assignments(
+        tiles, counties, n_tiles, skip_counties=done or None, **kw
+    )
+
+    def write_county(group: pd.DataFrame) -> pd.DataFrame:
+        fips = str(group["county_fips"].iloc[0])
+        if fips == "":
+            return pd.DataFrame(
+                {
+                    "county_fips": [],
+                    "tile_count": [],
+                    "biomass_sum": [],
+                    "ndvi_mean": [],
+                }
+            )
+        t0 = time.time()
+        group = group.sort_values("image_id")
+        tbl = pa.Table.from_pandas(group, preserve_index=False)
+        summary = {
+            "county_fips": fips,
+            "tile_count": int(len(group)),
+            "biomass_sum": float(group["biomass"].sum()),
+            "ndvi_mean": float(group["ndvi"].mean()),
+        }
+        store.write_partition(
+            fips,
+            tbl,
+            {
+                "rows": int(len(group)),
+                "summary": summary,
+                "metrics": {"write_sec": time.time() - t0},
+                "stage": "zonal_write",
+            },
+        )
+        return pd.DataFrame([summary])
+
+    fresh = ds.groupby("county_fips").map_groups(
+        write_county, batch_format="pandas"
+    ).to_pandas()
+    # recover summaries of counties completed in a previous run
+    recovered = []
+    for fips in sorted(done):
+        rec = store.lineage(fips)
+        if rec and "summary" in rec:
+            recovered.append(rec["summary"])
+    out = pd.concat(
+        [fresh, pd.DataFrame(recovered)], ignore_index=True
+    ) if recovered else fresh
+    out = out.sort_values("county_fips").reset_index(drop=True)
+    return out

@@ -1,0 +1,75 @@
+"""Decode stage: bytes → pixels → derived scalar columns, then DROP bytes.
+
+Replaces the reference's blob download + rasterio decode + per-parcel
+vegetation math (``blob_manager_v3.py:335-374``,
+``vegetation_analyzer_v3.py:112-168``).  Output blocks carry only narrow
+scalar columns, so every later shuffle (PIP repartition, zonal groupby)
+moves no image payload — the design rule for wide binary rows
+(SURVEY.md §7.4).
+
+Runs as stateless ``map_batches`` tasks: decode needs no per-worker
+state, and zlib/numpy release the GIL-irrelevant (separate processes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import georef as G
+from ..image import codecs, phash as _ph
+from ..sources.tiles import image_ids_to_int
+
+PIXEL_M = 10.0  # 10 m pixels, like Sentinel-2 bands in the reference
+
+
+def ndvi_biomass(px: np.ndarray) -> tuple[float, float]:
+    """NDVI-style band algebra → biomass scalar for one decoded tile.
+
+    Mirrors the reference's NDVI → biomass scaling chain
+    (``vegetation_analyzer_v3.py:139-141`` band math ×
+    ``forest_analyzer_v3.py:409-427`` per-area scaling): channel 0 acts
+    as RED, channel 2 as NIR.
+    """
+    red = px[:, :, 0].astype(np.float64)
+    nir = px[:, :, 2].astype(np.float64)
+    ndvi = float(np.mean((nir - red) / (nir + red + 1.0)))
+    h, w = px.shape[:2]
+    area_m2 = h * w * PIXEL_M * PIXEL_M
+    biomass = (ndvi + 1.0) * area_m2 * 0.01
+    return ndvi, biomass
+
+
+def decode_batch(batch: pa.Table) -> pa.Table:
+    """map_batches body: decode, verify phash/shape, derive scalars."""
+    ids = batch["image_id"]
+    bufs = batch["bytes"].to_pylist()
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    fmts = batch["fmt"].to_pylist()
+    phashes = batch["phash"].to_numpy()
+    n = len(bufs)
+    ndvi = np.empty(n, dtype=np.float64)
+    biomass = np.empty(n, dtype=np.float64)
+    phash_ok = np.empty(n, dtype=bool)
+    shape_ok = np.empty(n, dtype=bool)
+    for k in range(n):
+        px = codecs.decode(bufs[k], fmts[k], int(hs[k]), int(ws[k]))
+        shape_ok[k] = px.shape == (int(hs[k]), int(ws[k]), 3)
+        phash_ok[k] = _ph.dhash(px) == int(phashes[k])
+        ndvi[k], biomass[k] = ndvi_biomass(px)
+    # pass through everything except the wide payload columns (drop bytes
+    # BEFORE any shuffle), then append the decode-derived scalars
+    out = batch.drop_columns(
+        [c for c in ("bytes", "w", "h", "fmt") if c in batch.column_names]
+    )
+    if "tile_int_id" not in out.column_names:
+        int_ids = image_ids_to_int(ids)
+        out = out.append_column("tile_int_id", pa.array(int_ids, pa.int64()))
+        lon, lat = G.derive_lonlat(int_ids)
+        out = out.append_column("lon", pa.array(lon))
+        out = out.append_column("lat", pa.array(lat))
+    out = out.append_column("ndvi", pa.array(ndvi))
+    out = out.append_column("biomass", pa.array(biomass))
+    out = out.append_column("phash_ok", pa.array(phash_ok))
+    return out.append_column("shape_ok", pa.array(shape_ok))

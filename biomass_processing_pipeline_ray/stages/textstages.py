@@ -1,0 +1,206 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Large-scale training-data operators (language-ID heuristic, quality
+scoring, token counting, document fingerprinting) expressed as
+vectorized ``map_batches`` bodies.  The deterministic parts are
+mirrored in DuckDB SQL for the correctness gate; the rolling-hash
+fingerprints have no SQL twin (rows-only check + pytest oracle).
+
+All integer-derived divisions are exact float64 on both sides, so no
+rounding is needed for hash parity.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# language marker substrings; counts tie-break in this fixed order
+LANG_MARKERS = [
+    ("en", " the "),
+    ("es", " el "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("zh", " shi "),
+]
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """token count, punct count, non-space chars, avg token length."""
+    s = pd.Series(batch["text"].to_pylist())
+    n_tokens = s.str.split().str.len().fillna(0).astype(np.int64)
+    punct = s.str.count(PUNCT_CLASS).astype(np.int64)
+    nonspace = s.str.replace(r"\s", "", regex=True).str.len().astype(np.int64)
+    avg_tok_len = np.where(n_tokens > 0, nonspace / np.maximum(n_tokens, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_punct": pa.array(punct),
+            "n_nonspace": pa.array(nonspace),
+            "avg_tok_len": pa.array(avg_tok_len),
+        }
+    )
+
+
+def sql_text_stats(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
+           LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS n_nonspace,
+           CASE WHEN TRIM(text) = '' THEN 0.0
+                ELSE CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+                     / GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 1)
+           END AS avg_tok_len
+    FROM {table}
+    """
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-marker argmax language heuristic (SQL-mirrored)."""
+    s = pd.Series(batch["text"].to_pylist())
+    counts = {
+        lang: s.str.count(marker.replace(" ", r"\ ")).astype(np.int64)
+        for lang, marker in LANG_MARKERS
+    }
+    # argmax with fixed preference order (strict > beats later entries)
+    best_lang = np.full(len(s), LANG_MARKERS[0][0], dtype=object)
+    best_cnt = counts[LANG_MARKERS[0][0]].to_numpy().copy()
+    for lang, _ in LANG_MARKERS[1:]:
+        c = counts[lang].to_numpy()
+        take = c > best_cnt
+        best_lang[take] = lang
+        best_cnt = np.where(take, c, best_cnt)
+    stored = np.asarray(batch["lang"].to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "predicted_lang": pa.array(best_lang.astype(str), pa.string()),
+            "lang_match": pa.array(best_lang == stored),
+        }
+    )
+
+
+def _sql_marker_count(marker: str) -> str:
+    return f"((LENGTH(text) - LENGTH(REPLACE(text, '{marker}', ''))) / {len(marker)})"
+
+
+def sql_langid(table: str = "documents") -> str:
+    cnt = {lang: _sql_marker_count(m) for lang, m in LANG_MARKERS}
+    # replicate the fixed-order strict-> argmax
+    pred = f"'{LANG_MARKERS[0][0]}'"
+    best = cnt[LANG_MARKERS[0][0]]
+    for lang, _ in LANG_MARKERS[1:]:
+        pred = f"CASE WHEN {cnt[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"GREATEST({cnt[lang]}, {best})"
+    return f"""
+    SELECT doc_id, {pred} AS predicted_lang, ({pred} = lang) AS lang_match
+    FROM {table}
+    """
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Composite quality score + bucket (reference analog: the piecewise
+    confidence functions, ``crop_analyzer_v3.py:264-317``)."""
+    stats = text_stats_batch(batch).to_pandas()
+    n_chars = pd.Series(batch["n_chars"].to_pylist()).astype(np.int64)
+    tok = stats["n_tokens"].to_numpy().astype(np.float64)
+    punct = stats["n_punct"].to_numpy().astype(np.float64)
+    nchar = n_chars.to_numpy().astype(np.float64)
+    score = tok / (nchar + 1.0) * 100.0 - punct / (tok + 1.0)
+    bucket = np.where(score > 18.0, "high", np.where(score > 12.0, "mid", "low"))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "quality_score": pa.array(score),
+            "quality_bucket": pa.array(bucket.astype(str), pa.string()),
+        }
+    )
+
+
+def sql_quality(table: str = "documents") -> str:
+    tok = (
+        "CAST(CASE WHEN TRIM(text) = '' THEN 0 "
+        "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS DOUBLE)"
+    )
+    punct = "CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
+    score = f"({tok} / (CAST(n_chars AS DOUBLE) + 1.0) * 100.0 - {punct} / ({tok} + 1.0))"
+    return f"""
+    SELECT doc_id, {score} AS quality_score,
+           CASE WHEN {score} > 18.0 THEN 'high'
+                WHEN {score} > 12.0 THEN 'mid' ELSE 'low' END AS quality_bucket
+    FROM {table}
+    """
+
+
+# -- fingerprints (no SQL twin; pytest oracle) -------------------------------
+
+_FP_P = np.uint64((1 << 31) - 1)
+_FP_B = np.uint64(257)
+_MAX_LEN = 1 << 16
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    pw = np.empty(n, dtype=np.uint64)
+    pw[0] = 1
+    for i in range(1, n):
+        pw[i] = (pw[i - 1] * _FP_B) % _FP_P
+    return pw
+
+
+_POWERS = _fp_powers(_MAX_LEN)
+
+
+def poly_fingerprint(text: str) -> int:
+    """Polynomial rolling hash of the whole text (Karp–Rabin family)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return 0
+    pw = _POWERS[:n][::-1]
+    return int((b * pw % _FP_P).sum() % _FP_P)
+
+
+def rolling_kgram_hashes(text: str, k: int = 8) -> np.ndarray:
+    """All k-gram rolling hashes of the byte sequence (vectorized)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    pw = _POWERS[:k][::-1]
+    # windowed dot products mod p via cumulative trick
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k is small (8): k vectorized adds
+        out_j = (b[j : n - k + 1 + j] * pw[j]) % _FP_P
+        out = (out + out_j) % _FP_P if j else out_j
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min hash per sliding window."""
+    h = rolling_kgram_hashes(text, k)
+    if len(h) == 0:
+        return h
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    return np.unique(sw.min(axis=1))
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    fps = np.asarray([poly_fingerprint(t) for t in texts], dtype=np.int64)
+    nwin = np.asarray([len(winnow_fingerprints(t)) for t in texts], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps),
+            "n_winnow_fp": pa.array(nwin),
+        }
+    )

@@ -1,0 +1,74 @@
+"""Zonal aggregation: per-county sum/mean biomass — the headline output.
+
+Reference semantics: the county/processing summary G7
+(``comprehensive_biomass_processor_v3.py:554-591``,
+``optimized_county_processor_v3.py:513-549``) — totals, counts, means.
+
+Scale design (SURVEY.md §7.3): a bare ``groupby(county).aggregate``
+shuffles every tile row.  Instead each input batch is collapsed to ONE
+partial row per county inside ``map_batches`` (the combiner), and only
+those tiny partials shuffle.  This also defuses county-size skew (the
+reference's McLean-vs-Rich 6× imbalance): a hot county contributes at
+most ``num_batches`` partial rows, not 10^9 tile rows, so no salting of
+the final key is needed — the salt is effectively the batch id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.rounding import round_away
+
+_SUM_COLS = ("biomass", "ndvi")
+
+
+def zonal_partial(batch: pa.Table, key: str = "county_fips", sum_cols=_SUM_COLS) -> pa.Table:
+    """Combiner: one partial row per county per batch."""
+    keys = np.asarray(batch[key].to_pylist(), dtype=object)
+    uniq, inv = np.unique(keys.astype(str), return_inverse=True)
+    out = {key: pa.array(uniq, pa.string())}
+    out["tile_count"] = pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64))
+    for c in sum_cols:
+        vals = batch[c].to_numpy()
+        out[f"{c}_sum"] = pa.array(np.bincount(inv, weights=vals, minlength=len(uniq)))
+    return pa.table(out)
+
+
+def zonal_aggregate(
+    ds,
+    key: str = "county_fips",
+    sum_cols=_SUM_COLS,
+    mean_round: int | None = 4,
+    sum_round: int | None = 4,
+):
+    """partial-combine → small groupby → finalize means. Returns a Dataset."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: zonal_partial(b, key, sum_cols), batch_format="pyarrow"
+    )
+    aggs = [Sum("tile_count", alias_name="tile_count")]
+    for c in sum_cols:
+        aggs.append(Sum(f"{c}_sum", alias_name=f"{c}_sum"))
+    merged = partial.groupby(key).aggregate(*aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cnt = batch["tile_count"].to_numpy().astype(np.float64)
+        cols: dict = {
+            key: batch[key],
+            "tile_count": batch["tile_count"],
+        }
+        for c in sum_cols:
+            s = batch[f"{c}_sum"].to_numpy()
+            cols[f"{c}_sum"] = pa.array(
+                s if sum_round is None else round_away(s, sum_round)
+            )
+            m = s / cnt
+            cols[f"{c}_mean"] = pa.array(
+                m if mean_round is None else round_away(m, mean_round)
+            )
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

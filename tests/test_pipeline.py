@@ -1,0 +1,141 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from biomass_processing_pipeline_ray.functions import georef as G
+from biomass_processing_pipeline_ray.image import codecs
+from biomass_processing_pipeline_ray.sources import tiles as T
+
+
+def _oracle_frame(n):
+    """Brute-force per-tile expectations (independent of the Ray stages)."""
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    cx, cy = G.derive_county_xy(lon, lat)
+    fips = G.county_fips_from_xy(cx, cy)
+    ndvi = np.empty(n)
+    biomass = np.empty(n)
+    for i in range(n):
+        px = T.make_pixels(i)
+        dims = T.tile_dims(np.asarray([i]))
+        fmt = T.FMTS[int(dims[2][0])]
+        # decode through the codec so lossy tiles use decoded pixels
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, px.shape[0], px.shape[1])
+        red = dec[:, :, 0].astype(np.float64)
+        nir = dec[:, :, 2].astype(np.float64)
+        ndvi[i] = np.mean((nir - red) / (nir + red + 1.0))
+        area_m2 = dec.shape[0] * dec.shape[1] * 10.0 * 10.0
+        biomass[i] = (ndvi[i] + 1.0) * area_m2 * 0.01
+    return pd.DataFrame(
+        {
+            "tile_int_id": ids,
+            "lon": lon,
+            "lat": lat,
+            "county_fips": fips.astype(str),
+            "ndvi": ndvi,
+            "biomass": biomass,
+        }
+    )
+
+
+def test_fixture_row_invariants(ray_session, tiles_small):
+    """FIXTURES.md §4: pixel fidelity, caption equality, shape, phash."""
+    from biomass_processing_pipeline_ray.image import phash as PH
+
+    tbl = pq.read_table(tiles_small)
+    df = tbl.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert len(df) == 1000
+    for i in (0, 1, 17, 500, 999):
+        row = df.iloc[i]
+        iid = int(row.image_id[3:])
+        dec = codecs.decode(row["bytes"], row.fmt, row.h, row.w)
+        orig = T.make_pixels(iid)
+        assert dec.shape == (row.h, row.w, 3)
+        if row.fmt in ("png", "raw"):
+            assert np.array_equal(dec, orig)
+        else:
+            assert codecs.psnr(orig, dec) >= 40.0
+        assert PH.dhash(dec) == row.phash
+        assert row.caption.startswith(f"synthetic tile {row.image_id} ")
+
+
+def test_assignments_match_oracle(ray_session, tiles_small):
+    from biomass_processing_pipeline_ray.pipelines.biomass import build_assignments
+
+    ds = build_assignments(tiles_small, n_tiles=1000)
+    got = ds.to_pandas().sort_values("tile_int_id").reset_index(drop=True)
+    exp = _oracle_frame(1000)
+    assert len(got) == 1000
+    assert np.array_equal(got.county_fips.to_numpy(), exp.county_fips.to_numpy())
+    assert np.allclose(got.ndvi, exp.ndvi, rtol=0, atol=0)  # exact: same decode
+    assert np.allclose(got.biomass, exp.biomass, rtol=0, atol=0)
+    assert got.phash_ok.all() and got.shape_ok.all()
+    # captions pass through byte-equal
+    assert got.caption.iloc[5] == f"synthetic tile {got.image_id.iloc[5]} at lon {got.lon.iloc[5]:.4f} lat {got.lat.iloc[5]:.4f}"
+    # kNN spot-check vs brute force on derived centroids
+    ids = np.arange(1000, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    for i in (3, 77, 500):
+        dx = lon - lon[i]
+        dy = lat - lat[i]
+        d2 = dx * dx + dy * dy
+        d2[i] = np.inf
+        sel = np.lexsort((ids, d2))[:8]
+        expect = ",".join(str(s) for s in sel)
+        assert got.knn_ids.iloc[i] == expect
+
+
+def test_zonal_matches_pandas_groupby(ray_session, tiles_small):
+    from biomass_processing_pipeline_ray.pipelines.biomass import biomass_zonal
+
+    got = (
+        biomass_zonal(tiles_small, n_tiles=1000)
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+    exp = _oracle_frame(1000)
+    g = exp.groupby("county_fips").agg(
+        tile_count=("biomass", "size"),
+        biomass_sum=("biomass", "sum"),
+        ndvi_mean=("ndvi", "mean"),
+    ).reset_index()
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+
+    assert np.array_equal(got.county_fips.to_numpy(), g.county_fips.to_numpy())
+    assert np.array_equal(got.tile_count.to_numpy(), g.tile_count.to_numpy())
+    # zonal output rounds sums/means to 4 decimals (round-half-away)
+    assert np.allclose(got.biomass_sum, round_away(g.biomass_sum, 4), atol=1e-9)
+    assert np.allclose(got.ndvi_mean, round_away(g.ndvi_mean, 4), atol=1e-9)
+
+
+def test_checkpoint_resume(ray_session, tiles_small, tmp_path):
+    """FIXTURES.md §5: two-phase run == uninterrupted run, no recompute."""
+    import os
+
+    from biomass_processing_pipeline_ray.pipelines.biomass import (
+        biomass_zonal_checkpointed,
+    )
+    from biomass_processing_pipeline_ray.state.checkpoint import CheckpointStore
+
+    out_a = str(tmp_path / "full")
+    full = biomass_zonal_checkpointed(tiles_small, out_a, n_tiles=1000)
+
+    # interrupted run: pre-mark half the counties as done by running a full
+    # pass, then deleting the other half's manifest entries
+    out_b = str(tmp_path / "twophase")
+    biomass_zonal_checkpointed(tiles_small, out_b, n_tiles=1000)
+    store = CheckpointStore(out_b)
+    done = sorted(store.completed())
+    half = done[: len(done) // 2]
+    store._write_manifest(set(half))
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(store.lineage_dir, f"{f}.json")) for f in half
+    }
+    resumed = biomass_zonal_checkpointed(tiles_small, out_b, n_tiles=1000, resume=True)
+    # completed counties were not recomputed (lineage untouched)
+    for f in half:
+        assert os.path.getmtime(os.path.join(store.lineage_dir, f"{f}.json")) == mtimes_before[f]
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), resumed.reset_index(drop=True)
+    )
