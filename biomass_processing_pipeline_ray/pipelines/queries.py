@@ -1,0 +1,720 @@
+"""Query registry: every operator exposed as ``name -> callable(sf_dir)``
+plus (where SQL-expressible) a DuckDB oracle string for the driver's
+correctness gate.
+
+Two input families:
+
+- **geo universe** — the synthetic tile table.  For SQL-checked geo
+  queries the universe is ``rd.range(n)`` with georeferencing derived
+  arithmetically (``functions/georef.py``), so DuckDB can mirror it via
+  ``range(n)`` + the same float expressions.  The pixel-decoding
+  flagship runs on the real generated tile parquet (rows-only check;
+  pixel fidelity is pytest-verified, see tests/test_pipeline.py).
+- **driver tables** — the TPC-H-ish parquet under ``sf_dir`` (lineitem,
+  orders, customer, part, events, documents, embeddings).
+
+Float parity rules (see functions/rounding.py):
+
+- summed doubles are snapped to the 2^-20 lattice on BOTH sides, so
+  parallel partial sums (Ray) == sequential sums (DuckDB) bit-exactly;
+- rounded outputs use round-half-away (= DuckDB ``ROUND``);
+- per-row derived doubles use identical op order on both sides so the
+  values are bit-identical without rounding.
+
+The oracle SQL is fixed at sf=0.01 scale for the geo-universe queries
+(the driver's correctness gate runs only at sf=0.01); the callables
+derive n from ``sf_dir`` and agree with the SQL at that scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import georef as G
+from ..functions.rounding import round_away, snap_binary, sql_snap
+
+# ---------------------------------------------------------------------------
+# universe sizing
+# ---------------------------------------------------------------------------
+
+TILES_PER_SF = 6_000_000  # sf0.001 → 6k tiles, sf0.01 → 60k, sf0.1 → 600k
+KNN_N = 4_000             # kNN query universe (SQL oracle is an O(n²) join)
+ANN_NQ = 8                # number of ANN query vectors
+ORACLE_SF = 0.01          # scale the static oracle SQL is written for
+TILE_CACHE = "/tmp/graft_cache"
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else ORACLE_SF
+
+
+def universe_n(sf_dir: str) -> int:
+    return max(1, int(round(TILES_PER_SF * sf_of(sf_dir))))
+
+
+def tiles_path(sf_dir: str) -> str:
+    """Generate (once, cached) the pixel tile fixture sized to sf_dir."""
+    from ..sources.tiles import generate_tiles_parquet
+
+    n = universe_n(sf_dir)
+    return generate_tiles_parquet(n, os.path.join(TILE_CACHE, f"tiles_n{n}_s42"))
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# shared engine fragments
+# ---------------------------------------------------------------------------
+
+
+def _range_geo(n: int):
+    """Dataset of the arithmetic tile universe: tile_id, lon, lat."""
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=max(4, n // 32768))
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        lon, lat = G.derive_lonlat(ids)
+        return pa.table(
+            {
+                "tile_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _pip(ds, concurrency=(1, 8)):
+    import ray
+
+    from ..sources.counties import rect_counties
+    from ..stages.pip_join import PIPJoiner
+
+    ref = ray.put(rect_counties())
+    return ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"counties_ref": ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8192,
+    )
+
+
+def _grouped_sums(ds, keys: list[str], sums: dict[str, str], count_col: str):
+    """Partial-combine groupby-sum: per-batch pandas combiner → tiny
+    shuffle → Sum merge (the scale pattern used everywhere here)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        agg[count_col] = (list(sums.values())[0] if sums else df.columns[0], "size")
+        g = df.groupby(keys, as_index=False).agg(**agg)
+        g[count_col] = g[count_col].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(c, alias_name=c) for c in sums] + [Sum(count_col, alias_name=count_col)]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def _geo_sql_fragments() -> tuple[str, str, str]:
+    lon, lat = G.sql_lonlat("id")
+    fips = G.sql_county_fips(lon, lat)
+    return lon, lat, fips
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+
+def q_zonal_biomass(sf_dir: str):
+    """Arithmetic-twin zonal aggregation: range(n) → PIP → per-county sums."""
+    from ..stages.zonal import zonal_aggregate
+
+    ds = _range_geo(universe_n(sf_dir))
+
+    def add_biomass(b: pa.Table) -> pa.Table:
+        bm = snap_binary(G.derive_biomass(b["tile_id"].to_numpy()))
+        return b.append_column("biomass", pa.array(bm))
+
+    ds = _pip(ds.map_batches(add_biomass, batch_format="pyarrow"))
+    return zonal_aggregate(ds, sum_cols=("biomass",))
+
+
+def _sql_zonal_core(n: int) -> str:
+    lon, lat, fips = _geo_sql_fragments()
+    bm = sql_snap(G.sql_biomass("id"))
+    return f"""
+    SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS tile_count,
+           ROUND(SUM(biomass), 4) AS biomass_sum,
+           ROUND(SUM(biomass) / COUNT(*), 4) AS biomass_mean
+    FROM (SELECT {fips} AS county_fips, {bm} AS biomass
+          FROM (SELECT range AS id FROM range({n})))
+    GROUP BY county_fips
+    """
+
+
+def q_pip_assign(sf_dir: str):
+    """Per-tile PIP join output rows (reference J1 parity surface)."""
+    ds = _pip(_range_geo(universe_n(sf_dir)))
+    return ds.select_columns(["tile_id", "lon", "lat", "county_fips"])
+
+
+def _sql_pip_assign(n: int) -> str:
+    lon, lat, fips = _geo_sql_fragments()
+    return f"""
+    SELECT id AS tile_id, {lon} AS lon, {lat} AS lat, {fips} AS county_fips
+    FROM (SELECT range AS id FROM range({n}))
+    """
+
+
+def q_cell_index(sf_dir: str):
+    """hex + S2 cell encode per tile (no SQL twin: custom grid math)."""
+    from ..stages.cells import CellEncoder
+
+    ds = _range_geo(universe_n(sf_dir))
+    ds = ds.map_batches(CellEncoder(), batch_format="pyarrow")
+    return ds.select_columns(["tile_id", "hex_cell", "s2_cell"])
+
+
+def q_knn_idw(sf_dir: str):
+    """kNN + IDW stitch on a capped universe (SQL oracle = O(n²) join)."""
+    import ray
+
+    from ..stages.knn_stitch import KNNStitcher, centroid_sidecar
+
+    n = min(universe_n(sf_dir), KNN_N)
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    sidecar = ray.put(centroid_sidecar(lon, lat, ids, G.derive_value(ids)))
+    ds = _range_geo(n)
+
+    def add_int_id(b: pa.Table) -> pa.Table:
+        return b.append_column("tile_int_id", b["tile_id"])
+
+    ds = ds.map_batches(add_int_id, batch_format="pyarrow").map_batches(
+        KNNStitcher,
+        fn_constructor_kwargs={"centroids_ref": sidecar, "k": 8},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+    return ds.select_columns(["tile_id", "knn_idw_value"])
+
+
+def _sql_knn_idw(n: int) -> str:
+    lon, lat, _ = _geo_sql_fragments()
+    val = G.sql_value("id")
+    return f"""
+    WITH t AS (SELECT id, {lon} AS lon, {lat} AS lat, {val} AS v
+               FROM (SELECT range AS id FROM range({n}))),
+    p AS (SELECT a.id AS qid, b.v AS v, b.id AS nid,
+                 (b.lon - a.lon) * (b.lon - a.lon)
+               + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+          FROM t a JOIN t b ON a.id <> b.id),
+    r AS (SELECT qid, v, d2,
+                 row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+          FROM p)
+    SELECT qid AS tile_id,
+           ROUND(SUM(v / (SQRT(d2) + 0.01)) / SUM(1.0 / (SQRT(d2) + 0.01)), 6)
+               AS knn_idw_value
+    FROM r WHERE rn <= 8 GROUP BY qid
+    """
+
+
+def q_zonal_biomass_px(sf_dir: str):
+    """Flagship pixel pipeline: decode → cells → PIP → kNN → zonal.
+
+    Rows-only driver check; pixel math is pytest-verified against the
+    brute-force decode oracle (tests/test_pipeline.py)."""
+    from .biomass import biomass_zonal
+
+    n = universe_n(sf_dir)
+    return biomass_zonal(tiles_path(sf_dir), n_tiles=n)
+
+
+def q_county_top10(sf_dir: str):
+    """Top-10 counties by zonal biomass (sort/limit via partial top-k)."""
+    from ..stages.relational import topk
+
+    ds = q_zonal_biomass(sf_dir)
+    out = topk(ds, by="biomass_sum", k=10, descending=True, tie_col="county_fips")
+    return out[["county_fips", "tile_count", "biomass_sum", "biomass_mean"]]
+
+
+def _sql_county_top10(n: int) -> str:
+    return f"""
+    SELECT * FROM ({_sql_zonal_core(n)})
+    ORDER BY biomass_sum DESC, county_fips LIMIT 10
+    """
+
+
+def q_phash_neardup(sf_dir: str):
+    """Image near-dup pairs by phash Hamming banding (rows-only)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.dedup import phash_neardup_pairs
+
+    ds = read_tiles(tiles_path(sf_dir), columns=["image_id", "phash"])
+    return phash_neardup_pairs(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (lineitem / orders / customer / part)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-shaped rollup with exact-sum snapping."""
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = snap_binary(b["l_quantity"].to_numpy())
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q": pa.array(qty),
+                "bp": pa.array(snap_binary(price)),
+                "dp": pa.array(snap_binary(price * (1.0 - disc))),
+            }
+        )
+
+    g = _grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "q", "sum_base_price": "bp", "sum_disc_price": "dp"},
+        "count_order",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cnt = b["count_order"].to_numpy().astype(np.float64)
+        sq = b["sum_qty"].to_numpy()
+        sb = b["sum_base_price"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(round_away(sq, 4)),
+                "sum_base_price": pa.array(round_away(sb, 4)),
+                "sum_disc_price": pa.array(round_away(b["sum_disc_price"].to_numpy(), 4)),
+                "avg_qty": pa.array(round_away(sq / cnt, 4)),
+                "avg_price": pa.array(round_away(sb / cnt, 4)),
+                "count_order": b["count_order"],
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_Q1 = f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(q), 4) AS sum_qty,
+           ROUND(SUM(bp), 4) AS sum_base_price,
+           ROUND(SUM(dp), 4) AS sum_disc_price,
+           ROUND(SUM(q) / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(bp) / COUNT(*), 4) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (SELECT l_returnflag, l_linestatus,
+                 {sql_snap('l_quantity')} AS q,
+                 {sql_snap('l_extendedprice')} AS bp,
+                 {sql_snap('l_extendedprice * (1.0 - l_discount)')} AS dp
+          FROM lineitem)
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_priority(sf_dir: str):
+    """Broadcast hash join lineitem↔orders → revenue per priority."""
+    from ..stages.relational import broadcast_join
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).to_pandas()
+    ds = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = snap_binary(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": pa.array(rev)})
+
+    joined = broadcast_join(
+        ds.map_batches(prep, batch_format="pyarrow"), orders, on="o_orderkey"
+    )
+    g = _grouped_sums(joined, ["o_orderpriority"], {"revenue": "rev"}, "n_items")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue": pa.array(round_away(b["revenue"].to_numpy(), 4)),
+                "n_items": b["n_items"],
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_REVENUE_BY_PRIORITY = f"""
+    SELECT o_orderpriority,
+           ROUND(SUM({sql_snap('l_extendedprice * (1.0 - l_discount)')}), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+def q_top10_parts(sf_dir: str):
+    from ..stages.relational import topk
+
+    ds = _tbl(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    out = topk(ds, by="p_retailprice", k=10, descending=True, tie_col="p_partkey")
+    return out[["p_partkey", "p_name", "p_retailprice"]]
+
+
+_SQL_TOP10_PARTS = """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """Predicate + projection + derived column (pure map path)."""
+    import pyarrow.compute as pc
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fp(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(b["l_quantity"], 30.0), pc.greater(b["l_discount"], 0.02)
+        )
+        b = b.filter(mask)
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "l_quantity": b["l_quantity"],
+                "revenue": pa.array(rev),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+_SQL_FILTER_PROJECT = """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1.0 - l_discount) AS revenue
+    FROM lineitem WHERE l_quantity > 30.0 AND l_discount > 0.02
+"""
+
+
+_BIG_ORDER = 400000.0  # semi/anti key set: customers with a >$400k order
+
+
+def _big_order_custkeys(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    keys = t.column("o_custkey").to_numpy()
+    return keys[t.column("o_totalprice").to_numpy() > _BIG_ORDER]
+
+
+def q_semi_join_customers(sf_dir: str):
+    from ..stages.relational import semi_join
+
+    ds = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
+    return semi_join(ds, _big_order_custkeys(sf_dir), "c_custkey")
+
+
+_SQL_SEMI_JOIN = f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > {_BIG_ORDER})
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    from ..stages.relational import anti_join
+
+    ds = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
+    return anti_join(ds, _big_order_custkeys(sf_dir), "c_custkey")
+
+
+_SQL_ANTI_JOIN = f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > {_BIG_ORDER})
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped queries (events)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_event_stats(sf_dir: str):
+    from ..stages.windows import tumbling_aggregate
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+    return tumbling_aggregate(ds)
+
+
+_SQL_HOURLY = f"""
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM({sql_snap('value')}) AS value_sum
+    FROM events GROUP BY event_type, hour_bucket
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    from ..stages.windows import sessionize
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sessionize(ds)
+
+
+_SQL_SESSIONS = """
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM (SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events))
+    GROUP BY user_id
+"""
+
+
+def q_asof_order_events(sf_dir: str):
+    """As-of join: latest order of the event's user at/before event time
+    (inner: events with no prior order are dropped on both sides)."""
+    import pyarrow.compute as pc
+
+    from ..stages.windows import asof_join_events_orders
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    events = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = asof_join_events_orders(events, orders)
+
+    def inner_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["last_orderkey"], 0))
+
+    return out.map_batches(inner_only, batch_format="pyarrow")
+
+
+_SQL_ASOF = """
+    SELECT event_id, user_id, last_orderkey, last_totalprice
+    FROM (SELECT e.event_id, e.user_id,
+                 o.o_orderkey AS last_orderkey,
+                 o.o_totalprice AS last_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text queries (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(sf_dir: str):
+    from ..stages.textstages import text_stats_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    from ..stages.textstages import langid_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from ..stages.textstages import quality_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_SQL_EXACT_DEDUP = """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_md5,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY text
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    from ..stages.textstages import fingerprint_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _texts_ref(sf_dir: str):
+    import ray
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, texts_ref=_texts_ref(sf_dir), threshold=0.7)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# embedding queries
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str):
+    import ray
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(ANN_NQ)
+    return ray.put(
+        {
+            "qid": df["vec_id"].to_numpy(np.int64),
+            "mat": np.asarray(list(df["embedding"]), dtype=np.float64),
+        }
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    from ..stages.ann import cosine_topk
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, _query_vectors(sf_dir), k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos"] = round_away(b["cos"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "cos"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+_SQL_ANN_TOPK = f"""
+    SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos
+    FROM (SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM (SELECT q.vec_id AS qid, v.vec_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(v.embedding AS DOUBLE[])) AS cos
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ANN_NQ}) q
+                JOIN embeddings v ON v.vec_id <> q.vec_id))
+    WHERE rn <= 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.ann import embedding_neardup_pairs
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return embedding_neardup_pairs(ds, threshold=0.3)
+
+
+_SQL_EMBEDDING_NEARDUP = """
+    SELECT a.label, a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_N_ORACLE = int(round(TILES_PER_SF * ORACLE_SF))
+
+
+def build_queries() -> dict:
+    from ..stages.textstages import sql_langid, sql_quality, sql_text_stats
+
+    return {
+        # geo family (north-rule core)
+        "zonal_biomass": (q_zonal_biomass, _sql_zonal_core(_N_ORACLE)),
+        "pip_assign": (q_pip_assign, _sql_pip_assign(_N_ORACLE)),
+        "cell_index": (q_cell_index, None),
+        "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
+        "zonal_biomass_px": (q_zonal_biomass_px, None),
+        "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
+        "phash_neardup": (q_phash_neardup, None),
+        # relational family
+        "q1_pricing": (q_q1_pricing, _SQL_Q1),
+        "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
+        "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
+        "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+        "semi_join_customers": (q_semi_join_customers, _SQL_SEMI_JOIN),
+        "anti_join_customers": (q_anti_join_customers, _SQL_ANTI_JOIN),
+        # stream-shaped family
+        "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
+        "user_sessions": (q_user_sessions, _SQL_SESSIONS),
+        "asof_order_events": (q_asof_order_events, _SQL_ASOF),
+        # text family
+        "text_stats": (q_text_stats, sql_text_stats()),
+        "langid": (q_langid, sql_langid()),
+        "doc_quality": (q_doc_quality, sql_quality()),
+        "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
+        "fingerprints": (q_fingerprints, None),
+        "minhash_pairs": (q_minhash_pairs, None),
+        "simhash_pairs": (q_simhash_pairs, None),
+        # embedding family
+        "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
+        "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
+    }

@@ -118,18 +118,95 @@ def asof_join_orders_events(orders_ds, events_ds):
             return pd.DataFrame(
                 {"o_orderkey": [], "o_custkey": [], "last_event_id": [], "last_value": []}
             )
-        ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        pos = np.searchsorted(ets, ots, side="right") - 1
-        has = pos >= 0
-        eid = np.where(has, events["event_id"].to_numpy()[np.clip(pos, 0, None)], -1)
-        val = np.where(has, events["value"].to_numpy()[np.clip(pos, 0, None)], np.nan)
+        if len(events) == 0:
+            eid = np.full(len(orders), -1, dtype=np.int64)
+            val = np.full(len(orders), np.nan)
+        else:
+            ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            pos = np.searchsorted(ets, ots, side="right") - 1
+            has = pos >= 0
+            safe = np.clip(pos, 0, None)
+            eid = np.where(has, events["event_id"].to_numpy()[safe], -1)
+            val = np.where(has, events["value"].to_numpy()[safe], np.nan)
         return pd.DataFrame(
             {
                 "o_orderkey": orders["o_orderkey"].to_numpy(),
                 "o_custkey": orders["key"].to_numpy(),
                 "last_event_id": eid.astype(np.int64),
                 "last_value": val,
+            }
+        )
+
+    return unioned.groupby("key").map_groups(asof_group, batch_format="pandas")
+
+
+def asof_join_events_orders(events_ds, orders_ds):
+    """For each event: the latest order of that user at/before event time.
+
+    Same co-partition + searchsorted skeleton as
+    :func:`asof_join_orders_events`, with orders as the as-of side.
+    """
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["user_id"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "o_totalprice": pa.array(np.full(n, np.nan)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts": b["o_orderdate"],
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    unioned = events_ds.map_batches(tag_events, batch_format="pyarrow").union(
+        orders_ds.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        events = g[g["side"] == 0]
+        orders = g[g["side"] == 1].sort_values(["ts", "o_orderkey"])
+        if len(events) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "last_orderkey": pd.Series([], dtype=np.int64),
+                    "last_totalprice": pd.Series([], dtype=np.float64),
+                }
+            )
+        ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(orders) == 0:
+            okey = np.full(len(events), -1, dtype=np.int64)
+            oval = np.full(len(events), np.nan)
+        else:
+            ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            pos = np.searchsorted(ots, ets, side="right") - 1
+            has = pos >= 0
+            safe = np.clip(pos, 0, None)
+            okey = np.where(has, orders["o_orderkey"].to_numpy()[safe], -1)
+            oval = np.where(has, orders["o_totalprice"].to_numpy()[safe], np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": events["event_id"].to_numpy(),
+                "user_id": events["key"].to_numpy(),
+                "last_orderkey": okey.astype(np.int64),
+                "last_totalprice": oval,
             }
         )
 
