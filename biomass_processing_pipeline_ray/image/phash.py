@@ -37,6 +37,23 @@ def dhash_batch(pixel_list) -> np.ndarray:
     return np.asarray([dhash(p) for p in pixel_list], dtype=np.int64)
 
 
+def dhash_stack(stack: np.ndarray) -> np.ndarray:
+    """Batched dHash of a (B, h, w, 3) uint8 stack — bit-identical to
+    :func:`dhash` per image (same float ops, vectorized over B)."""
+    b, h, w, _ = stack.shape
+    gray = stack.astype(np.float64).mean(axis=3)
+    row_edges = (np.arange(_H + 1) * h) // _H
+    col_edges = (np.arange(_W + 1) * w) // _W
+    csum = np.add.reduceat(gray, row_edges[:-1], axis=1)
+    csum = np.add.reduceat(csum, col_edges[:-1], axis=2)
+    counts = np.diff(row_edges)[:, None] * np.diff(col_edges)[None, :]
+    g = csum / counts[None, :, :]
+    bits = (g[:, :, 1:] > g[:, :, :-1]).reshape(b, 64)
+    powers = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    val = np.bitwise_or.reduce(np.where(bits, powers[None, :], np.uint64(0)), axis=1)
+    return val.astype(np.int64)
+
+
 def hamming_i64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Bitwise Hamming distance between two int64 hash arrays."""
     x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(np.uint64)

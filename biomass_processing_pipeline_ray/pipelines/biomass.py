@@ -76,11 +76,18 @@ def build_assignments(
     if n_tiles is None:
         n_tiles = tiles.count()
 
-    # elastic actor pools sized to the session: min 1 so the pools can
-    # never reserve every CPU and starve the stateless read/decode tasks
+    # elastic actor pools sized to the session.  The decode+cells+kNN
+    # chain fuses into the kNN pool and dominates CPU, so its ceiling is
+    # the whole machine and its floor is warm (pool ramp-up from 1 actor
+    # costs ~2× wall on short runs).  Floors sum to ≤ ncpus/2 so the
+    # pools can never reserve every CPU and starve the read tasks.
     ncpus = int(ray.cluster_resources().get("CPU", 4))
-    pip_concurrency = pip_concurrency or (1, max(2, ncpus // 3))
-    knn_concurrency = knn_concurrency or (1, max(2, ncpus // 3))
+    pip_concurrency = pip_concurrency or (max(1, ncpus // 8), max(2, ncpus // 2))
+    knn_concurrency = knn_concurrency or (max(1, ncpus * 3 // 8), max(2, ncpus))
+    # batch size caps downstream block count (actor map_batches bundles
+    # input blocks up to batch_size): keep ≥4 batches per CPU in flight
+    # so every stage can use the whole machine even at test scale
+    bs = int(np.clip(n_tiles // (ncpus * 4), 512, 8192))
 
     counties_ref = ray.put(counties)
     all_ids = np.arange(n_tiles, dtype=np.int64)
@@ -95,7 +102,7 @@ def build_assignments(
         fn_constructor_kwargs={"counties_ref": counties_ref},
         batch_format="pyarrow",
         concurrency=pip_concurrency,
-        batch_size=4096,
+        batch_size=bs,
     )
     if skip_counties:
         skip = skip_counties
@@ -107,14 +114,14 @@ def build_assignments(
             return batch.filter(mask)
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    ds = ds.map_batches(decode_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(decode_batch, batch_format="pyarrow", batch_size=bs)
     ds = ds.map_batches(CellEncoder(hex_res, s2_level), batch_format="pyarrow")
     ds = ds.map_batches(
         KNNStitcher,
         fn_constructor_kwargs={"centroids_ref": sidecar_ref, "k": k},
         batch_format="pyarrow",
         concurrency=knn_concurrency,
-        batch_size=4096,
+        batch_size=bs,
     )
     return ds
 
@@ -190,4 +197,5 @@ def biomass_zonal_checkpointed(
         [fresh, pd.DataFrame(recovered)], ignore_index=True
     ) if recovered else fresh
     out = out.sort_values("county_fips").reset_index(drop=True)
+    store.finalize_manifest()
     return out

@@ -41,7 +41,12 @@ def ndvi_biomass(px: np.ndarray) -> tuple[float, float]:
 
 
 def decode_batch(batch: pa.Table) -> pa.Table:
-    """map_batches body: decode, verify phash/shape, derive scalars."""
+    """map_batches body: decode, verify phash/shape, derive scalars.
+
+    Per-row work is only the entropy decode (PNG/zlib are inherently
+    per-image); the pixel math (dHash verify + NDVI band algebra) is
+    vectorized over same-shape stacks — there are O(10) distinct
+    (h, w) combos per batch, so each stack is large."""
     ids = batch["image_id"]
     bufs = batch["bytes"].to_pylist()
     ws = batch["w"].to_numpy()
@@ -53,11 +58,30 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     biomass = np.empty(n, dtype=np.float64)
     phash_ok = np.empty(n, dtype=bool)
     shape_ok = np.empty(n, dtype=bool)
+    pixels: list = [None] * n
     for k in range(n):
         px = codecs.decode(bufs[k], fmts[k], int(hs[k]), int(ws[k]))
         shape_ok[k] = px.shape == (int(hs[k]), int(ws[k]), 3)
-        phash_ok[k] = _ph.dhash(px) == int(phashes[k])
-        ndvi[k], biomass[k] = ndvi_biomass(px)
+        pixels[k] = px
+    shape_key = hs.astype(np.int64) * 100000 + ws.astype(np.int64)
+    for key in np.unique(shape_key):
+        sel = np.flatnonzero(shape_key == key)
+        good = sel[shape_ok[sel]]
+        if len(good) == 0:
+            continue
+        stack = np.stack([pixels[k] for k in good])
+        phash_ok[good] = _ph.dhash_stack(stack) == phashes[good]
+        red = stack[:, :, :, 0].astype(np.float64)
+        nir = stack[:, :, :, 2].astype(np.float64)
+        nd = ((nir - red) / (nir + red + 1.0)).mean(axis=(1, 2))
+        area_m2 = stack.shape[1] * stack.shape[2] * PIXEL_M * PIXEL_M
+        ndvi[good] = nd
+        biomass[good] = (nd + 1.0) * area_m2 * 0.01
+    bad = ~shape_ok
+    if bad.any():
+        ndvi[bad] = np.nan
+        biomass[bad] = np.nan
+        phash_ok[bad] = False
     # pass through everything except the wide payload columns (drop bytes
     # BEFORE any shuffle), then append the decode-derived scalars
     out = batch.drop_columns(

@@ -119,7 +119,9 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
@@ -130,7 +132,13 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
         import ray
 
         texts = ray.get(texts_ref)
@@ -143,7 +151,8 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
             j = jaccard(sa, sb)
             if j >= threshold:
                 out.append((int(a), int(b), j))
-        return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+        df = pd.DataFrame(out, columns=["a", "b", "jaccard"])
+        return df.astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
 
     verified = pairs.map_batches(verify, batch_format="pandas")
 
@@ -151,6 +160,85 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
         return g.head(1)
 
     return verified.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# -- banded Hamming near-dup (shared machinery) -------------------------------
+#
+# Any pair within Hamming distance 3 of a 64-bit hash agrees exactly on
+# ≥1 of the 4 16-bit bands (pigeonhole), so band-blocking finds all of
+# them.  Scale design: ONE shuffle instead of four — every row explodes
+# into 4 (band_id ∥ band_value) keys, keys are folded into COARSE
+# buckets (key % n_coarse) so the groupby produces a bounded number of
+# groups (per-group Python overhead is the killer for 2^16 tiny
+# buckets), and inside each coarse group a single vectorized pandas
+# self-merge on the exact band key finds candidates.
+
+
+def _explode_bands(
+    batch: pa.Table, id_col: str, hash_col: str, n_coarse: int
+) -> pa.Table:
+    u = batch[hash_col].to_numpy().astype(np.uint64)
+    n = len(u)
+    ids = batch[id_col]
+    keys = []
+    for b in range(4):
+        band = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        keys.append(band | (b << 16))
+    key_all = np.concatenate(keys)
+    id_rep = pa.chunked_array([ids] * 4).combine_chunks()
+    hash_rep = np.tile(batch[hash_col].to_numpy(), 4)
+    return pa.table(
+        {
+            "coarse": pa.array(key_all % n_coarse),
+            "band_key": pa.array(key_all),
+            "rid": id_rep,
+            "rhash": pa.array(hash_rep),
+        }
+    )
+
+
+def banded_hamming_pairs(
+    ds, id_col: str, hash_col: str, max_hamming: int = 3, n_coarse: int = 1024
+):
+    """All (a, b, hamming<=max_hamming) pairs via 4×16-bit band blocking."""
+    from ..image.phash import hamming_i64
+
+    exploded = ds.map_batches(
+        lambda b: _explode_bands(b, id_col, hash_col, n_coarse),
+        batch_format="pyarrow",
+    )
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_key", "rid"])
+        m = g.merge(g, on="band_key")
+        m = m[m["rid_x"] < m["rid_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=g["rid"].dtype),
+                    "b": pd.Series([], dtype=g["rid"].dtype),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        hd = hamming_i64(m["rhash_x"].to_numpy(), m["rhash_y"].to_numpy())
+        keep = hd <= max_hamming
+        out = pd.DataFrame(
+            {
+                "a": m["rid_x"].to_numpy()[keep],
+                "b": m["rid_y"].to_numpy()[keep],
+                "hamming": hd[keep],
+            }
+        )
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = exploded.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
+
+    # global dedup: the same pair can surface from bands in different
+    # coarse groups; real near-dup pairs are few, so this shuffle is tiny
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
 
 
 # -- simhash -----------------------------------------------------------------
@@ -185,78 +273,19 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_neardup_pairs(ds, max_hamming: int = 3):
-    """Hamming ≤ max_hamming pairs via 4×16-bit band blocking.
+    """Hamming ≤ max_hamming simhash pairs (banded, single shuffle)."""
 
-    Any pair within Hamming 3 of 64 bits agrees exactly on ≥1 of the 4
-    16-bit bands (pigeonhole), so banding finds all of them.
-    """
-    from ..image.phash import hamming_i64
+    def sims_only(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch)
+        return t.select(["doc_id", "simhash"])
 
-    sims = ds.map_batches(simhash_batch, batch_format="pyarrow")
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming_i64(hs[ii], hs[jj])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": hd[keep]}
-        )
-
-    allpairs = []
-    for b in range(4):
-        p = sims.groupby(f"sim_band{b}").map_groups(band_pairs, batch_format="pandas")
-        allpairs.append(p)
-    union = allpairs[0]
-    for p in allpairs[1:]:
-        union = union.union(p)
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return union.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    sims = ds.map_batches(sims_only, batch_format="pyarrow")
+    return banded_hamming_pairs(sims, "doc_id", "simhash", max_hamming)
 
 
 # -- phash hamming near-dup (images) -----------------------------------------
 
 
-def phash_bands_batch(batch: pa.Table) -> pa.Table:
-    u = batch["phash"].to_numpy().astype(np.uint64)
-    out = pa.table({"image_id": batch["image_id"], "phash": batch["phash"]})
-    for b in range(4):
-        band = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-        out = out.append_column(f"ph_band{b}", pa.array(band))
-    return out
-
-
 def phash_neardup_pairs(ds, max_hamming: int = 3):
-    from ..image.phash import hamming_i64
-
-    banded = ds.map_batches(phash_bands_batch, batch_format="pyarrow")
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("image_id").drop_duplicates("image_id")
-        ids = g["image_id"].to_numpy()
-        hs = g["phash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming_i64(hs[ii], hs[jj])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": hd[keep]}
-        )
-
-    allpairs = None
-    for b in range(4):
-        p = banded.groupby(f"ph_band{b}").map_groups(band_pairs, batch_format="pandas")
-        allpairs = p if allpairs is None else allpairs.union(p)
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return allpairs.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    """Image near-dup pairs by phash Hamming (banded, single shuffle)."""
+    return banded_hamming_pairs(ds, "image_id", "phash", max_hamming)

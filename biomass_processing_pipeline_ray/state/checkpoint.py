@@ -7,12 +7,19 @@ object-store-friendly layout the north rule asks for:
 
     out_dir/
       county_fips=17001/part-*.parquet      (the data, one dir per zone)
-      _lineage/17001.json                   (lineage record + metrics)
-      _MANIFEST.json                        (completed partitions)
+      _lineage/17001.json                   (atomic completion marker:
+                                             lineage record + metrics)
+      _MANIFEST.json                        (driver-written summary,
+                                             NOT consulted by resume)
 
-Writes are atomic (temp file + ``os.replace``) and idempotent per
-partition; resume = filter pending partitions against the manifest
-(anti-join on the driver — the manifest is tiny).
+Concurrency design: partition writers run in parallel Ray workers, so
+the completion marker must be a single atomic, per-partition file — the
+lineage json, written (temp file with a unique name + ``os.replace``)
+AFTER the partition's parquet lands.  ``completed()`` scans the lineage
+dir; there is no shared read-modify-write anywhere in the worker path
+(a shared manifest updated per partition would lose updates under
+concurrency).  Deleting a partition's lineage file invalidates exactly
+that partition — the next run recomputes it idempotently.
 """
 
 from __future__ import annotations
@@ -29,31 +36,36 @@ class CheckpointStore:
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.manifest_path = os.path.join(out_dir, "_MANIFEST.json")
 
-    # -- manifest ------------------------------------------------------------
+    def _atomic_write(self, path: str, payload: dict) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    # -- completion markers (source of truth: lineage dir) -------------------
 
     def completed(self) -> set[str]:
-        if not os.path.exists(self.manifest_path):
+        if not os.path.isdir(self.lineage_dir):
             return set()
-        with open(self.manifest_path) as f:
-            return set(json.load(f).get("completed", []))
-
-    def _write_manifest(self, completed: set[str]) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"completed": sorted(completed), "updated_at": time.time()}, f)
-        os.replace(tmp, self.manifest_path)
+        return {
+            name[:-5]
+            for name in os.listdir(self.lineage_dir)
+            if name.endswith(".json")
+        }
 
     def mark_complete(self, partition: str, lineage: dict) -> None:
-        """Atomically record a partition's lineage + add it to the manifest."""
-        lpath = os.path.join(self.lineage_dir, f"{partition}.json")
-        tmp = lpath + ".tmp"
+        """Atomically record a partition's lineage — the completion marker."""
         lineage = dict(lineage, partition=partition, completed_at=time.time())
-        with open(tmp, "w") as f:
-            json.dump(lineage, f)
-        os.replace(tmp, lpath)
-        done = self.completed()
-        done.add(partition)
-        self._write_manifest(done)
+        self._atomic_write(
+            os.path.join(self.lineage_dir, f"{partition}.json"), lineage
+        )
+
+    def invalidate(self, partition: str) -> None:
+        """Force recompute of one partition on the next run."""
+        try:
+            os.remove(os.path.join(self.lineage_dir, f"{partition}.json"))
+        except FileNotFoundError:
+            pass
 
     def lineage(self, partition: str) -> dict | None:
         lpath = os.path.join(self.lineage_dir, f"{partition}.json")
@@ -66,6 +78,14 @@ class CheckpointStore:
         done = self.completed()
         return [p for p in partitions if p not in done]
 
+    # -- driver-side summary (never read by resume) --------------------------
+
+    def finalize_manifest(self) -> None:
+        self._atomic_write(
+            self.manifest_path,
+            {"completed": sorted(self.completed()), "updated_at": time.time()},
+        )
+
     # -- partitioned data ----------------------------------------------------
 
     def partition_dir(self, partition: str) -> str:
@@ -77,7 +97,9 @@ class CheckpointStore:
 
         pdir = self.partition_dir(partition)
         os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, ".part-0.parquet.tmp")
+        tmp = os.path.join(
+            pdir, f".part-0.parquet.tmp.{os.getpid()}.{time.monotonic_ns()}"
+        )
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
         self.mark_complete(partition, lineage)
