@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 
 from ..functions import georef as G
 from ..functions.rounding import round_away, snap_binary, sql_snap
+from ..geo.geoms import ACRES_PER_M2, M_PER_DEG
 
 # ---------------------------------------------------------------------------
 # universe sizing
@@ -261,6 +262,102 @@ def _sql_county_top10(n: int) -> str:
     return f"""
     SELECT * FROM ({_sql_zonal_core(n)})
     ORDER BY biomass_sum DESC, county_fips LIMIT 10
+    """
+
+
+def q_county_geo_stats(sf_dir: str):
+    """Geometry kernels (shoelace area/centroid over WKB) vs the grid
+    arithmetic the county layer was constructed from (M1–M3 parity)."""
+    import ray.data as rd
+
+    from ..geo.geoms import geometry_stats_batch
+    from ..sources.counties import rect_counties
+
+    ds = rd.from_arrow(rect_counties().select(["county_fips", "geometry_wkb"]))
+    ds = ds.map_batches(geometry_stats_batch, batch_format="pyarrow")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "is_valid": b["is_valid"],
+                "area_acres": pa.array(round_away(b["area_acres"].to_numpy(), 4)),
+                "centroid_lon": pa.array(round_away(b["centroid_lon"].to_numpy(), 6)),
+                "centroid_lat": pa.array(round_away(b["centroid_lat"].to_numpy(), 6)),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_COUNTY_GEO_STATS = f"""
+    SELECT county_fips, TRUE AS is_valid,
+           ROUND(({G.COUNTY_W!r} * {G.COUNTY_H!r}) * {M_PER_DEG} * {M_PER_DEG}
+                 * COS(RADIANS(cy)) * {ACRES_PER_M2}, 4) AS area_acres,
+           ROUND(cx, 6) AS centroid_lon,
+           ROUND(cy, 6) AS centroid_lat
+    FROM (SELECT county_fips,
+                 {G.LON0!r} + (code % {G.COUNTY_NX} + 0.5) * {G.COUNTY_W!r} AS cx,
+                 {G.LAT0!r} + (code // {G.COUNTY_NX} + 0.5) * {G.COUNTY_H!r} AS cy
+          FROM (SELECT LPAD(CAST({G.FIPS_BASE} + range AS VARCHAR), 5, '0')
+                           AS county_fips,
+                       range AS code
+                FROM range({G.COUNTY_NX * G.COUNTY_NY})))
+"""
+
+
+def q_tile_meta_stats(sf_dir: str):
+    """Read the real tile parquet (pruned columns) and roll up per fmt;
+    the oracle reconstructs the same stats from the arithmetic tile spec
+    — verifying fixture ↔ spec agreement AND the groupby path."""
+    from ..sources.tiles import read_tiles
+
+    ds = read_tiles(tiles_path(sf_dir), columns=["w", "h", "fmt"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "fmt": b["fmt"],
+                "px": pa.array(w * h),
+                "w": pa.array(w),
+            }
+        )
+
+    g = _grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["fmt"],
+        {"total_px": "px", "sum_w": "w"},
+        "n_tiles",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cnt = b["n_tiles"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "fmt": b["fmt"],
+                "n_tiles": b["n_tiles"],
+                "total_px": b["total_px"],
+                "avg_w": pa.array(round_away(b["sum_w"].to_numpy() / cnt, 4)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_tile_meta_stats(n: int) -> str:
+    key = G.SQL_KEY.format(id="id")
+    return f"""
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(w * h) AS BIGINT) AS total_px,
+           ROUND(SUM(w) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_w
+    FROM (SELECT CASE {key} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                 ELSE 'raw' END AS fmt,
+                 32 + 16 * ({key} % 3) AS w,
+                 32 + 16 * (({key} // 3) % 3) AS h
+          FROM (SELECT range AS id FROM range({n})))
+    GROUP BY fmt
     """
 
 
@@ -694,6 +791,8 @@ def build_queries() -> dict:
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "zonal_biomass_px": (q_zonal_biomass_px, None),
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
+        "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
+        "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
         "phash_neardup": (q_phash_neardup, None),
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),

@@ -1,0 +1,199 @@
+"""Distributed operator tests vs brute-force/pandas oracles.
+
+Covers the operator families added on top of the flagship pipeline:
+banded Hamming near-dup, windows (tumbling/sessionize/as-of), ANN
+cosine top-k, and text fingerprints.  Small inputs, one shared Ray
+session (conftest).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_banded_hamming_pairs_exact(rd):
+    from biomass_processing_pipeline_ray.image.phash import hamming_i64
+    from biomass_processing_pipeline_ray.stages.dedup import banded_hamming_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    ids = [f"x{i:05d}" for i in range(len(base))]
+    hashes = list(base)
+    for j in range(15):  # plant near-dups at hamming 1..3
+        flip = np.uint64(0)
+        for b in rng.choice(64, size=(j % 3) + 1, replace=False):
+            flip |= np.uint64(1) << np.uint64(b)
+        ids.append(f"y{j:05d}")
+        hashes.append(np.int64((base[j].astype(np.uint64) ^ flip).astype(np.int64)))
+    tbl = pa.table(
+        {"image_id": pa.array(ids), "phash": pa.array(np.array(hashes, np.int64))}
+    )
+    got = banded_hamming_pairs(rd.from_arrow(tbl), "image_id", "phash").to_pandas()
+    hs = np.array(hashes)
+    ii, jj = np.triu_indices(len(hs), k=1)
+    hd = hamming_i64(hs[ii], hs[jj])
+    exp = {
+        tuple(sorted((ids[a], ids[b]))) for a, b in zip(ii[hd <= 3], jj[hd <= 3])
+    }
+    assert set(zip(got.a, got.b)) == exp
+    assert len(got) == len(exp)  # globally deduped
+
+
+def _events_frame(n=400, users=20, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000 + 1_700_000_000_000_000
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+
+
+def test_tumbling_aggregate_vs_pandas(rd):
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.windows import tumbling_aggregate
+
+    df = _events_frame()
+    got = (
+        tumbling_aggregate(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["event_type", "hour_bucket"])
+        .reset_index(drop=True)
+    )
+    exp = df.assign(
+        hour_bucket=df.ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000,
+        sval=snap_binary(df.value.to_numpy()),
+    )
+    exp = (
+        exp.groupby(["event_type", "hour_bucket"], as_index=False)
+        .agg(n=("sval", "size"), value_sum=("sval", "sum"))
+        .sort_values(["event_type", "hour_bucket"])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got.n, exp.n)
+    assert np.array_equal(got.value_sum, exp.value_sum)  # exact (lattice)
+
+
+def test_sessionize_vs_pandas(rd):
+    from biomass_processing_pipeline_ray.stages.windows import sessionize
+
+    df = _events_frame()
+    got = (
+        sessionize(rd.from_pandas(df[["event_id", "ts", "user_id"]]))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    def oracle(g):
+        ts = np.sort(g.ts.astype("datetime64[us]").astype(np.int64).to_numpy())
+        gaps = np.diff(ts) > 1_800_000_000
+        return pd.Series({"n_sessions": 1 + int(gaps.sum()), "n_events": len(g)})
+
+    exp = df.groupby("user_id").apply(oracle, include_groups=False).reset_index()
+    assert np.array_equal(got.n_sessions, exp.n_sessions)
+    assert np.array_equal(got.n_events, exp.n_events)
+
+
+def test_asof_join_events_orders_vs_merge_asof(rd):
+    from biomass_processing_pipeline_ray.stages.windows import asof_join_events_orders
+
+    ev = _events_frame(n=200, users=10)
+    rng = np.random.default_rng(5)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(50, dtype=np.int64),
+            "o_custkey": rng.integers(0, 12, 50).astype(np.int64),
+            "o_orderdate": (
+                rng.integers(0, 10**7, 50) * 1_000_000 + 1_700_000_000_000_000
+            ).astype("datetime64[us]"),
+            "o_totalprice": rng.uniform(10, 500, 50),
+        }
+    )
+    got = (
+        asof_join_events_orders(
+            rd.from_pandas(ev[["event_id", "ts", "user_id"]]),
+            rd.from_pandas(orders),
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # oracle: for each event the latest order (ts, orderkey) at/before it
+    o = orders.sort_values(["o_orderdate", "o_orderkey"])
+    exp_key, exp_val = [], []
+    for _, e in ev.iterrows():
+        cand = o[(o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts)]
+        if len(cand):
+            exp_key.append(int(cand.o_orderkey.iloc[-1]))
+            exp_val.append(float(cand.o_totalprice.iloc[-1]))
+        else:
+            exp_key.append(-1)
+            exp_val.append(np.nan)
+    assert np.array_equal(got.last_orderkey.to_numpy(), np.array(exp_key))
+    ok = np.array(exp_key) >= 0
+    assert np.allclose(
+        got.last_totalprice.to_numpy()[ok], np.array(exp_val)[ok], atol=0
+    )
+
+
+def test_cosine_topk_vs_bruteforce(rd, ray_session):
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.ann import cosine_topk
+
+    rng = np.random.default_rng(11)
+    n, d, k = 200, 16, 5
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+        }
+    )
+    qids = np.arange(3, dtype=np.int64)
+    qref = ray.put({"qid": qids, "mat": emb[:3]})
+    got = cosine_topk(rd.from_arrow(tbl), qref, k=k).to_pandas()
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = norm[:3] @ norm.T
+    for qi in qids:
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((np.arange(n), -s))[:k]
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert np.array_equal(sub.vec_id.to_numpy(), order)
+
+
+def test_fingerprints_deterministic_and_sensitive():
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        poly_fingerprint,
+        rolling_kgram_hashes,
+        winnow_fingerprints,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog"
+    assert poly_fingerprint(t) == poly_fingerprint(t)
+    assert poly_fingerprint(t) != poly_fingerprint(t + "!")
+    # winnow fingerprints overlap heavily for a small edit, not for
+    # unrelated text
+    a = set(winnow_fingerprints(t * 4))
+    b = set(winnow_fingerprints((t * 4) + " extra"))
+    c = set(winnow_fingerprints("completely different content here entirely"))
+    assert len(a & b) / len(a | b) > 0.6
+    assert len(a & c) / max(len(a | c), 1) < 0.1
+    # rolling hashes: shifting window by one byte matches slice hash
+    h = rolling_kgram_hashes("abcdefgh", k=4)
+    assert len(h) == 5
+    assert h[1] == rolling_kgram_hashes("bcde", k=4)[0]
