@@ -370,6 +370,138 @@ def q_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(ds, max_hamming=3)
 
 
+def _tiles_with_county(sf_dir: str, columns: list[str]):
+    """Real tile parquet (pruned) → georef → PIP county assignment."""
+    from ..sources.tiles import read_tiles
+    from .biomass import _georef_pip_stage
+
+    ds = read_tiles(tiles_path(sf_dir), columns=["image_id", *columns])
+    return _pip(ds.map_batches(_georef_pip_stage, batch_format="pyarrow"))
+
+
+_SQL_TILE_UNIVERSE = None  # built below per n
+
+
+def _sql_tiles_with_county(n: int) -> str:
+    """Arithmetic twin of the tile universe with fmt + county columns."""
+    lon, lat, fips = _geo_sql_fragments()
+    key = G.SQL_KEY.format(id="id")
+    return f"""(SELECT {fips} AS county_fips,
+                      CASE {key} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           ELSE 'raw' END AS fmt,
+                      {lon} AS lon, {lat} AS lat
+               FROM (SELECT range AS id FROM range({n})))"""
+
+
+def q_county_bounds(sf_dir: str):
+    """Per-county extent of tile centroids (reference S3: ST_Extent)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _tiles_with_county(sf_dir, [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("county_fips", as_index=False).agg(
+            min_lon=("lon", "min"),
+            min_lat=("lat", "min"),
+            max_lon=("lon", "max"),
+            max_lat=("lat", "max"),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("county_fips")
+        .aggregate(
+            Min("min_lon", alias_name="min_lon"),
+            Min("min_lat", alias_name="min_lat"),
+            Max("max_lon", alias_name="max_lon"),
+            Max("max_lat", alias_name="max_lat"),
+        )
+    )
+
+
+def _sql_county_bounds(n: int) -> str:
+    return f"""
+    SELECT county_fips, MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+           MAX(lon) AS max_lon, MAX(lat) AS max_lat
+    FROM {_sql_tiles_with_county(n)} GROUP BY county_fips
+    """
+
+
+def _county_fmt_counts(sf_dir: str):
+    ds = _tiles_with_county(sf_dir, ["fmt"])
+    return _grouped_sums(ds, ["county_fips", "fmt"], {}, "n")
+
+
+def q_county_fmt_hist(sf_dir: str):
+    """Zonal histogram (reference G1: per-zone class counts)."""
+    return _county_fmt_counts(sf_dir)
+
+
+def _sql_county_fmt_hist(n: int) -> str:
+    return f"""
+    SELECT county_fips, fmt, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {_sql_tiles_with_county(n)} GROUP BY county_fips, fmt
+    """
+
+
+def q_county_shannon(sf_dir: str):
+    """Shannon diversity of the zonal histogram (reference G10)."""
+    counts = _county_fmt_counts(sf_dir)
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype(np.float64)
+        p = n / n.sum()
+        h = float(-(p * np.log(p)).sum() / np.log(3.0))
+        return pd.DataFrame(
+            {
+                "county_fips": [g["county_fips"].iloc[0]],
+                "shannon": round_away(np.asarray([h]), 6),
+            }
+        )
+
+    return counts.groupby("county_fips").map_groups(entropy, batch_format="pandas")
+
+
+def _sql_county_shannon(n: int) -> str:
+    return f"""
+    SELECT county_fips,
+           ROUND(-SUM((n / tot) * LN(n / tot)) / LN(3.0), 6) AS shannon
+    FROM (SELECT county_fips, CAST(n AS DOUBLE) AS n,
+                 CAST(SUM(n) OVER (PARTITION BY county_fips) AS DOUBLE) AS tot
+          FROM ({_sql_county_fmt_hist(n)}))
+    GROUP BY county_fips
+    """
+
+
+def q_county_dominant_fmt(sf_dir: str):
+    """Dominant class per zone (reference O3: argmax by count, ties to
+    the lexicographically smallest fmt)."""
+    counts = _county_fmt_counts(sf_dir)
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "fmt"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "county_fips": [g["county_fips"].iloc[0]],
+                "dominant_fmt": [g["fmt"].iloc[0]],
+                "n_dominant": [np.int64(g["n"].iloc[0])],
+            }
+        )
+
+    return counts.groupby("county_fips").map_groups(dominant, batch_format="pandas")
+
+
+def _sql_county_dominant_fmt(n: int) -> str:
+    return f"""
+    SELECT county_fips, fmt AS dominant_fmt, n AS n_dominant
+    FROM (SELECT county_fips, fmt, n,
+                 row_number() OVER (PARTITION BY county_fips
+                                    ORDER BY n DESC, fmt) AS rn
+          FROM ({_sql_county_fmt_hist(n)}))
+    WHERE rn = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # relational queries (lineitem / orders / customer / part)
 # ---------------------------------------------------------------------------
@@ -793,6 +925,13 @@ def build_queries() -> dict:
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
+        "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),
+        "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
+        "county_shannon": (q_county_shannon, _sql_county_shannon(_N_ORACLE)),
+        "county_dominant_fmt": (
+            q_county_dominant_fmt,
+            _sql_county_dominant_fmt(_N_ORACLE),
+        ),
         "phash_neardup": (q_phash_neardup, None),
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),
