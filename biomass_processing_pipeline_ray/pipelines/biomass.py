@@ -51,6 +51,46 @@ def _georef_pip_stage(batch: pa.Table) -> pa.Table:
     return batch.append_column("lat", pa.array(lat))
 
 
+class TileGeoStage:
+    """One actor-pool stage composing georef → PIP → resume-filter →
+    decode → cells → kNN over each Arrow batch.
+
+    A single pool (instead of a PIP pool feeding a decode/kNN pool)
+    keeps the wide image payload OUT of the object store between stages
+    — the ``bytes`` column is decoded and dropped inside the same
+    process that PIP-labeled it — and leaves the streaming executor
+    only two CPU-hungry operators (read, this) to balance.  State
+    (PolygonSet, GridKNN, cell encoder) is built once per actor from
+    broadcast refs (reference A1–A3 analogs, SURVEY.md §2.3).
+    """
+
+    def __init__(
+        self,
+        counties_ref,
+        centroids_ref,
+        k: int = 8,
+        hex_res: int = 7,
+        s2_level: int = 13,
+        skip_counties: frozenset | None = None,
+    ):
+        self.pip = PIPJoiner(counties_ref=counties_ref)
+        self.knn = KNNStitcher(centroids_ref=centroids_ref, k=k)
+        self.cells = CellEncoder(hex_res, s2_level)
+        self.skip = sorted(skip_counties) if skip_counties else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = _georef_pip_stage(batch)
+        batch = self.pip(batch)
+        if self.skip:
+            batch = batch.filter(
+                pc.invert(pc.is_in(batch["county_fips"], pa.array(self.skip)))
+            )
+        batch = decode_batch(batch)
+        return self.knn(self.cells(batch))
+
+
 def build_assignments(
     tiles,
     counties: pa.Table | None = None,
@@ -58,8 +98,7 @@ def build_assignments(
     k: int = 8,
     hex_res: int = 7,
     s2_level: int = 13,
-    pip_concurrency=None,
-    knn_concurrency=None,
+    concurrency=None,
     skip_counties: set[str] | None = None,
 ):
     """Dataset of per-tile join-output rows (the reference's J1+J2+G3/G4).
@@ -76,17 +115,14 @@ def build_assignments(
     if n_tiles is None:
         n_tiles = tiles.count()
 
-    # elastic actor pools sized to the session.  The decode+cells+kNN
-    # chain fuses into the kNN pool and dominates CPU, so its ceiling is
-    # the whole machine and its floor is warm (pool ramp-up from 1 actor
-    # costs ~2× wall on short runs).  Floors sum to ≤ ncpus/2 so the
-    # pools can never reserve every CPU and starve the read tasks.
+    # one elastic actor pool does all per-tile compute; warm floor at
+    # half the machine (ramp-up from 1 actor costs ~2× wall on short
+    # runs), ceiling the whole machine — read tasks fill the gaps.
     ncpus = int(ray.cluster_resources().get("CPU", 4))
-    pip_concurrency = pip_concurrency or (max(1, ncpus // 8), max(2, ncpus // 2))
-    knn_concurrency = knn_concurrency or (max(1, ncpus * 3 // 8), max(2, ncpus))
-    # batch size caps downstream block count (actor map_batches bundles
-    # input blocks up to batch_size): keep ≥4 batches per CPU in flight
-    # so every stage can use the whole machine even at test scale
+    concurrency = concurrency or (max(1, ncpus // 2), max(2, ncpus))
+    # batch size caps block count (actor map_batches bundles input
+    # blocks up to batch_size): keep ≥4 batches per CPU in flight so
+    # the pool can use the whole machine even at test scale
     bs = int(np.clip(n_tiles // (ncpus * 4), 512, 8192))
 
     counties_ref = ray.put(counties)
@@ -96,34 +132,20 @@ def build_assignments(
         centroid_sidecar(lon, lat, all_ids, G.derive_value(all_ids))
     )
 
-    ds = tiles.map_batches(_georef_pip_stage, batch_format="pyarrow")
-    ds = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"counties_ref": counties_ref},
+    return tiles.map_batches(
+        TileGeoStage,
+        fn_constructor_kwargs={
+            "counties_ref": counties_ref,
+            "centroids_ref": sidecar_ref,
+            "k": k,
+            "hex_res": hex_res,
+            "s2_level": s2_level,
+            "skip_counties": frozenset(skip_counties) if skip_counties else None,
+        },
         batch_format="pyarrow",
-        concurrency=pip_concurrency,
+        concurrency=concurrency,
         batch_size=bs,
     )
-    if skip_counties:
-        skip = skip_counties
-
-        def drop_done(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.invert(pc.is_in(batch["county_fips"], pa.array(sorted(skip))))
-            return batch.filter(mask)
-
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    ds = ds.map_batches(decode_batch, batch_format="pyarrow", batch_size=bs)
-    ds = ds.map_batches(CellEncoder(hex_res, s2_level), batch_format="pyarrow")
-    ds = ds.map_batches(
-        KNNStitcher,
-        fn_constructor_kwargs={"centroids_ref": sidecar_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=knn_concurrency,
-        batch_size=bs,
-    )
-    return ds
 
 
 def biomass_zonal(tiles, counties=None, n_tiles=None, **kw):
