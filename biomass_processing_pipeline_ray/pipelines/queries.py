@@ -502,9 +502,157 @@ def _sql_county_dominant_fmt(n: int) -> str:
     """
 
 
+def q_knn_edges(sf_dir: str):
+    """Explode each tile's kNN list into (tile_id, neighbor_id, rank)
+    edge rows — the 1→N explode-to-child-table pattern (reference S10:
+    nested result → row tables, ``database_manager_v3.py:811-912``)."""
+    ds = q_knn_idw_full(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        lists = b["knn_ids"].to_pylist()
+        t_col, n_col, r_col = [], [], []
+        for i, s in enumerate(lists):
+            if not s:
+                continue
+            nbrs = s.split(",")
+            t_col.extend([int(ids[i])] * len(nbrs))
+            n_col.extend(int(x) for x in nbrs)
+            r_col.extend(range(1, len(nbrs) + 1))
+        return pa.table(
+            {
+                "tile_id": pa.array(np.asarray(t_col, dtype=np.int64)),
+                "neighbor_id": pa.array(np.asarray(n_col, dtype=np.int64)),
+                "rank": pa.array(np.asarray(r_col, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_knn_idw_full(sf_dir: str):
+    """kNN stitch keeping the neighbor-list column (internal helper +
+    registered rows-only variant)."""
+    import ray
+
+    from ..stages.knn_stitch import KNNStitcher, centroid_sidecar
+
+    n = min(universe_n(sf_dir), KNN_N)
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    sidecar = ray.put(centroid_sidecar(lon, lat, ids, G.derive_value(ids)))
+    ds = _range_geo(n)
+
+    def add_int_id(b: pa.Table) -> pa.Table:
+        return b.append_column("tile_int_id", b["tile_id"])
+
+    return ds.map_batches(add_int_id, batch_format="pyarrow").map_batches(
+        KNNStitcher,
+        fn_constructor_kwargs={"centroids_ref": sidecar, "k": 8},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+
+def _sql_knn_edges(n: int) -> str:
+    lon, lat, _ = _geo_sql_fragments()
+    return f"""
+    WITH t AS (SELECT id, {lon} AS lon, {lat} AS lat
+               FROM (SELECT range AS id FROM range({n}))),
+    p AS (SELECT a.id AS qid, b.id AS nid,
+                 (b.lon - a.lon) * (b.lon - a.lon)
+               + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+          FROM t a JOIN t b ON a.id <> b.id),
+    r AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+          FROM p)
+    SELECT qid AS tile_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 8
+    """
+
+
 # ---------------------------------------------------------------------------
 # relational queries (lineitem / orders / customer / part)
 # ---------------------------------------------------------------------------
+
+
+def q_orders_customer_join(sf_dir: str):
+    """Big–big equi-join via union-tag + co-partition groupby (no
+    broadcast): per customer nation... here per c_mktsegment revenue.
+    Covers the both-sides-large hash-join shape (reference J1 driver
+    loop analog) — the same skeleton as the as-of join."""
+    import ray.data as rd
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "price": pa.array(snap_binary(b["o_totalprice"].to_numpy())),
+                "seg": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "price": pa.array(np.zeros(n)),
+                "seg": b["c_mktsegment"],
+            }
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        customer.map_batches(tag_cust, batch_format="pyarrow")
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["side"] == 1]
+        if len(cust) == 0:
+            return pd.DataFrame(
+                {
+                    "seg": pd.Series([], dtype=object),
+                    "revenue": pd.Series([], dtype=np.float64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        seg = cust["seg"].iloc[0]
+        orders_g = g[g["side"] == 0]
+        return pd.DataFrame(
+            {
+                "seg": [seg],
+                "revenue": [orders_g["price"].sum()],
+                "n_orders": [np.int64(len(orders_g))],
+            }
+        )
+
+    per_cust = unioned.groupby("key").map_groups(join_group, batch_format="pandas")
+    g = _grouped_sums(per_cust, ["seg"], {"revenue": "revenue"}, "nc")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["seg"],
+                "revenue": pa.array(round_away(b["revenue"].to_numpy(), 4)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_ORDERS_CUSTOMER_JOIN = f"""
+    SELECT c_mktsegment,
+           ROUND(SUM({sql_snap('o_totalprice')}), 4) AS revenue
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
 
 
 def q_q1_pricing(sf_dir: str):
@@ -921,6 +1069,7 @@ def build_queries() -> dict:
         "pip_assign": (q_pip_assign, _sql_pip_assign(_N_ORACLE)),
         "cell_index": (q_cell_index, None),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
+        "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
         "zonal_biomass_px": (q_zonal_biomass_px, None),
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
@@ -936,6 +1085,7 @@ def build_queries() -> dict:
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
+        "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "semi_join_customers": (q_semi_join_customers, _SQL_SEMI_JOIN),

@@ -115,8 +115,17 @@ def generate_tiles_parquet(
     return out_dir
 
 
-def read_tiles(path: str, columns: list[str] | None = None):
-    """Dataset over the tile table — Lance if available, else parquet."""
+def read_tiles(
+    path: str,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+):
+    """Dataset over the tile table — Lance if available, else parquet.
+
+    ``override_num_blocks`` defaults to one block per file: Ray's
+    default then splits each file into sub-blocks, and the extra
+    per-block metadata/slicing costs ~2× on wide binary rows.
+    """
     import ray.data as rd
 
     if path.endswith(".lance") and hasattr(rd, "read_lance"):
@@ -124,7 +133,13 @@ def read_tiles(path: str, columns: list[str] | None = None):
             return rd.read_lance(path, columns=columns)
         except Exception:
             pass  # fall back to parquet mirror
-    return rd.read_parquet(path, columns=columns)
+    if override_num_blocks is None and os.path.isdir(path):
+        override_num_blocks = max(
+            1, sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        )
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=override_num_blocks
+    )
 
 
 def image_ids_to_int(ids: pa.Array) -> np.ndarray:
