@@ -72,20 +72,37 @@ class TileGeoStage:
         hex_res: int = 7,
         s2_level: int = 13,
         skip_counties: frozenset | None = None,
+        skip_partitions: frozenset | None = None,
+        n_salts: int = 1,
     ):
         self.pip = PIPJoiner(counties_ref=counties_ref)
         self.knn = KNNStitcher(centroids_ref=centroids_ref, k=k)
         self.cells = CellEncoder(hex_res, s2_level)
         self.skip = sorted(skip_counties) if skip_counties else None
+        self.skip_parts = sorted(skip_partitions) if skip_partitions else None
+        self.n_salts = max(1, int(n_salts))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         batch = _georef_pip_stage(batch)
         batch = self.pip(batch)
+        # salt: deterministic sub-partition key defusing county-size skew
+        # (north rule): a hot county becomes n_salts parallel groups
+        salt = batch["tile_int_id"].to_numpy() % self.n_salts
+        batch = batch.append_column("salt", pa.array(salt, pa.int64()))
         if self.skip:
             batch = batch.filter(
                 pc.invert(pc.is_in(batch["county_fips"], pa.array(self.skip)))
+            )
+        if self.skip_parts:
+            key = pc.binary_join_element_wise(
+                batch["county_fips"],
+                pc.cast(batch["salt"], pa.string()),
+                "|",
+            )
+            batch = batch.filter(
+                pc.invert(pc.is_in(key, pa.array(self.skip_parts)))
             )
         batch = decode_batch(batch)
         return self.knn(self.cells(batch))
@@ -100,6 +117,8 @@ def build_assignments(
     s2_level: int = 13,
     concurrency=None,
     skip_counties: set[str] | None = None,
+    skip_partitions: set[str] | None = None,
+    n_salts: int = 1,
 ):
     """Dataset of per-tile join-output rows (the reference's J1+J2+G3/G4).
 
@@ -141,6 +160,10 @@ def build_assignments(
             "hex_res": hex_res,
             "s2_level": s2_level,
             "skip_counties": frozenset(skip_counties) if skip_counties else None,
+            "skip_partitions": (
+                frozenset(skip_partitions) if skip_partitions else None
+            ),
+            "n_salts": n_salts,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -160,29 +183,40 @@ def biomass_zonal_checkpointed(
     counties: pa.Table | None = None,
     n_tiles: int | None = None,
     resume: bool = True,
+    n_salts: int = 4,
     **kw,
 ) -> pd.DataFrame:
-    """Checkpointed path: per-county partition writes + lineage + resume.
+    """Checkpointed path: salted per-county partition writes + lineage.
 
-    Completed counties are filtered out BEFORE decode on restart; their
-    summary rows are recovered from lineage, so the final result is
-    identical to an uninterrupted run (FIXTURES.md §5 contract).
+    The write groupby runs on ``(county_fips, salt)`` with ``salt =
+    tile_id % n_salts`` — the north rule's salted shuffle key: a county
+    holding 30 % of all tiles becomes ``n_salts`` parallel groups
+    instead of one straggler task.  Each sub-partition writes its
+    parquet (``county_fips=X/part-{salt}.parquet``) and lineage record
+    atomically; resume filters completed ``(county, salt)`` pairs out
+    BEFORE decode, so a mid-run kill recomputes only missing
+    sub-partitions and the final frame is identical to an uninterrupted
+    run (FIXTURES.md §5; kill test in tests/test_kill_resume.py).
     """
     store = CheckpointStore(out_dir)
     done = store.completed() if resume else set()
+    skip_pairs = {p.replace("_s", "|", 1) for p in done} if done else None
     ds = build_assignments(
-        tiles, counties, n_tiles, skip_counties=done or None, **kw
+        tiles, counties, n_tiles, skip_partitions=skip_pairs,
+        n_salts=n_salts, **kw
     )
 
-    def write_county(group: pd.DataFrame) -> pd.DataFrame:
+    def write_subpart(group: pd.DataFrame) -> pd.DataFrame:
         fips = str(group["county_fips"].iloc[0])
+        salt = int(group["salt"].iloc[0])
         if fips == "":
             return pd.DataFrame(
                 {
-                    "county_fips": [],
-                    "tile_count": [],
-                    "biomass_sum": [],
-                    "ndvi_mean": [],
+                    "county_fips": pd.Series([], dtype=object),
+                    "salt": pd.Series([], dtype=np.int64),
+                    "tile_count": pd.Series([], dtype=np.int64),
+                    "biomass_sum": pd.Series([], dtype=np.float64),
+                    "ndvi_sum": pd.Series([], dtype=np.float64),
                 }
             )
         t0 = time.time()
@@ -190,12 +224,13 @@ def biomass_zonal_checkpointed(
         tbl = pa.Table.from_pandas(group, preserve_index=False)
         summary = {
             "county_fips": fips,
+            "salt": salt,
             "tile_count": int(len(group)),
             "biomass_sum": float(group["biomass"].sum()),
-            "ndvi_mean": float(group["ndvi"].mean()),
+            "ndvi_sum": float(group["ndvi"].sum()),
         }
         store.write_partition(
-            fips,
+            f"{fips}_s{salt}",
             tbl,
             {
                 "rows": int(len(group)),
@@ -203,21 +238,36 @@ def biomass_zonal_checkpointed(
                 "metrics": {"write_sec": time.time() - t0},
                 "stage": "zonal_write",
             },
+            subdir=fips,
+            filename=f"part-{salt}.parquet",
         )
         return pd.DataFrame([summary])
 
-    fresh = ds.groupby("county_fips").map_groups(
-        write_county, batch_format="pandas"
-    ).to_pandas()
-    # recover summaries of counties completed in a previous run
+    fresh = (
+        ds.groupby(["county_fips", "salt"])
+        .map_groups(write_subpart, batch_format="pandas")
+        .to_pandas()
+    )
+    # recover sub-summaries of partitions completed in a previous run
     recovered = []
-    for fips in sorted(done):
-        rec = store.lineage(fips)
+    for part in sorted(done):
+        rec = store.lineage(part)
         if rec and "summary" in rec:
             recovered.append(rec["summary"])
-    out = pd.concat(
-        [fresh, pd.DataFrame(recovered)], ignore_index=True
-    ) if recovered else fresh
+    subs = (
+        pd.concat([fresh, pd.DataFrame(recovered)], ignore_index=True)
+        if recovered
+        else fresh
+    )
+    # deterministic merge order (county, salt) so full == resumed bit-wise
+    subs = subs.sort_values(["county_fips", "salt"])
+    out = subs.groupby("county_fips", as_index=False).agg(
+        tile_count=("tile_count", "sum"),
+        biomass_sum=("biomass_sum", "sum"),
+        ndvi_sum=("ndvi_sum", "sum"),
+    )
+    out["ndvi_mean"] = out["ndvi_sum"] / out["tile_count"]
+    out = out.drop(columns=["ndvi_sum"])
     out = out.sort_values("county_fips").reset_index(drop=True)
     store.finalize_manifest()
     return out

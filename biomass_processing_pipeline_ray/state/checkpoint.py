@@ -91,15 +91,24 @@ class CheckpointStore:
     def partition_dir(self, partition: str) -> str:
         return os.path.join(self.out_dir, f"county_fips={partition}")
 
-    def write_partition(self, partition: str, table, lineage: dict) -> None:
-        """Write one partition's parquet atomically, then mark complete."""
+    def write_partition(
+        self,
+        partition: str,
+        table,
+        lineage: dict,
+        subdir: str | None = None,
+        filename: str = "part-0.parquet",
+    ) -> None:
+        """Write one (sub-)partition's parquet atomically, then mark
+        complete.  ``partition`` is the lineage key (e.g. ``17001_s2``);
+        ``subdir`` the data directory key (e.g. ``17001``)."""
         import pyarrow.parquet as pq
 
-        pdir = self.partition_dir(partition)
+        pdir = self.partition_dir(subdir if subdir is not None else partition)
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(
-            pdir, f".part-0.parquet.tmp.{os.getpid()}.{time.monotonic_ns()}"
+            pdir, f".{filename}.tmp.{os.getpid()}.{time.monotonic_ns()}"
         )
         pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        os.replace(tmp, os.path.join(pdir, filename))
         self.mark_complete(partition, lineage)

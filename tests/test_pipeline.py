@@ -140,3 +140,52 @@ def test_checkpoint_resume(ray_session, tiles_small, tmp_path):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), resumed.reset_index(drop=True)
     )
+
+
+def test_skewed_county_salted_writes(ray_session, tiles_small, tmp_path):
+    """North-rule skew handling: ONE county holding 100% of tiles is
+    split into n_salts parallel sub-partitions, output stays exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.geo import wkb as W
+    from biomass_processing_pipeline_ray.pipelines.biomass import (
+        biomass_zonal_checkpointed,
+    )
+    from biomass_processing_pipeline_ray.state.checkpoint import CheckpointStore
+
+    one_county = pa.table(
+        {
+            "county_fips": pa.array(["99999"], pa.string()),
+            "geometry_wkb": pa.array(
+                [
+                    W.rect_wkb(
+                        G.LON0, G.LAT0, G.LON0 + G.LON_SPAN, G.LAT0 + G.LAT_SPAN
+                    )
+                ],
+                pa.binary(),
+            ),
+            "min_lon": [G.LON0],
+            "min_lat": [G.LAT0],
+            "max_lon": [G.LON0 + G.LON_SPAN],
+            "max_lat": [G.LAT0 + G.LAT_SPAN],
+            "area_m2": [1.0],
+        }
+    )
+    out = str(tmp_path / "skew")
+    df = biomass_zonal_checkpointed(
+        tiles_small, out, counties=one_county, n_tiles=1000, n_salts=4
+    )
+    assert len(df) == 1 and df.county_fips.iloc[0] == "99999"
+    assert int(df.tile_count.iloc[0]) == 1000
+    # the hot county was written as 4 parallel salted sub-partitions
+    store = CheckpointStore(out)
+    assert store.completed() == {f"99999_s{s}" for s in range(4)}
+    exp = _oracle_frame(1000)
+    # partial sums merge in deterministic (county, salt) order
+    by_salt = exp.assign(salt=exp.tile_int_id % 4).sort_values("tile_int_id")
+    exp_sum = sum(
+        by_salt[by_salt.salt == s].biomass.sum() for s in range(4)
+    )
+    assert abs(df.biomass_sum.iloc[0] - exp_sum) < 1e-6
