@@ -502,6 +502,25 @@ def _sql_county_dominant_fmt(n: int) -> str:
     """
 
 
+def q_knn_idw_sharded(sf_dir: str):
+    """Cell-sharded kNN+IDW over the FULL tile universe — the 10¹²-row
+    scale path (local per-cell indexes + halo instead of a global
+    broadcast index).  Verified equal to the broadcast stitcher and the
+    SQL oracle in pytest; rows-only here (the O(n²) SQL oracle is
+    infeasible at full n)."""
+    from ..stages.knn_sharded import knn_idw_sharded
+
+    n = universe_n(sf_dir)
+    ds = _range_geo(n)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        b = b.append_column("tile_int_id", pa.array(ids, pa.int64()))
+        return b.append_column("value", pa.array(G.derive_value(ids)))
+
+    return knn_idw_sharded(ds.map_batches(prep, batch_format="pyarrow"))
+
+
 def q_knn_edges(sf_dir: str):
     """Explode each tile's kNN list into (tile_id, neighbor_id, rank)
     edge rows — the 1→N explode-to-child-table pattern (reference S10:
@@ -849,6 +868,51 @@ _SQL_ANTI_JOIN = f"""
 """
 
 
+def q_events_top100_sorted(sf_dir: str):
+    """Global sort + limit via the Ray Data sort operator (O1/O6 —
+    deterministic total order by (value desc, event_id))."""
+    ds = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.sort(["value", "event_id"], descending=[True, True])
+    return ds.limit(100)
+
+
+_SQL_EVENTS_TOP100 = """
+    SELECT event_id, event_type, value FROM events
+    ORDER BY value DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_union_distinct_keys(sf_dir: str):
+    """Union + distinct count (reference §2.7 set-dedup analog)."""
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+    supp = _tbl(sf_dir, "supplier", ["s_suppkey"])
+
+    def k1(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["c_custkey"]})
+
+    def k2(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc_cast_i64(b["s_suppkey"])})
+
+    def pc_cast_i64(col):
+        import pyarrow.compute as pc
+
+        return pc.cast(col, pa.int64())
+
+    unioned = cust.map_batches(k1, batch_format="pyarrow").union(
+        supp.map_batches(k2, batch_format="pyarrow")
+    )
+    distinct = unioned.groupby("k").count()
+    n = distinct.count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+_SQL_UNION_DISTINCT = """
+    SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+    FROM (SELECT c_custkey AS k FROM customer
+          UNION ALL SELECT s_suppkey FROM supplier)
+"""
+
+
 # ---------------------------------------------------------------------------
 # stream-shaped queries (events)
 # ---------------------------------------------------------------------------
@@ -1000,11 +1064,14 @@ def _query_vectors(sf_dir: str):
     import ray
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    df = t.to_pandas().sort_values("vec_id").head(ANN_NQ)
+    df = t.to_pandas().sort_values("vec_id")
+    head = df.head(ANN_NQ)
     return ray.put(
         {
-            "qid": df["vec_id"].to_numpy(np.int64),
-            "mat": np.asarray(list(df["embedding"]), dtype=np.float64),
+            "qid": head["vec_id"].to_numpy(np.int64),
+            "mat": np.asarray(list(head["embedding"]), dtype=np.float64),
+            # driver-side sample for the IVF coarse quantizer
+            "sample": np.asarray(list(df.head(512)["embedding"]), dtype=np.float64),
         }
     )
 
@@ -1035,6 +1102,22 @@ _SQL_ANN_TOPK = f"""
                 JOIN embeddings v ON v.vec_id <> q.vec_id))
     WHERE rn <= 10
 """
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-probed approximate top-k (the 10⁹-vector scale path; recall
+    and nprobe=nlist exactness are pytest-verified, rows-only here)."""
+    from ..stages.ann import ivf_topk
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, _query_vectors(sf_dir), nlist=16, nprobe=4, k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos"] = round_away(b["cos"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "cos"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1070,6 +1153,7 @@ def build_queries() -> dict:
         "cell_index": (q_cell_index, None),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
+        "knn_idw_sharded": (q_knn_idw_sharded, None),
         "zonal_biomass_px": (q_zonal_biomass_px, None),
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
@@ -1090,6 +1174,8 @@ def build_queries() -> dict:
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "semi_join_customers": (q_semi_join_customers, _SQL_SEMI_JOIN),
         "anti_join_customers": (q_anti_join_customers, _SQL_ANTI_JOIN),
+        "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
+        "union_distinct_keys": (q_union_distinct_keys, _SQL_UNION_DISTINCT),
         # stream-shaped family
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
@@ -1104,5 +1190,6 @@ def build_queries() -> dict:
         "simhash_pairs": (q_simhash_pairs, None),
         # embedding family
         "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
+        "ann_ivf_topk": (q_ann_ivf_topk, None),
         "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
     }

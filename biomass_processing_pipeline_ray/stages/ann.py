@@ -95,6 +95,89 @@ def cosine_topk(ds, queries_ref, k: int = 10):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+# -- IVF (inverted-file) approximate top-k — the 10⁹+-vector scale path ------
+
+
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (numpy only).
+
+    Coarse quantizer for IVF; at real scale the sample is a
+    ``ds.limit(…)`` pull, the assignment pass is distributed below."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    cents = sample[rng.choice(len(sample), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IVFAssign:
+    """map_batches: adds the nearest-centroid cell id (partition key)."""
+
+    def __init__(self, centroids_ref=None, centroids: np.ndarray | None = None):
+        if centroids is None:
+            import ray
+
+            centroids = ray.get(centroids_ref)
+        self.cents = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = embedding_matrix(batch)
+        emb = _normalize(emb)
+        cell = np.argmax(emb @ self.cents.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+
+def ivf_topk(ds, queries_ref, nlist: int = 16, nprobe: int = 4, k: int = 10):
+    """Approximate per-query cosine top-k probing ``nprobe`` IVF cells.
+
+    Pipeline: assign every vector to its coarse cell (one matmul per
+    batch against broadcast centroids) → keep only vectors whose cell is
+    probed by ≥1 query → exact partial top-k per batch → tiny final
+    top-k.  With ``nprobe == nlist`` this equals the brute-force
+    :func:`cosine_topk` exactly (tested); smaller ``nprobe`` trades
+    recall for a ``nprobe/nlist`` candidate-set reduction — at the
+    10⁹-vector design point the probed cells are the partition key and
+    unprobed partitions are never read.
+    """
+    import ray
+
+    queries = ray.get(queries_ref)
+    sample = np.asarray(queries["sample"], dtype=np.float64)
+    cents = kmeans_centroids(sample, nlist)
+    cents_ref = ray.put(cents)
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    probed = np.unique(
+        np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel()
+    )
+    probed_ref = ray.put(probed)
+
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_probed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cells = ray.get(probed_ref)
+        return b.filter(pc.is_in(b["ivf_cell"], pa.array(cells, pa.int64())))
+
+    return cosine_topk(
+        assigned.map_batches(keep_probed, batch_format="pyarrow"), queries_ref, k=k
+    )
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.3):
     """Cosine-similar pairs within the same label group."""
 

@@ -197,3 +197,88 @@ def test_fingerprints_deterministic_and_sensitive():
     h = rolling_kgram_hashes("abcdefgh", k=4)
     assert len(h) == 5
     assert h[1] == rolling_kgram_hashes("bcde", k=4)[0]
+
+
+def test_knn_sharded_equals_broadcast(rd, ray_session):
+    """Cell-sharded kNN (halo) == global broadcast stitcher, row-exact."""
+    import pyarrow as pa
+    import ray
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.stages.knn_sharded import knn_idw_sharded
+    from biomass_processing_pipeline_ray.stages.knn_stitch import (
+        KNNStitcher,
+        centroid_sidecar,
+    )
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    val = G.derive_value(ids)
+    tbl = pa.table(
+        {
+            "tile_int_id": pa.array(ids),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "value": pa.array(val),
+        }
+    )
+    sharded = (
+        knn_idw_sharded(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    ref = ray.put(centroid_sidecar(lon, lat, ids, val))
+    broadcast = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            KNNStitcher,
+            fn_constructor_kwargs={"centroids_ref": ref, "k": 8},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("tile_int_id")
+        .reset_index(drop=True)
+    )
+    assert len(sharded) == n
+    assert np.array_equal(sharded.tile_id.to_numpy(), broadcast.tile_int_id.to_numpy())
+    assert np.array_equal(
+        sharded.knn_idw_value.to_numpy(), broadcast.knn_idw_value.to_numpy()
+    )
+
+
+def test_ivf_topk_exact_when_probing_all(rd, ray_session):
+    import pyarrow as pa
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.ann import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(13)
+    n, d = 400, 16
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+        }
+    )
+    qref = ray.put(
+        {"qid": np.arange(4, dtype=np.int64), "mat": emb[:4], "sample": emb[:256]}
+    )
+    exact = cosine_topk(rd.from_arrow(tbl), qref, k=10).to_pandas()
+    # probing every cell must reproduce brute force exactly
+    full = ivf_topk(rd.from_arrow(tbl), qref, nlist=8, nprobe=8, k=10).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(key).reset_index(drop=True),
+        full.sort_values(key).reset_index(drop=True),
+    )
+    # nprobe < nlist: still k results per query, recall sane for random
+    # data (candidate fraction ≈ nprobe/nlist)
+    approx = ivf_topk(rd.from_arrow(tbl), qref, nlist=8, nprobe=4, k=10).to_pandas()
+    assert (approx.groupby("query_id").size() == 10).all()
+    hits = pd.merge(exact, approx, on=["query_id", "vec_id"], how="inner")
+    recall = len(hits) / len(exact)
+    assert recall > 0.3
