@@ -108,6 +108,34 @@ class TileGeoStage:
         return self.knn(self.cells(batch))
 
 
+class TileGeoStageFused(TileGeoStage):
+    """TileGeoStage with the parquet read fused into the actor.
+
+    Input rows are FILE PATHS (``rd.from_items``); each task reads its
+    file with pyarrow inside the actor and runs the per-tile chain.
+    The multi-GB image payload never enters the object store at all
+    (file → actor heap → dropped after decode), and the executor
+    schedules exactly one operator — no read-vs-actor resource split.
+    Per-file task granularity keeps retries and backpressure (a failed
+    file re-reads only itself)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p) for p in batch["item"].to_pylist()]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        )
+
+
+def _parquet_files(path: str) -> list[str]:
+    import os
+
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
 def build_assignments(
     tiles,
     counties: pa.Table | None = None,
@@ -119,20 +147,35 @@ def build_assignments(
     skip_counties: set[str] | None = None,
     skip_partitions: set[str] | None = None,
     n_salts: int = 1,
+    fused_read: bool = True,
 ):
     """Dataset of per-tile join-output rows (the reference's J1+J2+G3/G4).
 
     ``tiles`` is a Dataset or a path.  ``n_tiles`` sizes the broadcast
-    kNN sidecar (derived arithmetically — no data pass needed).
+    kNN sidecar (derived arithmetically — no data pass needed).  A path
+    input uses the fused-read stage by default (see
+    :class:`TileGeoStageFused`); pass ``fused_read=False`` to go through
+    ``ray.data.read_parquet`` instead.
     """
+    import os
+
     import ray
 
+    paths: list[str] | None = None
     if isinstance(tiles, str):
-        tiles = read_tiles(tiles)
+        if fused_read and os.path.isdir(tiles) and not tiles.endswith(".lance"):
+            paths = _parquet_files(tiles)
+        if paths is None:
+            tiles = read_tiles(tiles)
     if counties is None:
         counties = rect_counties()
     if n_tiles is None:
-        n_tiles = tiles.count()
+        if paths is not None:
+            import pyarrow.parquet as _pq
+
+            n_tiles = sum(_pq.read_metadata(p).num_rows for p in paths)
+        else:
+            n_tiles = tiles.count()
 
     # one elastic actor pool does all per-tile compute; warm floor at
     # half the machine (ramp-up from 1 actor costs ~2× wall on short
@@ -151,20 +194,31 @@ def build_assignments(
         centroid_sidecar(lon, lat, all_ids, G.derive_value(all_ids))
     )
 
+    kwargs = {
+        "counties_ref": counties_ref,
+        "centroids_ref": sidecar_ref,
+        "k": k,
+        "hex_res": hex_res,
+        "s2_level": s2_level,
+        "skip_counties": frozenset(skip_counties) if skip_counties else None,
+        "skip_partitions": (
+            frozenset(skip_partitions) if skip_partitions else None
+        ),
+        "n_salts": n_salts,
+    }
+    if paths is not None:
+        import ray.data as rd
+
+        return rd.from_items(paths).map_batches(
+            TileGeoStageFused,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=1,  # one file per task: retry/backpressure unit
+        )
     return tiles.map_batches(
         TileGeoStage,
-        fn_constructor_kwargs={
-            "counties_ref": counties_ref,
-            "centroids_ref": sidecar_ref,
-            "k": k,
-            "hex_res": hex_res,
-            "s2_level": s2_level,
-            "skip_counties": frozenset(skip_counties) if skip_counties else None,
-            "skip_partitions": (
-                frozenset(skip_partitions) if skip_partitions else None
-            ),
-            "n_salts": n_salts,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=bs,

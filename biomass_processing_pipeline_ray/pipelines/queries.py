@@ -985,6 +985,50 @@ _SQL_ASOF = """
 """
 
 
+def q_props_k_stats(sf_dir: str):
+    """JSON-payload extraction + rollup (reference §2.8 JSON ops:
+    ``json.loads`` of geometry payloads / JSONB persist)."""
+    import json
+
+    ds = _tbl(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ks = np.asarray(
+            [json.loads(s)["k"] for s in b["props"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({"event_type": b["event_type"], "k": pa.array(ks)})
+
+    g = _grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        {"k_sum": "k"},
+        "n",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cnt = b["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "k_sum": b["k_sum"],
+                "k_avg": pa.array(round_away(b["k_sum"].to_numpy() / cnt, 4)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_PROPS_K_STATS = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           ROUND(SUM(k) / CAST(COUNT(*) AS DOUBLE), 4) AS k_avg
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # text queries (documents)
 # ---------------------------------------------------------------------------
@@ -1180,6 +1224,7 @@ def build_queries() -> dict:
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
+        "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         # text family
         "text_stats": (q_text_stats, sql_text_stats()),
         "langid": (q_langid, sql_langid()),

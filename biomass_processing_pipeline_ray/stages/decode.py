@@ -69,14 +69,23 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         good = sel[shape_ok[sel]]
         if len(good) == 0:
             continue
-        stack = np.stack([pixels[k] for k in good])
-        phash_ok[good] = _ph.dhash_stack(stack) == phashes[good]
-        red = stack[:, :, :, 0].astype(np.float64)
-        nir = stack[:, :, :, 2].astype(np.float64)
-        nd = ((nir - red) / (nir + red + 1.0)).mean(axis=(1, 2))
-        area_m2 = stack.shape[1] * stack.shape[2] * PIXEL_M * PIXEL_M
-        ndvi[good] = nd
-        biomass[good] = (nd + 1.0) * area_m2 * 0.01
+        h0, w0 = pixels[good[0]].shape[:2]
+        area_m2 = h0 * w0 * PIXEL_M * PIXEL_M
+        # chunk the stack so float64 temporaries (~4 arrays × 8 B/px)
+        # stay L3-resident: the pixel math is DRAM-bandwidth-bound when
+        # materialized whole, and memory traffic — not FLOPs — limits
+        # multi-actor scaling.  Chunking by image keeps results
+        # bit-identical (all ops are per-image).
+        chunk = max(16, 8_000_000 // (h0 * w0 * 24))
+        for lo in range(0, len(good), chunk):
+            part = good[lo : lo + chunk]
+            stack = np.stack([pixels[k] for k in part])
+            phash_ok[part] = _ph.dhash_stack(stack) == phashes[part]
+            red = stack[:, :, :, 0].astype(np.float64)
+            nir = stack[:, :, :, 2].astype(np.float64)
+            nd = ((nir - red) / (nir + red + 1.0)).mean(axis=(1, 2))
+            ndvi[part] = nd
+            biomass[part] = (nd + 1.0) * area_m2 * 0.01
     bad = ~shape_ok
     if bad.any():
         ndvi[bad] = np.nan
