@@ -185,12 +185,33 @@ def _sql_pip_assign(n: int) -> str:
 
 
 def q_cell_index(sf_dir: str):
-    """hex + S2 cell encode per tile (no SQL twin: custom grid math)."""
+    """hex + S2 cell encode per tile (s2_cell is uint64 → rows-only;
+    the hex half is SQL-verified separately in ``hex_index``)."""
     from ..stages.cells import CellEncoder
 
     ds = _range_geo(universe_n(sf_dir))
     ds = ds.map_batches(CellEncoder(), batch_format="pyarrow")
     return ds.select_columns(["tile_id", "hex_cell", "s2_cell"])
+
+
+def q_hex_index(sf_dir: str):
+    """Hex cell encode, bit-for-bit SQL-checked (reference M9 parity)."""
+    from ..stages.cells import CellEncoder
+
+    ds = _range_geo(universe_n(sf_dir))
+    ds = ds.map_batches(CellEncoder(), batch_format="pyarrow")
+    return ds.select_columns(["tile_id", "hex_cell"])
+
+
+def _sql_hex_index(n: int) -> str:
+    from ..geo.hexgrid import sql_hex_cell
+    from ..stages.cells import DEFAULT_HEX_RES
+
+    lon, lat, _ = _geo_sql_fragments()
+    return f"""
+    SELECT id AS tile_id, {sql_hex_cell(lon, lat, DEFAULT_HEX_RES)} AS hex_cell
+    FROM (SELECT range AS id FROM range({n}))
+    """
 
 
 def q_knn_idw(sf_dir: str):
@@ -1195,6 +1216,7 @@ def build_queries() -> dict:
         "zonal_biomass": (q_zonal_biomass, _sql_zonal_core(_N_ORACLE)),
         "pip_assign": (q_pip_assign, _sql_pip_assign(_N_ORACLE)),
         "cell_index": (q_cell_index, None),
+        "hex_index": (q_hex_index, _sql_hex_index(_N_ORACLE)),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
         "knn_idw_sharded": (q_knn_idw_sharded, None),

@@ -1,0 +1,173 @@
+"""Multimodal actor-pool stages: image resize, audio features, video
+frame sampling — opaque ``binary`` columns + typed metadata.
+
+The image path is REAL (pure-numpy area-mean resize over the engine's
+own codecs).  Audio/video entropy decoders do not exist in this
+container (no ffmpeg/soundfile/PIL), so their decode steps are
+deterministic fakes behind ``DecodeIsStubbed`` markers — the Ray-side
+plumbing (schema, batch shapes, actor signature, output layout) is real
+and tested, and swapping the stub for a real decoder is a one-function
+change.  This mirrors the task brief's instruction to stub the codec
+and make the orchestration real.
+
+All three are callable classes intended for
+``ds.map_batches(Cls, concurrency=(n, m), batch_size=B)`` — setup in
+``__init__`` (once per actor), vectorized work per batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..image import codecs, phash as _ph
+
+
+class DecodeIsStubbed(NotImplementedError):
+    """Raised by stubbed entropy decoders when strict mode is on."""
+
+
+# -- image: real resize -------------------------------------------------------
+
+
+def area_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-mean resize of (h, w, 3) uint8 → (out_h, out_w, 3)."""
+    h, w, _ = px.shape
+    re = (np.arange(out_h + 1) * h) // out_h
+    ce = (np.arange(out_w + 1) * w) // out_w
+    acc = np.add.reduceat(px.astype(np.float64), re[:-1], axis=0)
+    acc = np.add.reduceat(acc, ce[:-1], axis=1)
+    counts = (np.diff(re)[:, None] * np.diff(ce)[None, :])[:, :, None]
+    return np.clip(np.floor(acc / counts), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """bytes(+fmt,w,h) → resized thumbnail bytes + per-image stats."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16, out_fmt: str = "png"):
+        self.out_h, self.out_w, self.out_fmt = out_h, out_w, out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        out_bytes, means, phashes = [], [], []
+        for k, buf in enumerate(bufs):
+            px = codecs.decode(buf, fmts[k], int(hs[k]), int(ws[k]))
+            small = area_resize(px, self.out_h, self.out_w)
+            out_bytes.append(codecs.encode(small, self.out_fmt))
+            means.append(float(small.mean()))
+            phashes.append(_ph.dhash(small))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb_bytes": pa.array(out_bytes, pa.binary()),
+                "thumb_w": pa.array(
+                    np.full(len(bufs), self.out_w, dtype=np.int32)
+                ),
+                "thumb_h": pa.array(
+                    np.full(len(bufs), self.out_h, dtype=np.int32)
+                ),
+                "thumb_fmt": pa.array([self.out_fmt] * len(bufs), pa.string()),
+                "thumb_mean": pa.array(np.asarray(means)),
+                "thumb_phash": pa.array(np.asarray(phashes, dtype=np.int64)),
+            }
+        )
+
+
+# -- audio: stubbed decode, real features ------------------------------------
+
+
+def _fake_pcm_decode(buf: bytes, n_samples: int = 16000) -> np.ndarray:
+    """STUB audio decoder: deterministic float32 waveform seeded from the
+    payload's crc32.  Replace with soundfile/ffmpeg when available."""
+    seed = zlib.crc32(buf)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+
+
+class AudioFeatureStage:
+    """audio_bytes → (duration_s, rms, zero_crossing_rate, peak).
+
+    ``strict=True`` raises :class:`DecodeIsStubbed` instead of using the
+    fake decoder — the flag a production deployment would flip."""
+
+    def __init__(self, sample_rate: int = 16000, strict: bool = False):
+        self.sr = sample_rate
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise DecodeIsStubbed(
+                "no audio codec in this environment; _fake_pcm_decode is a stub"
+            )
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        dur = np.empty(n)
+        rms = np.empty(n)
+        zcr = np.empty(n)
+        peak = np.empty(n)
+        for k, buf in enumerate(bufs):
+            wav = _fake_pcm_decode(buf, self.sr)
+            dur[k] = len(wav) / self.sr
+            rms[k] = float(np.sqrt(np.mean(wav.astype(np.float64) ** 2)))
+            zcr[k] = float(np.mean(np.signbit(wav[1:]) != np.signbit(wav[:-1])))
+            peak[k] = float(np.abs(wav).max())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "duration_s": pa.array(dur),
+                "rms": pa.array(rms),
+                "zero_crossing_rate": pa.array(zcr),
+                "peak": pa.array(peak),
+            }
+        )
+
+
+# -- video: stubbed decode, real frame sampling -------------------------------
+
+
+def _fake_video_decode(buf: bytes, n_frames: int = 16, h: int = 8, w: int = 8):
+    """STUB video decoder: deterministic uint8 frames seeded from the
+    payload's crc32.  Replace with ffmpeg/pyav when available."""
+    seed = zlib.crc32(buf) ^ 0x5EED
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+
+
+class VideoFrameSampleStage:
+    """video_bytes → every ``stride``-th frame's phash + brightness.
+
+    One output row per SAMPLED FRAME (1→N explode), the layout a
+    frame-level training pipeline consumes."""
+
+    def __init__(self, stride: int = 4, strict: bool = False):
+        self.stride = stride
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise DecodeIsStubbed(
+                "no video codec in this environment; _fake_video_decode is a stub"
+            )
+        ids, frame_idx, phashes, bright = [], [], [], []
+        for vid, buf in zip(
+            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            frames = _fake_video_decode(buf)
+            for fi in range(0, len(frames), self.stride):
+                ids.append(vid)
+                frame_idx.append(fi)
+                phashes.append(_ph.dhash(frames[fi]))
+                bright.append(float(frames[fi].mean()))
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(np.asarray(frame_idx, dtype=np.int64)),
+                "frame_phash": pa.array(np.asarray(phashes, dtype=np.int64)),
+                "brightness": pa.array(np.asarray(bright)),
+            }
+        )

@@ -1,0 +1,94 @@
+"""Multimodal stages: real resize math + stubbed codecs with real plumbing."""
+
+import numpy as np
+import pytest
+
+
+def test_area_resize_properties():
+    from biomass_processing_pipeline_ray.stages.multimodal import area_resize
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    small = area_resize(px, 16, 16)
+    assert small.shape == (16, 16, 3) and small.dtype == np.uint8
+    # area mean preserves the global mean to within the floor error
+    assert abs(small.astype(np.float64).mean() - px.astype(np.float64).mean()) < 1.0
+    # constant image resizes exactly
+    flat = np.full((40, 40, 3), 77, dtype=np.uint8)
+    assert (area_resize(flat, 8, 8) == 77).all()
+
+
+def test_image_resize_stage_plumbing(ray_session, tiles_small):
+    import ray.data as rd
+
+    from biomass_processing_pipeline_ray.stages.multimodal import ImageResizeStage
+
+    ds = rd.read_parquet(tiles_small).limit(64)
+    out = ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=32
+    ).to_pandas()
+    assert len(out) == 64
+    assert set(out.columns) == {
+        "image_id",
+        "thumb_bytes",
+        "thumb_w",
+        "thumb_h",
+        "thumb_fmt",
+        "thumb_mean",
+        "thumb_phash",
+    }
+    assert (out.thumb_w == 16).all() and (out.thumb_h == 16).all()
+    # thumbnails are decodable PNGs of the declared shape
+    from biomass_processing_pipeline_ray.image import codecs
+
+    px = codecs.decode(out.thumb_bytes.iloc[0], "png", 16, 16)
+    assert px.shape == (16, 16, 3)
+    # deterministic across runs
+    out2 = ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=32
+    ).to_pandas()
+    a = out.sort_values("image_id").reset_index(drop=True)
+    b = out2.sort_values("image_id").reset_index(drop=True)
+    assert (a.thumb_phash == b.thumb_phash).all()
+
+
+def test_audio_stage_stub_and_features(ray_session, tiles_small):
+    import ray.data as rd
+
+    from biomass_processing_pipeline_ray.stages.multimodal import (
+        AudioFeatureStage,
+        DecodeIsStubbed,
+    )
+
+    ds = rd.read_parquet(tiles_small, columns=["image_id", "bytes"]).limit(32)
+    out = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    assert len(out) == 32
+    assert (out.duration_s == 1.0).all()
+    assert ((out.rms > 0.4) & (out.rms < 0.75)).all()  # uniform[-1,1] → ~0.577
+    assert ((out.zero_crossing_rate > 0.3) & (out.zero_crossing_rate < 0.7)).all()
+    # strict mode surfaces the stub instead of fake numbers
+    with pytest.raises(Exception) as ei:
+        ds.map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+    assert "stub" in str(ei.value)
+
+
+def test_video_stage_explodes_frames(ray_session, tiles_small):
+    import ray.data as rd
+
+    from biomass_processing_pipeline_ray.stages.multimodal import VideoFrameSampleStage
+
+    ds = rd.read_parquet(tiles_small, columns=["image_id", "bytes"]).limit(8)
+    out = ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+    # 16 fake frames, stride 4 → 4 rows per video
+    assert len(out) == 8 * 4
+    assert sorted(out.frame_idx.unique()) == [0, 4, 8, 12]
+    assert out.video_id.nunique() == 8
