@@ -95,23 +95,38 @@ def generate_tiles_parquet(
 ) -> str:
     """Build the n-tile fixture with a Ray Data pipeline → parquet dir.
 
-    Idempotent: skips generation when the _SUCCESS marker exists.
+    Idempotent AND concurrency-safe: generation goes to a private temp
+    dir that is atomically renamed into place — two processes racing to
+    build the same fixture cannot interleave files (the loser discards
+    its copy).  The _SUCCESS marker inside the dir signals completeness.
     """
+    import shutil
+
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(out_dir):  # stale partial from a killed generator
+        import shutil as _sh
+
+        _sh.rmtree(out_dir, ignore_errors=True)
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
     num_blocks = num_blocks or max(1, n // 4096)
     ds = rd.range(n, override_num_blocks=num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         return gen_tiles_batch(batch["id"].to_numpy(), seed)
 
-    ds.map_batches(gen, batch_format="pyarrow", batch_size=2048).write_parquet(out_dir)
-    with open(marker, "w") as f:
+    ds.map_batches(gen, batch_format="pyarrow", batch_size=2048).write_parquet(tmp_dir)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # a concurrent generator won the rename; keep theirs
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 

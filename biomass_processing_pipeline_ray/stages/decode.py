@@ -60,8 +60,15 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     shape_ok = np.empty(n, dtype=bool)
     pixels: list = [None] * n
     for k in range(n):
-        px = codecs.decode(bufs[k], fmts[k], int(hs[k]), int(ws[k]))
-        shape_ok[k] = px.shape == (int(hs[k]), int(ws[k]), 3)
+        # per-tile error isolation (reference: per-parcel try/except,
+        # comprehensive_biomass_processor_v3.py:291-294): a corrupt
+        # payload flags the row instead of failing the whole task
+        try:
+            px = codecs.decode(bufs[k], fmts[k], int(hs[k]), int(ws[k]))
+            shape_ok[k] = px.shape == (int(hs[k]), int(ws[k]), 3)
+        except Exception:
+            px = None
+            shape_ok[k] = False
         pixels[k] = px
     shape_key = hs.astype(np.int64) * 100000 + ws.astype(np.int64)
     for key in np.unique(shape_key):

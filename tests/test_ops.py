@@ -282,3 +282,27 @@ def test_ivf_topk_exact_when_probing_all(rd, ray_session):
     hits = pd.merge(exact, approx, on=["query_id", "vec_id"], how="inner")
     recall = len(hits) / len(exact)
     assert recall > 0.3
+
+
+def test_decode_error_isolation(rd):
+    """A corrupt payload flags its row; the batch and job survive."""
+    from biomass_processing_pipeline_ray.sources.tiles import gen_tiles_batch
+    from biomass_processing_pipeline_ray.stages.decode import decode_batch
+
+    tbl = gen_tiles_batch(np.arange(8))
+    bufs = tbl["bytes"].to_pylist()
+    bufs[3] = b"\x00garbage"          # undecodable
+    bufs[5] = bufs[5][: len(bufs[5]) // 2]  # truncated
+    tbl = tbl.set_column(
+        tbl.column_names.index("bytes"), "bytes", pa.array(bufs, pa.binary())
+    )
+    out = decode_batch(tbl).to_pandas()
+    assert len(out) == 8
+    bad = {3, 5}
+    for i in range(8):
+        if i in bad:
+            assert not out.shape_ok.iloc[i] and not out.phash_ok.iloc[i]
+            assert np.isnan(out.biomass.iloc[i])
+        else:
+            assert out.shape_ok.iloc[i] and out.phash_ok.iloc[i]
+            assert np.isfinite(out.biomass.iloc[i])
