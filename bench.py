@@ -25,9 +25,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "zonal_biomass",
     "pip_assign",
+    "hex_index",
     "knn_idw",
+    "knn_idw_sharded",
+    "county_fmt_hist",
     "q1_pricing",
     "revenue_by_priority",
+    "orders_customer_join",
     "filter_project",
     "hourly_event_stats",
     "user_sessions",
@@ -90,6 +94,7 @@ def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "value": round(headline_sec, 3),
         "unit": "sec",
         "tiles_per_sec": round(n_tiles / headline_sec, 1),
+        "counties_per_min": round(64 / headline_sec * 60.0, 1),
         "queries": {},
         "sf": sf_of(sf_dir),
         "num_cpus": num_cpus,
