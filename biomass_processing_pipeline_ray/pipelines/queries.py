@@ -400,9 +400,6 @@ def _tiles_with_county(sf_dir: str, columns: list[str]):
     return _pip(ds.map_batches(_georef_pip_stage, batch_format="pyarrow"))
 
 
-_SQL_TILE_UNIVERSE = None  # built below per n
-
-
 def _sql_tiles_with_county(n: int) -> str:
     """Arithmetic twin of the tile universe with fmt + county columns."""
     lon, lat, fips = _geo_sql_fragments()
