@@ -306,3 +306,48 @@ def test_decode_error_isolation(rd):
         else:
             assert out.shape_ok.iloc[i] and out.phash_ok.iloc[i]
             assert np.isfinite(out.biomass.iloc[i])
+
+
+def test_relational_ops_vs_pandas(rd, ray_session):
+    """broadcast_join / semi / anti / topk vs plain pandas oracles."""
+    from biomass_processing_pipeline_ray.stages.relational import (
+        anti_join,
+        broadcast_join,
+        semi_join,
+        topk,
+    )
+
+    rng = np.random.default_rng(21)
+    big = pd.DataFrame(
+        {
+            "key": rng.integers(0, 50, 500).astype(np.int64),
+            "val": rng.uniform(0, 1, 500),
+        }
+    )
+    small = pd.DataFrame(
+        {"key": np.arange(0, 40, dtype=np.int64), "name": [f"n{i}" for i in range(40)]}
+    )
+    ds = rd.from_pandas(big)
+    got = (
+        broadcast_join(ds, small, on="key")
+        .to_pandas()
+        .sort_values(["key", "val"])
+        .reset_index(drop=True)
+    )
+    exp = big.merge(small, on="key").sort_values(["key", "val"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+    keys = np.asarray([1, 2, 3, 60], dtype=np.int64)
+    got_semi = semi_join(rd.from_pandas(big), keys, "key").to_pandas()
+    assert set(got_semi.key) <= {1, 2, 3}
+    assert len(got_semi) == int(big.key.isin([1, 2, 3]).sum())
+    got_anti = anti_join(rd.from_pandas(big), keys, "key").to_pandas()
+    assert len(got_anti) == len(big) - len(got_semi)
+
+    # top-k with duplicates of the sort value: tie column decides
+    dup = big.copy()
+    dup.loc[:9, "val"] = 0.999  # forced ties
+    dup["rid"] = np.arange(len(dup), dtype=np.int64)
+    got_k = topk(rd.from_pandas(dup), by="val", k=5, tie_col="rid")
+    exp_k = dup.sort_values(["val", "rid"], ascending=[False, True]).head(5)
+    assert np.array_equal(got_k.rid.to_numpy(), exp_k.rid.to_numpy())
