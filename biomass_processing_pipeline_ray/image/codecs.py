@@ -104,9 +104,9 @@ def decode_png(buf: bytes) -> np.ndarray:
     stride = 1 + w * 3
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filt = scan[:, 0]
-    data = scan[:, 1:].astype(np.int16)
     if np.all(filt == 0):  # fast path: our own encoder output
         return scan[:, 1:].reshape(h, w, 3).copy()
+    data = scan[:, 1:].astype(np.int16)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for row in range(h):
