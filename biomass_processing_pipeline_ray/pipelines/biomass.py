@@ -1,24 +1,27 @@
-"""Flagship pipeline: tiles → decode → cells → PIP → kNN → zonal biomass.
+"""Flagship pipeline: tiles → georef → PIP → decode → cells → kNN →
+zonal biomass.
 
 End-to-end Ray-Data expression of the reference's county workflow
 (``comprehensive_biomass_processor_v3.process_county_comprehensive``,
-SURVEY.md §3.2), reordered for a streaming engine:
+SURVEY.md §3.2), restructured for a streaming engine:
 
-1. **Georef + PIP first** (cheap arithmetic + broadcast STRtree-analog):
-   the county of a tile is knowable from its id alone, so zone
-   assignment runs BEFORE the expensive image decode.  That makes
-   resume a pre-decode filter (completed counties never decode again)
-   and prunes out-of-domain tiles early — the reference instead paid
-   county setup cost before every run (381 s of its 398 s benchmark,
-   ``FULL_COUNTY_TEST_RESULTS.md:24-36``).
-2. **Decode** (stateless tasks) derives narrow scalar columns and drops
-   the image payload before any shuffle.
-3. **Cells** (hex + S2) vectorized.
-4. **kNN stitch** via broadcast GridKNN actor pool.
-5. **Zonal aggregation** either as the no-shuffle partial-combine path
-   (bench/queries) or as a per-county ``map_groups`` that writes one
-   partition + lineage per county and emits the county summary row
-   (checkpointed path).
+1. **One fused actor-pool stage** (:class:`TileGeoStage`, plus the
+   read-fused :class:`TileGeoStageFused` for path inputs) runs the whole
+   per-tile chain: georef (id → lon/lat, cheap arithmetic), PIP zone
+   assignment (broadcast STRtree-analog), salt, resume filter, image
+   decode + phash verify, hex/S2 encode, kNN IDW stitch.  The multi-GB
+   image payload never crosses an operator boundary — decoded and
+   dropped in the same process that PIP-labeled it.
+2. **Georef + PIP run BEFORE decode**: a tile's county is knowable
+   from its id alone, so resume is a pre-decode filter (completed
+   (county, salt) sub-partitions never decode again) — the reference
+   instead paid county setup before every run (381 s of its 398 s
+   benchmark, ``FULL_COUNTY_TEST_RESULTS.md:24-36``).
+3. **Zonal aggregation** either as the no-shuffle partial-combine path
+   (bench/queries) or as the checkpointed path: salted
+   ``(county_fips, salt)`` groups each writing an atomic partition +
+   lineage record (north-rule skew key; a hot county becomes n_salts
+   parallel tasks).
 """
 
 from __future__ import annotations

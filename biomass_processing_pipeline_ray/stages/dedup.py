@@ -35,16 +35,30 @@ def add_md5_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, col: str = "text"):
-    """Keep the lowest doc_id per identical text; returns (kept_ds)."""
+    """Keep the lowest doc_id per identical text; returns (kept_ds).
+
+    Hash-partition + per-group first, expressed as hash AGGREGATES
+    (Min, Sum of partial counts) rather than ``map_groups`` — at 10⁹+
+    distinct texts almost every group has one row, and per-group Python
+    dispatch would dominate; aggregates stay vectorized end-to-end.
+    A per-batch pandas combiner pre-collapses duplicates so only one
+    partial row per (batch, hash) shuffles."""
+    from ray.data.aggregate import Min, Sum
+
     hashed = ds.map_batches(lambda b: add_md5_batch(b, col), batch_format="pyarrow")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        out = g.head(1).copy()
-        out["dup_count"] = len(g)
-        return out[["doc_id", "text_md5", "dup_count"]]
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        )
+        g["dup_count"] = g["dup_count"].astype(np.int64)
+        return g
 
-    return hashed.groupby("text_md5").map_groups(keep_first, batch_format="pandas")
+    partials = hashed.map_batches(partial, batch_format="pandas")
+    return partials.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Sum("dup_count", alias_name="dup_count"),
+    )
 
 
 # -- minhash / LSH ------------------------------------------------------------
@@ -234,11 +248,11 @@ def banded_hamming_pairs(
     pairs = exploded.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
 
     # global dedup: the same pair can surface from bands in different
-    # coarse groups; real near-dup pairs are few, so this shuffle is tiny
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # coarse groups.  hamming is identical for every copy of a pair, so
+    # Min is a pure dedup — a vectorized aggregate, not per-group Python
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # -- simhash -----------------------------------------------------------------
