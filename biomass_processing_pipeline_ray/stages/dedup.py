@@ -130,18 +130,32 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
     """
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def add_coarse(b: pa.Table) -> pa.Table:
+        # fold the 16-hex band keys into bounded coarse groups so the
+        # groupby has ~1024 groups instead of one per (mostly singleton)
+        # bucket — the same per-group-overhead fix as banded_hamming
+        coarse = np.asarray(
+            [zlib.crc32(k.encode()) % 1024 for k in b["band_key"].to_pylist()],
+            dtype=np.int64,
+        )
+        return b.append_column("coarse", pa.array(coarse))
+
+    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
+        m = g.merge(g, on=["band_id", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = pd.DataFrame(
+            {
+                "a": m["doc_id_x"].to_numpy(dtype=np.int64, na_value=0),
+                "b": m["doc_id_y"].to_numpy(dtype=np.int64, na_value=0),
+            }
+        )
+        return out.drop_duplicates(["a", "b"])
 
     pairs = (
-        bands.groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bands.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(coarse_bucket_pairs, batch_format="pandas")
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -170,10 +184,10 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
 
     verified = pairs.map_batches(verify, batch_format="pandas")
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # jaccard is identical for every copy of a pair → Min is a pure dedup
+    from ray.data.aggregate import Min
 
-    return verified.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return verified.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
 
 
 # -- banded Hamming near-dup (shared machinery) -------------------------------
