@@ -228,9 +228,34 @@ def build_assignments(
     )
 
 
-def biomass_zonal(tiles, counties=None, n_tiles=None, **kw):
-    """Fast path: assignments → partial-combine zonal aggregate Dataset."""
+def biomass_zonal(tiles, counties=None, n_tiles=None, snap_sums: bool = False, **kw):
+    """Fast path: assignments → partial-combine zonal aggregate Dataset.
+
+    Corrupt tiles (``shape_ok == False``, NaN ndvi/biomass from decode
+    error-isolation) are filtered BEFORE aggregation so a single bad
+    payload cannot NaN-poison its county's sums; ``tile_count`` counts
+    valid tiles only — the same contract as the checkpointed path.
+
+    ``snap_sums=True`` quantizes ndvi/biomass to the 2^-20 lattice so
+    parallel partial sums equal a sequential oracle sum bit-wise (the
+    correctness-gate float parity rule, see functions/rounding.py).
+    """
+    from ..functions.rounding import snap_binary
+
     ds = build_assignments(tiles, counties, n_tiles, **kw)
+
+    def valid_rows(b: pa.Table) -> pa.Table:
+        if "shape_ok" in b.column_names:
+            b = b.filter(b["shape_ok"])
+        if snap_sums:
+            for col in ("biomass", "ndvi"):
+                idx = b.column_names.index(col)
+                b = b.set_column(
+                    idx, col, pa.array(snap_binary(b[col].to_numpy()))
+                )
+        return b
+
+    ds = ds.map_batches(valid_rows, batch_format="pyarrow")
     return zonal_aggregate(ds, sum_cols=("biomass", "ndvi"))
 
 
@@ -279,12 +304,21 @@ def biomass_zonal_checkpointed(
         t0 = time.time()
         group = group.sort_values("image_id")
         tbl = pa.Table.from_pandas(group, preserve_index=False)
+        # corrupt tiles (decode error-isolation → shape_ok=False, NaN
+        # scalars) are archived in the partition parquet but excluded
+        # from the summary: counts AND sums cover valid tiles only, so
+        # this path agrees with the fast path's pre-aggregation filter
+        valid = (
+            group["shape_ok"].to_numpy()
+            if "shape_ok" in group.columns
+            else np.ones(len(group), dtype=bool)
+        )
         summary = {
             "county_fips": fips,
             "salt": salt,
-            "tile_count": int(len(group)),
-            "biomass_sum": float(group["biomass"].sum()),
-            "ndvi_sum": float(group["ndvi"].sum()),
+            "tile_count": int(valid.sum()),
+            "biomass_sum": float(group["biomass"].to_numpy()[valid].sum()),
+            "ndvi_sum": float(group["ndvi"].to_numpy()[valid].sum()),
         }
         store.write_partition(
             f"{fips}_s{salt}",

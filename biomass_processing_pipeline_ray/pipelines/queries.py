@@ -615,20 +615,27 @@ def _sql_knn_edges(n: int) -> str:
 
 
 def q_orders_customer_join(sf_dir: str):
-    """Big–big equi-join via union-tag + co-partition groupby (no
-    broadcast): per customer nation... here per c_mktsegment revenue.
-    Covers the both-sides-large hash-join shape (reference J1 driver
-    loop analog) — the same skeleton as the as-of join."""
-    import ray.data as rd
+    """Big–big equi-join via union-tag + COARSE co-partition (no
+    broadcast): per c_mktsegment revenue.  Covers the both-sides-large
+    hash-join shape (reference J1 driver loop analog).
+
+    Scale design: grouping by the raw customer key would dispatch one
+    Python callback per key (the per-key ``map_groups`` anti-pattern);
+    instead rows co-partition on ``key % N_COARSE`` and each bucket
+    resolves ALL its keys with one vectorized ``pandas.merge`` —
+    the coarse-bucket pattern proven on the dedup stages."""
+    N_COARSE = 64
 
     orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def tag_orders(b: pa.Table) -> pa.Table:
         n = len(b)
+        key = b["o_custkey"].to_numpy()
         return pa.table(
             {
                 "key": b["o_custkey"],
+                "coarse": pa.array(key % N_COARSE),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "price": pa.array(snap_binary(b["o_totalprice"].to_numpy())),
                 "seg": pa.array([""] * n, pa.string()),
@@ -637,9 +644,11 @@ def q_orders_customer_join(sf_dir: str):
 
     def tag_cust(b: pa.Table) -> pa.Table:
         n = len(b)
+        key = b["c_custkey"].to_numpy()
         return pa.table(
             {
                 "key": b["c_custkey"],
+                "coarse": pa.array(key % N_COARSE),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 "price": pa.array(np.zeros(n)),
                 "seg": b["c_mktsegment"],
@@ -650,28 +659,20 @@ def q_orders_customer_join(sf_dir: str):
         customer.map_batches(tag_cust, batch_format="pyarrow")
     )
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        cust = g[g["side"] == 1]
-        if len(cust) == 0:
-            return pd.DataFrame(
-                {
-                    "seg": pd.Series([], dtype=object),
-                    "revenue": pd.Series([], dtype=np.float64),
-                    "n_orders": pd.Series([], dtype=np.int64),
-                }
-            )
-        seg = cust["seg"].iloc[0]
-        orders_g = g[g["side"] == 0]
-        return pd.DataFrame(
-            {
-                "seg": [seg],
-                "revenue": [orders_g["price"].sum()],
-                "n_orders": [np.int64(len(orders_g))],
-            }
-        )
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["side"] == 1, ["key", "seg"]]
+        orders_g = g.loc[g["side"] == 0, ["key", "price"]]
+        # LEFT join: a customer with no orders still contributes its
+        # segment with revenue 0 (lattice-snapped prices sum exactly)
+        m = cust.merge(orders_g, on="key", how="left")
+        m["price"] = m["price"].fillna(0.0)
+        out = m.groupby("seg", as_index=False).agg(revenue=("price", "sum"))
+        return out
 
-    per_cust = unioned.groupby("key").map_groups(join_group, batch_format="pandas")
-    g = _grouped_sums(per_cust, ["seg"], {"revenue": "revenue"}, "nc")
+    per_bucket = unioned.groupby("coarse").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    g = _grouped_sums(per_bucket, ["seg"], {"revenue": "revenue"}, "nc")
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(

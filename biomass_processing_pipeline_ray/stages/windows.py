@@ -52,162 +52,173 @@ def tumbling_aggregate(ds, width_us: int = US_PER_HOUR):
     )
 
 
-def sessionize(ds, gap_us: int = SESSION_GAP_US):
-    """Per-user session counts with a gap rule (sorted within group)."""
+def _ts_us_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """timestamp/date column → int64 microseconds (pyarrow cast chain)."""
+    import pyarrow.compute as pc
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(g), dtype=np.int64)
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def sessionize(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
+    """Per-user session counts with a gap rule.
+
+    Scale design: grouping by ``user_id`` directly would dispatch one
+    Python callback PER USER (the per-key ``map_groups`` anti-pattern).
+    Instead rows co-partition by a COARSE bucket (``user_id % n_coarse``
+    — bounded group count), each bucket sorts once by
+    ``(user_id, ts, event_id)`` and computes session starts with a
+    vectorized diff + user-boundary reset, then a pandas ``groupby``
+    (C path) emits one row per user."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        is_new = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:
-            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
-            }
-        )
+            # a session starts at a user boundary OR after a gap
+            is_new[1:] = (
+                (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            ).astype(np.int64)
+        out = pd.DataFrame({"user_id": uid, "is_new": is_new}).groupby(
+            "user_id", as_index=False
+        ).agg(n_sessions=("is_new", "sum"), n_events=("is_new", "size"))
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-
-
-def asof_join_orders_events(orders_ds, events_ds):
-    """For each order: the latest event of that user at/before order time.
-
-    Both-sides-large pattern: tag-union the two datasets, co-partition by
-    the key with one groupby, and resolve the as-of inside ``map_groups``
-    with a vectorized searchsorted (pandas merge_asof semantics, ties
-    broken by max event_id via sort order).
-    """
-
-    def tag_orders(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "key": b["o_custkey"],
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "o_orderkey": b["o_orderkey"],
-                "ts": b["o_orderdate"],
-                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
-                "value": pa.array(np.full(n, np.nan)),
-            }
-        )
-
-    def tag_events(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "key": b["user_id"],
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
-                "ts": b["ts"],
-                "event_id": b["event_id"],
-                "value": b["value"],
-            }
-        )
-
-    unioned = orders_ds.map_batches(tag_orders, batch_format="pyarrow").union(
-        events_ds.map_batches(tag_events, batch_format="pyarrow")
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        orders = g[g["side"] == 0]
-        events = g[g["side"] == 1].sort_values(["ts", "event_id"])
-        if len(orders) == 0:
-            return pd.DataFrame(
-                {"o_orderkey": [], "o_custkey": [], "last_event_id": [], "last_value": []}
-            )
-        ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        if len(events) == 0:
-            eid = np.full(len(orders), -1, dtype=np.int64)
-            val = np.full(len(orders), np.nan)
-        else:
-            ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            pos = np.searchsorted(ets, ots, side="right") - 1
-            has = pos >= 0
-            safe = np.clip(pos, 0, None)
-            eid = np.where(has, events["event_id"].to_numpy()[safe], -1)
-            val = np.where(has, events["value"].to_numpy()[safe], np.nan)
-        return pd.DataFrame(
-            {
-                "o_orderkey": orders["o_orderkey"].to_numpy(),
-                "o_custkey": orders["key"].to_numpy(),
-                "last_event_id": eid.astype(np.int64),
-                "last_value": val,
-            }
-        )
 
-    return unioned.groupby("key").map_groups(asof_group, batch_format="pandas")
+def _asof_join(left_ds, right_ds, left_cols, right_cols, out_cols, n_coarse: int):
+    """Shared coarse-bucketed as-of join skeleton.
 
+    Both-sides-large pattern WITHOUT per-key Python dispatch: tag-union
+    the two datasets, co-partition by ``key % n_coarse`` (bounded group
+    count — the fix proven on the dedup stages), and resolve ALL keys of
+    a bucket with ONE vectorized ``pandas.merge_asof(by="key")``.
 
-def asof_join_events_orders(events_ds, orders_ds):
-    """For each event: the latest order of that user at/before event time.
-
-    Same co-partition + searchsorted skeleton as
-    :func:`asof_join_orders_events`, with orders as the as-of side.
+    ``left_cols``/``right_cols``: (key, ts, id, payload-or-None) column
+    names on each input; ``out_cols``: output names for
+    (left_id, key, right_id, payload).  Ties on equal ts resolve to the
+    largest right id (sort order + merge_asof backward keeps the last).
     """
 
-    def tag_events(b: pa.Table) -> pa.Table:
+    def tag_left(b: pa.Table) -> pa.Table:
+        key_c, ts_c, id_c, _ = left_cols
+        key = b[key_c].to_numpy()
         n = len(b)
         return pa.table(
             {
-                "key": b["user_id"],
+                "key": b[key_c],
+                "coarse": pa.array(key % n_coarse),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "event_id": b["event_id"],
-                "ts": b["ts"],
-                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
-                "o_totalprice": pa.array(np.full(n, np.nan)),
+                "left_id": b[id_c],
+                "ts_us": _ts_us_col(b[ts_c]),
+                "right_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "payload": pa.array(np.full(n, np.nan)),
             }
         )
 
-    def tag_orders(b: pa.Table) -> pa.Table:
+    def tag_right(b: pa.Table) -> pa.Table:
+        key_c, ts_c, id_c, pay_c = right_cols
+        key = b[key_c].to_numpy()
         n = len(b)
+        payload = (
+            b[pay_c].to_numpy().astype(np.float64)
+            if pay_c
+            else np.full(n, np.nan)
+        )
         return pa.table(
             {
-                "key": b["o_custkey"],
+                "key": b[key_c],
+                "coarse": pa.array(key % n_coarse),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
-                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
-                "ts": b["o_orderdate"],
-                "o_orderkey": b["o_orderkey"],
-                "o_totalprice": b["o_totalprice"],
+                "left_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts_us": _ts_us_col(b[ts_c]),
+                "right_id": b[id_c],
+                "payload": pa.array(payload),
             }
         )
 
-    unioned = events_ds.map_batches(tag_events, batch_format="pyarrow").union(
-        orders_ds.map_batches(tag_orders, batch_format="pyarrow")
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
+    lid_out, key_out, rid_out, pay_out = out_cols
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        events = g[g["side"] == 0]
-        orders = g[g["side"] == 1].sort_values(["ts", "o_orderkey"])
-        if len(events) == 0:
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0:
             return pd.DataFrame(
                 {
-                    "event_id": pd.Series([], dtype=np.int64),
-                    "user_id": pd.Series([], dtype=np.int64),
-                    "last_orderkey": pd.Series([], dtype=np.int64),
-                    "last_totalprice": pd.Series([], dtype=np.float64),
+                    lid_out: pd.Series([], dtype=np.int64),
+                    key_out: pd.Series([], dtype=np.int64),
+                    rid_out: pd.Series([], dtype=np.int64),
+                    pay_out: pd.Series([], dtype=np.float64),
                 }
             )
-        ets = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        if len(orders) == 0:
-            okey = np.full(len(events), -1, dtype=np.int64)
-            oval = np.full(len(events), np.nan)
+        left = left.sort_values(["ts_us", "left_id"], kind="mergesort")
+        if len(right) == 0:
+            rid = np.full(len(left), -1, dtype=np.int64)
+            pay = np.full(len(left), np.nan)
         else:
-            ots = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            pos = np.searchsorted(ots, ets, side="right") - 1
-            has = pos >= 0
-            safe = np.clip(pos, 0, None)
-            okey = np.where(has, orders["o_orderkey"].to_numpy()[safe], -1)
-            oval = np.where(has, orders["o_totalprice"].to_numpy()[safe], np.nan)
+            right = right.sort_values(["ts_us", "right_id"], kind="mergesort")
+            m = pd.merge_asof(
+                left[["ts_us", "key"]],
+                right[["ts_us", "key", "right_id", "payload"]],
+                on="ts_us",
+                by="key",
+                direction="backward",
+            )
+            rid = m["right_id"].fillna(-1).to_numpy().astype(np.int64)
+            pay = m["payload"].to_numpy()
         return pd.DataFrame(
             {
-                "event_id": events["event_id"].to_numpy(),
-                "user_id": events["key"].to_numpy(),
-                "last_orderkey": okey.astype(np.int64),
-                "last_totalprice": oval,
+                lid_out: left["left_id"].to_numpy().astype(np.int64),
+                key_out: left["key"].to_numpy().astype(np.int64),
+                rid_out: rid,
+                pay_out: np.where(rid >= 0, pay, np.nan),
             }
         )
 
-    return unioned.groupby("key").map_groups(asof_group, batch_format="pandas")
+    return unioned.groupby("coarse").map_groups(asof_bucket, batch_format="pandas")
+
+
+def asof_join_orders_events(orders_ds, events_ds, n_coarse: int = 128):
+    """For each order: the latest event of that user at/before order time."""
+    return _asof_join(
+        orders_ds,
+        events_ds,
+        ("o_custkey", "o_orderdate", "o_orderkey", None),
+        ("user_id", "ts", "event_id", "value"),
+        ("o_orderkey", "o_custkey", "last_event_id", "last_value"),
+        n_coarse,
+    )
+
+
+def asof_join_events_orders(events_ds, orders_ds, n_coarse: int = 128):
+    """For each event: the latest order of that user at/before event time."""
+    return _asof_join(
+        events_ds,
+        orders_ds,
+        ("user_id", "ts", "event_id", None),
+        ("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ("event_id", "user_id", "last_orderkey", "last_totalprice"),
+        n_coarse,
+    )

@@ -142,6 +142,51 @@ def test_checkpoint_resume(ray_session, tiles_small, tmp_path):
     )
 
 
+def test_corrupt_tiles_do_not_poison_zonal(ray_session, tmp_path):
+    """A corrupt payload (NaN ndvi/biomass) must not NaN an entire
+    county: both zonal paths exclude flagged rows and agree exactly."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.pipelines.biomass import (
+        biomass_zonal,
+        biomass_zonal_checkpointed,
+    )
+    from biomass_processing_pipeline_ray.sources import tiles as T2
+
+    n = 200
+    tbl = T2.gen_tiles_batch(np.arange(n))
+    bufs = tbl["bytes"].to_pylist()
+    corrupt = {7, 42, 141}
+    for i in corrupt:
+        bufs[i] = b"\x00garbage"
+    tbl = tbl.set_column(
+        tbl.column_names.index("bytes"), "bytes", pa.array(bufs, pa.binary())
+    )
+    fix_dir = tmp_path / "corrupt_tiles"
+    fix_dir.mkdir()
+    pq.write_table(tbl, str(fix_dir / "part-0.parquet"))
+
+    fast = (
+        biomass_zonal(str(fix_dir), n_tiles=n)
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+    assert int(fast.tile_count.sum()) == n - len(corrupt)
+    assert np.isfinite(fast.biomass_sum).all() and np.isfinite(fast.ndvi_mean).all()
+
+    ckpt = biomass_zonal_checkpointed(
+        str(fix_dir), str(tmp_path / "ckpt"), n_tiles=n
+    ).reset_index(drop=True)
+    assert int(ckpt.tile_count.sum()) == n - len(corrupt)
+    assert np.isfinite(ckpt.biomass_sum).all() and np.isfinite(ckpt.ndvi_mean).all()
+    # the two paths agree on counts and (to rounding) on sums/means
+    assert np.array_equal(fast.county_fips.to_numpy(), ckpt.county_fips.to_numpy())
+    assert np.array_equal(fast.tile_count.to_numpy(), ckpt.tile_count.to_numpy())
+    assert np.allclose(fast.biomass_sum, ckpt.biomass_sum, atol=1e-4)
+    assert np.allclose(fast.ndvi_mean, ckpt.ndvi_mean, atol=1e-4)
+
+
 def test_skewed_county_salted_writes(ray_session, tiles_small, tmp_path):
     """North-rule skew handling: ONE county holding 100% of tiles is
     split into n_salts parallel sub-partitions, output stays exact."""
