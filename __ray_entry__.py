@@ -30,6 +30,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        ensure_generated_oracles,
+    )
+
+    # materialize the /tmp oracle parquets some SQL strings read —
+    # independent single-process reimplementations (pipelines/oracles.py)
+    ensure_generated_oracles()
     return {
         name: sql for name, (_fn, sql) in build_queries().items() if sql is not None
     }

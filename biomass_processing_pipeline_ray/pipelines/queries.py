@@ -64,8 +64,11 @@ def tiles_path(sf_dir: str) -> str:
     """Generate (once, cached) the pixel tile fixture sized to sf_dir."""
     from ..sources.tiles import generate_tiles_parquet
 
+    # v2: fixture carries planted near-dup images (sources/tiles.py
+    # plant_donor) — version-bumped dir name since cache dirs don't
+    # encode generator-code versions
     n = universe_n(sf_dir)
-    return generate_tiles_parquet(n, os.path.join(TILE_CACHE, f"tiles_n{n}_s42"))
+    return generate_tiles_parquet(n, os.path.join(TILE_CACHE, f"tiles_n{n}_s42_v2"))
 
 
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -262,12 +265,14 @@ def _sql_knn_idw(n: int) -> str:
 def q_zonal_biomass_px(sf_dir: str):
     """Flagship pixel pipeline: decode → cells → PIP → kNN → zonal.
 
-    Rows-only driver check; pixel math is pytest-verified against the
-    brute-force decode oracle (tests/test_pipeline.py)."""
+    Hash-checked against the independently generated per-tile decode
+    oracle (``pipelines/oracles.py``): ndvi/biomass are snapped to the
+    2^-20 lattice post-decode so the engine's parallel partial sums
+    equal the oracle SQL's sequential sums bit-wise."""
     from .biomass import biomass_zonal
 
     n = universe_n(sf_dir)
-    return biomass_zonal(tiles_path(sf_dir), n_tiles=n)
+    return biomass_zonal(tiles_path(sf_dir), n_tiles=n, snap_sums=True)
 
 
 def q_county_top10(sf_dir: str):
@@ -537,6 +542,28 @@ def q_knn_idw_sharded(sf_dir: str):
         return b.append_column("value", pa.array(G.derive_value(ids)))
 
     return knn_idw_sharded(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+def q_knn_idw_sharded_capped(sf_dir: str):
+    """The SAME cell-sharded kNN scale path on the capped universe, so
+    the sharded implementation itself is hash-checked by the O(n²) SQL
+    oracle (the full-n variant above stays rows-only — its oracle is
+    infeasible).  ``cell_deg=2.0`` keeps the halo-exactness contract
+    (kth-neighbor radius ≈ 0.12° ≪ cell size) at the sparser capped
+    density."""
+    from ..stages.knn_sharded import knn_idw_sharded
+
+    n = min(universe_n(sf_dir), KNN_N)
+    ds = _range_geo(n)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        b = b.append_column("tile_int_id", pa.array(ids, pa.int64()))
+        return b.append_column("value", pa.array(G.derive_value(ids)))
+
+    return knn_idw_sharded(
+        ds.map_batches(prep, batch_format="pyarrow"), cell_deg=2.0
+    )
 
 
 def q_knn_edges(sf_dir: str):
@@ -854,11 +881,19 @@ _BIG_ORDER = 400000.0  # semi/anti key set: customers with a >$400k order
 
 
 def _big_order_custkeys(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
-    )
-    keys = t.column("o_custkey").to_numpy()
-    return keys[t.column("o_totalprice").to_numpy() > _BIG_ORDER]
+    """Distributed key-set build: filter + per-batch unique inside
+    map_batches, then ``Dataset.unique`` — only the (small) distinct
+    key set ever reaches the driver, never full table columns."""
+    import pyarrow.compute as pc
+
+    ds = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        k = b.filter(pc.greater(b["o_totalprice"], _BIG_ORDER))["o_custkey"]
+        return pa.table({"o_custkey": pa.array(np.unique(k.to_numpy()))})
+
+    keys = ds.map_batches(keys_only, batch_format="pyarrow").unique("o_custkey")
+    return np.asarray(sorted(keys), dtype=np.int64)
 
 
 def q_semi_join_customers(sf_dir: str):
@@ -1098,18 +1133,15 @@ def q_fingerprints(sf_dir: str):
     )
 
 
-def _texts_ref(sf_dir: str):
-    import ray
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
-
-
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs; verify is a co-partitioned two-hop
+    join against a second pruned scan of the documents table — no
+    whole-corpus broadcast (the 100 TB contract)."""
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, texts_ref=_texts_ref(sf_dir), threshold=0.7)
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, docs, threshold=0.7)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1124,17 +1156,22 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str):
+    """Query vectors + IVF k-means sample via a distributed partial
+    top-k pull (k rows per batch shuffle to the driver) — never a
+    full-table driver read."""
     import ray
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    df = t.to_pandas().sort_values("vec_id")
-    head = df.head(ANN_NQ)
+    from ..stages.relational import topk
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = topk(ds, by="vec_id", k=512, descending=False)
+    q = head.head(ANN_NQ)
     return ray.put(
         {
-            "qid": head["vec_id"].to_numpy(np.int64),
-            "mat": np.asarray(list(head["embedding"]), dtype=np.float64),
-            # driver-side sample for the IVF coarse quantizer
-            "sample": np.asarray(list(df.head(512)["embedding"]), dtype=np.float64),
+            "qid": q["vec_id"].to_numpy(np.int64),
+            "mat": np.asarray(list(q["embedding"]), dtype=np.float64),
+            # bounded sample for the IVF coarse quantizer
+            "sample": np.asarray(list(head["embedding"]), dtype=np.float64),
         }
     )
 
@@ -1206,8 +1243,19 @@ _SQL_EMBEDDING_NEARDUP = """
 _N_ORACLE = int(round(TILES_PER_SF * ORACLE_SF))
 
 
+def ensure_generated_oracles() -> None:
+    """Materialize the /tmp oracle parquets the static SQL strings
+    reference (sf0.01 universe).  Called from ``oracle_sql()`` so the
+    files exist regardless of whether the driver runs the SQL or the
+    engine side first."""
+    from .oracles import ensure_px_oracle
+
+    ensure_px_oracle(_N_ORACLE)
+
+
 def build_queries() -> dict:
     from ..stages.textstages import sql_langid, sql_quality, sql_text_stats
+    from .oracles import sql_phash_neardup, sql_zonal_px
 
     return {
         # geo family (north-rule core)
@@ -1218,7 +1266,11 @@ def build_queries() -> dict:
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
         "knn_idw_sharded": (q_knn_idw_sharded, None),
-        "zonal_biomass_px": (q_zonal_biomass_px, None),
+        "knn_idw_sharded_capped": (
+            q_knn_idw_sharded_capped,
+            _sql_knn_idw(min(_N_ORACLE, KNN_N)),
+        ),
+        "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
@@ -1229,7 +1281,7 @@ def build_queries() -> dict:
             q_county_dominant_fmt,
             _sql_county_dominant_fmt(_N_ORACLE),
         ),
-        "phash_neardup": (q_phash_neardup, None),
+        "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),

@@ -41,8 +41,42 @@ def tile_dims(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return w, h, fmt_idx
 
 
+PLANT_PERIOD = 97  # ids with i % 97 in (1, 2) copy a nearby same-dims donor
+_PLANT_WINDOW = 40
+
+
+def plant_donor(i: int) -> int | None:
+    """Donor id for a planted near-duplicate tile, else None.
+
+    To make the phash near-dup operator testable (a random fixture has
+    ~zero Hamming≤3 pairs), ~2 % of tiles are planted copies: ``i %
+    PLANT_PERIOD == 1`` duplicates a nearby tile exactly (Hamming-0
+    pair), ``== 2`` copies it with a one-pixel flip (Hamming ≈ 0–2).
+    The donor is the nearest smaller non-planted id in the same (w, h)
+    class — dims derive from ``key % 9`` (w: key%3, h: (key//3)%3) and
+    key = 9m+r gives (key//3)%3 = (r//3)%3 — so the tile's stored dims
+    stay consistent with the arithmetic spec the SQL oracles mirror.
+    """
+    r = i % PLANT_PERIOD
+    if r not in (1, 2) or i < _PLANT_WINDOW:
+        return None
+    cls = int(G.derive_key(np.asarray([i], dtype=np.int64))[0]) % 9
+    for d in range(i - 1, i - _PLANT_WINDOW, -1):
+        if d % PLANT_PERIOD in (1, 2):
+            continue
+        if int(G.derive_key(np.asarray([d], dtype=np.int64))[0]) % 9 == cls:
+            return d
+    return None
+
+
 def make_pixels(i: int, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 pixels for tile id ``i``."""
+    donor = plant_donor(i)
+    if donor is not None:
+        px = make_pixels(donor, seed).copy()  # donor is never planted itself
+        if i % PLANT_PERIOD == 2:
+            px[0, 0, :] ^= 255  # near-dup: one-pixel flip, dhash Hamming ≲ 2
+        return px
     ids = np.asarray([i], dtype=np.int64)
     w, h, _ = tile_dims(ids)
     w, h = int(w[0]), int(h[0])
@@ -110,6 +144,12 @@ def generate_tiles_parquet(
     if os.path.isdir(out_dir):  # stale partial from a killed generator
         import shutil as _sh
 
+        # re-check the marker immediately before the rmtree: a concurrent
+        # generator may have completed its os.rename since the check above,
+        # and deleting a just-completed fixture out from under readers is
+        # worse than losing this process's own attempt
+        if os.path.exists(marker):
+            return out_dir
         _sh.rmtree(out_dir, ignore_errors=True)
     tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
@@ -122,6 +162,9 @@ def generate_tiles_parquet(
     ds.map_batches(gen, batch_format="pyarrow", batch_size=2048).write_parquet(tmp_dir)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
+    if os.path.exists(marker):  # a concurrent generator finished first
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return out_dir
     try:
         os.rename(tmp_dir, out_dir)
     except OSError:

@@ -25,9 +25,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def embedding_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, dense float64 matrix) from an Arrow list<float> column —
+    reads the flat values buffer and reshapes (no per-row to_pylist)."""
     ids = batch["vec_id"].to_numpy()
-    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-    return ids, emb
+    col = batch["embedding"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        width = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(arr), width).astype(np.float64)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all():
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            # offsets may not start at 0 after a slice
+            flat = flat[offsets[0] : offsets[-1]]
+            return ids, flat.reshape(len(arr), int(widths[0])).astype(np.float64)
+    return ids, np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 class CosineTopK:

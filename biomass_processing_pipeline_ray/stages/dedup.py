@@ -92,24 +92,29 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return v.min(axis=0)
 
 
-def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """Explode each doc into BANDS (band_id, band_key, doc_id) rows."""
+def minhash_bands_batch(batch: pa.Table, n_coarse: int = 1024) -> pa.Table:
+    """Explode each doc into BANDS (band_key, coarse, doc_id) rows.
+
+    ``band_key`` is the first 8 bytes of md5(band_id ‖ signature chunk)
+    as int64 — band identity is folded INTO the key, so downstream
+    stages match on a single integer column; ``coarse`` is derived
+    vectorized from it (no per-row Python on the exploded hot path)."""
     ids = batch["doc_id"].to_numpy()
     texts = batch["text"].to_pylist()
-    doc_col, band_col, key_col = [], [], []
+    n = len(texts)
+    keys = np.empty((n, BANDS), dtype=np.int64)
     for i, t in enumerate(texts):
         sig = minhash_signature(shingle_set(t))
         for b in range(BANDS):
             chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            doc_col.append(int(ids[i]))
-            band_col.append(b)
-            key_col.append(key)
+            digest = hashlib.md5(bytes([b]) + chunk.tobytes()).digest()
+            keys[i, b] = np.frombuffer(digest[:8], dtype=np.int64)[0]
+    band_key = keys.ravel()
     return pa.table(
         {
-            "doc_id": pa.array(doc_col, pa.int64()),
-            "band_id": pa.array(band_col, pa.int32()),
-            "band_key": pa.array(key_col, pa.string()),
+            "doc_id": pa.array(np.repeat(ids, BANDS)),
+            "band_key": pa.array(band_key),
+            "coarse": pa.array(band_key % n_coarse),
         }
     )
 
@@ -121,28 +126,34 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
-    """Candidate pairs from LSH buckets, verified with exact Jaccard.
+_EMPTY_PAIRS = {
+    "a": pd.Series([], dtype=np.int64),
+    "b": pd.Series([], dtype=np.int64),
+}
 
-    ``texts_ref`` is a ray.put broadcast {doc_id: text} for the verify
-    stage (small at test scale; at 10^12 scale the verify becomes a
-    co-partitioned join on doc_id — documented scale path).
+
+def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
+    """Candidate pairs from LSH buckets, verified with exact Jaccard —
+    with NO whole-corpus broadcast anywhere.
+
+    Verify is a co-partitioned two-hop join (the 100 TB design):
+
+    1. each candidate pair (a, b) explodes into two (key=doc_id, a, b)
+       rows that co-partition WITH the documents table on
+       ``doc_id % n_coarse`` — one full-table shuffle attaches each
+       side's text via a vectorized in-bucket merge;
+    2. the (now tiny) per-side rows regroup on a pair-coarse key and
+       each bucket computes exact shingle-set Jaccard with a per-bucket
+       doc cache.
+
+    ``docs_ds`` is a second (column-pruned) read of the documents table
+    — at scale that is a re-scan, never a driver materialization.
     """
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
-    def add_coarse(b: pa.Table) -> pa.Table:
-        # fold the 16-hex band keys into bounded coarse groups so the
-        # groupby has ~1024 groups instead of one per (mostly singleton)
-        # bucket — the same per-group-overhead fix as banded_hamming
-        coarse = np.asarray(
-            [zlib.crc32(k.encode()) % 1024 for k in b["band_key"].to_pylist()],
-            dtype=np.int64,
-        )
-        return b.append_column("coarse", pa.array(coarse))
-
     def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
-        m = g.merge(g, on=["band_id", "band_key"])
+        g = g.drop_duplicates(["band_key", "doc_id"])
+        m = g.merge(g, on="band_key")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = pd.DataFrame(
             {
@@ -152,37 +163,88 @@ def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.7):
         )
         return out.drop_duplicates(["a", "b"])
 
-    pairs = (
-        bands.map_batches(add_coarse, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(coarse_bucket_pairs, batch_format="pandas")
+    pairs = bands.groupby("coarse").map_groups(
+        coarse_bucket_pairs, batch_format="pandas"
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
+    # -- verify hop 1: co-partition pair sides with the documents table
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        key = np.concatenate([a, bb])
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "coarse": pa.array(key % n_coarse),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([bb, bb])),
+                "text": pa.array([""] * len(key), pa.string()),
+                "is_doc": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        n = len(b)
+        key = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "key": b["doc_id"],
+                "coarse": pa.array(key % n_coarse),
+                "a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": b["text"],
+                "is_doc": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    unioned = pairs.map_batches(explode_pairs, batch_format="pyarrow").union(
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+    )
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["is_doc"] == 1, ["key", "text"]]
+        pr = g.loc[g["is_doc"] == 0, ["key", "a", "b"]].drop_duplicates()
+        if len(pr) == 0:
             return pd.DataFrame(
                 {
-                    "a": pd.Series([], dtype=np.int64),
-                    "b": pd.Series([], dtype=np.int64),
-                    "jaccard": pd.Series([], dtype=np.float64),
+                    **_EMPTY_PAIRS,
+                    "key": pd.Series([], dtype=np.int64),
+                    "text": pd.Series([], dtype=object),
                 }
-            )
-        import ray
+            )[["a", "b", "key", "text"]]
+        m = pr.merge(docs, on="key", how="inner")
+        return m[["a", "b", "key", "text"]]
 
-        texts = ray.get(texts_ref)
-        batch = batch.drop_duplicates(["a", "b"])
-        out = []
+    sided = unioned.groupby("coarse").map_groups(attach_text, batch_format="pandas")
+
+    # -- verify hop 2: regroup by pair, exact Jaccard per bucket
+    def add_pair_coarse(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        return b.append_column(
+            "pair_coarse", pa.array((a * 1000003 + bb) % n_coarse)
+        )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["key"] == g["a"]]
+        right = g[g["key"] == g["b"]]
+        m = left.merge(right, on=["a", "b"], suffixes=("_a", "_b"))
         cache: dict[int, np.ndarray] = {}
-        for a, b in zip(batch["a"].astype(np.int64), batch["b"].astype(np.int64)):
-            sa = cache.setdefault(int(a), shingle_set(texts[int(a)]))
-            sb = cache.setdefault(int(b), shingle_set(texts[int(b)]))
+        out = []
+        for a, b, ta, tb in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
+            sa = cache.setdefault(int(a), shingle_set(ta))
+            sb = cache.setdefault(int(b), shingle_set(tb))
             j = jaccard(sa, sb)
             if j >= threshold:
                 out.append((int(a), int(b), j))
         df = pd.DataFrame(out, columns=["a", "b", "jaccard"])
         return df.astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
 
-    verified = pairs.map_batches(verify, batch_format="pandas")
+    verified = (
+        sided.map_batches(add_pair_coarse, batch_format="pyarrow")
+        .groupby("pair_coarse")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
 
     # jaccard is identical for every copy of a pair → Min is a pure dedup
     from ray.data.aggregate import Min
