@@ -131,6 +131,389 @@ def sql_zonal_px(n: int) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# cell-index oracle: the hex half is independently SQL-checked
+# (``hex_index``); the S2 half is re-derived here with a PER-POINT
+# RECURSIVE Hilbert encode (bit-at-a-time orientation walk) instead of
+# the engine's vectorized 4-bit lookup-table batching — the two paths
+# share only the published S2 constants (kPosToIJ / kPosToOrientation).
+# ---------------------------------------------------------------------------
+
+
+def cell_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"cells_n{n}.parquet")
+
+
+def _s2_cells_independent(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    from ..geo.s2 import _POS_TO_IJ, _POS_TO_ORIENT
+
+    ij_to_pos = [[r.index(v) for v in range(4)] for r in _POS_TO_IJ]
+    lonr = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    latr = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    cl = np.cos(latr)
+    xs, ys, zs = cl * np.cos(lonr), cl * np.sin(lonr), np.sin(latr)
+    out = np.empty(len(xs), dtype=np.uint64)
+    lsb = 1 << (2 * (30 - level))
+    for p in range(len(xs)):
+        x, y, z = float(xs[p]), float(ys[p]), float(zs[p])
+        ax, ay, az = abs(x), abs(y), abs(z)
+        if ax >= ay and ax >= az:
+            face = 0 if x >= 0 else 3
+            u, v = (y / x, z / x) if face == 0 else (z / x, y / x)
+        elif ay >= az:
+            face = 1 if y >= 0 else 4
+            u, v = (-x / y, z / y) if face == 1 else (z / y, -x / y)
+        else:
+            face = 2 if z >= 0 else 5
+            u, v = (-x / z, -y / z) if face == 2 else (-y / z, -x / z)
+
+        def st(w: float) -> float:
+            import math
+
+            return (
+                0.5 * math.sqrt(1.0 + 3.0 * w)
+                if w >= 0
+                else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+            )
+
+        i = min(max(int(np.floor(st(u) * (1 << 30))), 0), (1 << 30) - 1)
+        j = min(max(int(np.floor(st(v) * (1 << 30))), 0), (1 << 30) - 1)
+        orient = face & 1
+        pos = 0
+        for k in range(29, -1, -1):
+            ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+            idx = ij_to_pos[orient][ij]
+            pos = (pos << 2) | idx
+            orient ^= _POS_TO_ORIENT[idx]
+        leaf = (face << 61) | (pos << 1) | 1
+        out[p] = np.uint64((leaf & ~(lsb - 1)) | lsb if level < 30 else leaf)
+    return out
+
+
+def ensure_cell_oracle(n: int, hex_res: int = 7, s2_level: int = 13) -> str:
+    path = cell_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
+    from ..geo import hexgrid
+
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    tbl = pa.table(
+        {
+            "tile_id": pa.array(ids),
+            # hex is separately hash-checked against pure SQL (hex_index)
+            "hex_cell": pa.array(hexgrid.latlng_to_cell(lon, lat, hex_res), pa.int64()),
+            "s2_cell": pa.array(_s2_cells_independent(lon, lat, s2_level)),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_cell_index(n: int) -> str:
+    return (
+        "SELECT tile_id, hex_cell, s2_cell "
+        f"FROM read_parquet('{cell_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-dedup oracles: independent pure-Python reimplementations over the
+# sf0.01 documents table (the scale the driver's gate runs at).  These
+# share only the CONSTANTS with the engine stages (permutation tables,
+# moduli — they are parameters of the algorithm); every computation is
+# re-derived with Python ints / dict buckets instead of the engine's
+# vectorized numpy + banded-shuffle path.
+# ---------------------------------------------------------------------------
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_U64 = 1 << 64
+
+
+def _read_docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _py_shingles(text: str, k: int = 3) -> list[int]:
+    import zlib
+
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return sorted({zlib.crc32(g.encode("utf-8")) for g in grams})
+
+
+def _py_minhash_sig(shingles: list[int]) -> list[int]:
+    from ..stages.dedup import _MH_A, _MH_B, _MH_P, N_PERM
+
+    if not shingles:
+        return [_U64 - 1] * N_PERM
+    p = int(_MH_P)
+    out = []
+    for a, b in zip(_MH_A.tolist(), _MH_B.tolist()):
+        # replicate the engine's uint64 wrap-around affine transform
+        out.append(min(((h * a + b) % _U64) % p for h in shingles))
+    return out
+
+
+def _py_jaccard(sa: list[int], sb: list[int]) -> float:
+    if not sa and not sb:
+        return 1.0
+    inter = len(set(sa) & set(sb))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "minhash_sf001.parquet")
+
+
+def ensure_minhash_oracle(threshold: float = 0.7) -> str:
+    """Brute-force MinHash-LSH reference: per-band dict buckets over the
+    signature chunks → candidate pairs → exact Jaccard filter."""
+    from collections import defaultdict
+
+    from ..stages.dedup import BANDS, ROWS_PER_BAND
+
+    path = minhash_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    docs = _read_docs(ORACLE_SF_DIR)
+    shingles = {d: _py_shingles(t) for d, t in docs}
+    sigs = {d: _py_minhash_sig(s) for d, s in shingles.items()}
+    cand: set[tuple[int, int]] = set()
+    for b in range(BANDS):
+        buckets: dict[tuple, list[int]] = defaultdict(list)
+        for d, sig in sigs.items():
+            buckets[tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])].append(d)
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(cand):
+        j = _py_jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((a, b, j))
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_minhash_pairs() -> str:
+    return f"SELECT a, b, jaccard FROM read_parquet('{minhash_oracle_path()}')"
+
+
+def simhash_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "simhash_sf001.parquet")
+
+
+def ensure_simhash_oracle(max_hamming: int = 3) -> str:
+    """Brute-force SimHash reference: Python-int sign-sum hash, 4×16-bit
+    band dict buckets, popcount filter."""
+    import zlib
+    from collections import defaultdict
+
+    path = simhash_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    docs = _read_docs(ORACLE_SF_DIR)
+
+    def simhash(text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        acc = [0] * 64
+        for w in words:
+            h64 = (zlib.crc32(w.encode("utf-8")) * 0x9E3779B97F4A7C15) % _U64
+            for i in range(64):
+                acc[i] += 1 if (h64 >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out  # unsigned 64-bit value
+
+    sims = {d: simhash(t) for d, t in docs}
+    cand: set[tuple[int, int]] = set()
+    for b in range(4):
+        buckets: dict[int, list[int]] = defaultdict(list)
+        for d, s in sims.items():
+            buckets[(s >> (16 * b)) & 0xFFFF].append(d)
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(cand):
+        hd = bin(sims[a] ^ sims[b]).count("1")
+        if hd <= max_hamming:
+            rows.append((a, b, hd))
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_simhash_pairs() -> str:
+    return f"SELECT a, b, hamming FROM read_parquet('{simhash_oracle_path()}')"
+
+
+def fingerprint_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "fingerprints_sf001.parquet")
+
+
+def ensure_fingerprint_oracle(k: int = 8, w: int = 4) -> str:
+    """Python-int Karp–Rabin + winnowing reference (Schleimer et al.)."""
+    path = fingerprint_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..stages.textstages import _FP_B, _FP_P
+
+    p, base = int(_FP_P), int(_FP_B)
+    docs = _read_docs(ORACLE_SF_DIR)
+
+    def poly(bs: bytes) -> int:
+        n = len(bs)
+        if n == 0:
+            return 0
+        return sum(c * pow(base, n - 1 - i, p) % p for i, c in enumerate(bs)) % p
+
+    def kgram_hashes(bs: bytes) -> list[int]:
+        n = len(bs)
+        if n < k:
+            return []
+        return [poly(bs[i : i + k]) for i in range(n - k + 1)]
+
+    def n_winnow(bs: bytes) -> int:
+        h = kgram_hashes(bs)
+        if not h:
+            return 0
+        if len(h) <= w:
+            return 1
+        return len({min(h[i : i + w]) for i in range(len(h) - w + 1)})
+
+    rows = []
+    for d, t in docs:
+        bs = t.encode("utf-8")
+        fp = poly(bs)
+        # map the unsigned value into the engine's int64 column range
+        rows.append((d, fp - _U64 if fp >= 1 << 63 else fp, n_winnow(bs)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "fingerprint": pa.array([r[1] for r in rows], pa.int64()),
+            "n_winnow_fp": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_fingerprints() -> str:
+    return (
+        "SELECT doc_id, fingerprint, n_winnow_fp "
+        f"FROM read_parquet('{fingerprint_oracle_path()}')"
+    )
+
+
+def ivf_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "ivf_topk_sf001.parquet")
+
+
+def ensure_ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """Single-process reference of the IVF top-k: same coarse quantizer
+    parameters (kmeans seed/iters are algorithm constants), but the
+    assignment, probing and top-k run as one sequential numpy pass —
+    checking the engine's distributed assign→filter→partial-top-k
+    plumbing end to end.  (nprobe=nlist exactness vs brute force is
+    separately pytest-verified.)"""
+    path = ivf_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions.rounding import round_away
+    from ..stages.ann import _normalize, kmeans_centroids
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    sample = emb[:512]
+    qids = ids[:8]
+    qmat = _normalize(emb[:8].copy())
+    cents = kmeans_centroids(sample, nlist)
+    embn = _normalize(emb)
+    cell = np.argmax(embn @ cents.T, axis=1)
+    probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
+    keep = np.isin(cell, probed)
+    kids, kemb = ids[keep], embn[keep]
+    rows = []
+    for qi in range(len(qids)):
+        s = qmat[qi] @ kemb.T
+        mask = kids != qids[qi]
+        cand_ids, cand_s = kids[mask], s[mask]
+        sel = np.lexsort((cand_ids, -cand_s))[:k]
+        for rank, idx in enumerate(sel, 1):
+            rows.append(
+                (int(qids[qi]), int(cand_ids[idx]), rank,
+                 float(round_away(cand_s[idx], 6)))
+            )
+    tbl = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cos": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_ivf_topk() -> str:
+    return (
+        'SELECT query_id, vec_id, "rank", cos '
+        f"FROM read_parquet('{ivf_oracle_path()}')"
+    )
+
+
 def sql_phash_neardup(n: int, max_hamming: int = 3) -> str:
     """Pure-SQL banded Hamming pair oracle over the decode-oracle
     phash column (uint64 → logical shifts; pigeonhole over 4×16-bit

@@ -188,8 +188,9 @@ def _sql_pip_assign(n: int) -> str:
 
 
 def q_cell_index(sf_dir: str):
-    """hex + S2 cell encode per tile (s2_cell is uint64 → rows-only;
-    the hex half is SQL-verified separately in ``hex_index``)."""
+    """hex + S2 cell encode per tile.  Hash-checked: the hex half
+    against pure SQL (``hex_index``), the S2 half against an
+    independent recursive Hilbert encode (``pipelines/oracles.py``)."""
     from ..stages.cells import CellEncoder
 
     ds = _range_geo(universe_n(sf_dir))
@@ -529,8 +530,9 @@ def q_knn_idw_sharded(sf_dir: str):
     """Cell-sharded kNN+IDW over the FULL tile universe — the 10¹²-row
     scale path (local per-cell indexes + halo instead of a global
     broadcast index).  Verified equal to the broadcast stitcher and the
-    SQL oracle in pytest; rows-only here (the O(n²) SQL oracle is
-    infeasible at full n)."""
+    SQL oracle in pytest; rows-only here because the O(n²) SQL oracle is
+    infeasible at full n — the SAME implementation is hash-checked at
+    capped n by ``knn_idw_sharded_capped``."""
     from ..stages.knn_sharded import knn_idw_sharded
 
     n = universe_n(sf_dir)
@@ -1248,20 +1250,40 @@ def ensure_generated_oracles() -> None:
     reference (sf0.01 universe).  Called from ``oracle_sql()`` so the
     files exist regardless of whether the driver runs the SQL or the
     engine side first."""
-    from .oracles import ensure_px_oracle
+    from .oracles import (
+        ensure_cell_oracle,
+        ensure_fingerprint_oracle,
+        ensure_ivf_oracle,
+        ensure_minhash_oracle,
+        ensure_px_oracle,
+        ensure_simhash_oracle,
+    )
 
     ensure_px_oracle(_N_ORACLE)
+    ensure_cell_oracle(_N_ORACLE)
+    ensure_minhash_oracle()
+    ensure_simhash_oracle()
+    ensure_fingerprint_oracle()
+    ensure_ivf_oracle()
 
 
 def build_queries() -> dict:
     from ..stages.textstages import sql_langid, sql_quality, sql_text_stats
-    from .oracles import sql_phash_neardup, sql_zonal_px
+    from .oracles import (
+        sql_cell_index,
+        sql_fingerprints,
+        sql_ivf_topk,
+        sql_minhash_pairs,
+        sql_phash_neardup,
+        sql_simhash_pairs,
+        sql_zonal_px,
+    )
 
     return {
         # geo family (north-rule core)
         "zonal_biomass": (q_zonal_biomass, _sql_zonal_core(_N_ORACLE)),
         "pip_assign": (q_pip_assign, _sql_pip_assign(_N_ORACLE)),
-        "cell_index": (q_cell_index, None),
+        "cell_index": (q_cell_index, sql_cell_index(_N_ORACLE)),
         "hex_index": (q_hex_index, _sql_hex_index(_N_ORACLE)),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
@@ -1302,11 +1324,11 @@ def build_queries() -> dict:
         "langid": (q_langid, sql_langid()),
         "doc_quality": (q_doc_quality, sql_quality()),
         "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
-        "fingerprints": (q_fingerprints, None),
-        "minhash_pairs": (q_minhash_pairs, None),
-        "simhash_pairs": (q_simhash_pairs, None),
+        "fingerprints": (q_fingerprints, sql_fingerprints()),
+        "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
+        "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         # embedding family
         "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
-        "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "ann_ivf_topk": (q_ann_ivf_topk, sql_ivf_topk()),
         "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
     }
