@@ -132,6 +132,127 @@ def sql_zonal_px(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# clip-zonal oracle: per-tile polygon-clipped masked pixel sums, with an
+# INDEPENDENT even-odd rasterizer (per-edge crossing accumulation loop
+# vs the engine's all-edges broadcast kernel in image/window.py).
+# ---------------------------------------------------------------------------
+
+
+def clip_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"clip_n{n}_v2.parquet")
+
+
+def _clip_oracle_chunk(ids: np.ndarray) -> pa.Table:
+    from ..functions import georef as G
+    from ..image import codecs
+    from ..sources import tiles as T
+
+    pix_deg = 1.0 / 8192.0
+    ids = np.asarray(ids, dtype=np.int64)
+    lon_all, lat_all = G.derive_lonlat(ids)
+    cx_all, cy_all = G.derive_county_xy(lon_all, lat_all)
+    n = len(ids)
+    n_px = np.empty(n, dtype=np.int64)
+    n_in = np.empty(n, dtype=np.int64)
+    val_sum = np.empty(n, dtype=np.float64)
+    for k, i in enumerate(ids):
+        px = T.make_pixels(int(i))
+        w_, h_, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+        fmt = T.FMTS[int(fidx[0])]
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, int(h_[0]), int(w_[0]))
+        h, w = dec.shape[:2]
+        red = dec[:, :, 0].astype(np.float64)
+        nir = dec[:, :, 2].astype(np.float64)
+        v = (nir - red) / (nir + red + 1.0)
+        cx, cy = int(cx_all[k]), int(cy_all[k])
+        x0 = G.LON0 + cx * G.COUNTY_W
+        x1 = G.LON0 + (cx + 1) * G.COUNTY_W
+        y0 = G.LAT0 + cy * G.COUNTY_H
+        y1 = G.LAT0 + (cy + 1) * G.COUNTY_H
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        half_w = w * pix_deg * 0.5
+        half_h = h * pix_deg * 0.5
+        min_lon = lon_all[k] - half_w
+        max_lon = lon_all[k] + half_w
+        min_lat = lat_all[k] - half_h
+        max_lat = lat_all[k] + half_h
+        dx = (max_lon - min_lon) / w
+        dy = (max_lat - min_lat) / h
+        pxlon = min_lon + (np.arange(w, dtype=np.float64) + 0.5) * dx
+        pxlat = max_lat - (np.arange(h, dtype=np.float64) + 0.5) * dy
+        X = np.broadcast_to(pxlon[None, :], (h, w))
+        Y = np.broadcast_to(pxlat[:, None], (h, w))
+        crossings = np.zeros((h, w), dtype=np.int64)
+        for e in range(len(ring) - 1):
+            ex0, ey0 = ring[e]
+            ex1, ey1 = ring[e + 1]
+            straddle = (ey0 > Y) != (ey1 > Y)
+            if not straddle.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = ex0 + (Y - ey0) / (ey1 - ey0) * (ex1 - ex0)
+            crossings += straddle & (X < xint)
+        mask = crossings % 2 == 1
+        n_px[k] = h * w
+        cnt = int(mask.sum())
+        n_in[k] = cnt
+        val_sum[k] = float(v[mask].sum()) if cnt else 0.0
+    return pa.table(
+        {
+            "tile_id": pa.array(ids),
+            "n_px": pa.array(n_px),
+            "n_in": pa.array(n_in),
+            "val_sum": pa.array(val_sum),
+        }
+    )
+
+
+def ensure_clip_oracle(n: int, chunk: int = 2048) -> str:
+    path = clip_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_clip_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_clip_oracle_chunk(c) for c in chunks]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_clip_stats(n: int) -> str:
+    from ..functions import georef as G
+    from ..functions.rounding import sql_snap
+
+    lon, lat = G.sql_lonlat("tile_id")
+    fips = G.sql_county_fips(lon, lat)
+    return f"""
+    SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(n_px) AS BIGINT) AS px_total,
+           CAST(SUM(n_in) AS BIGINT) AS px_in,
+           ROUND(SUM(vs), 6) AS val_sum,
+           ROUND(SUM(vs) / SUM(n_in), 6) AS val_mean
+    FROM (SELECT {fips} AS county_fips, n_px, n_in,
+                 {sql_snap('val_sum')} AS vs
+          FROM read_parquet('{clip_oracle_path(n)}'))
+    GROUP BY county_fips
+    """
+
+
+# ---------------------------------------------------------------------------
 # cell-index oracle: the hex half is independently SQL-checked
 # (``hex_index``); the S2 half is re-derived here with a PER-POINT
 # RECURSIVE Hilbert encode (bit-at-a-time orientation walk) instead of

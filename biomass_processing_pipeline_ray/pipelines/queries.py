@@ -526,6 +526,54 @@ def _sql_county_dominant_fmt(n: int) -> str:
     """
 
 
+def q_county_clip_stats(sf_dir: str):
+    """Polygon-clipped raster zonal stats: decode → rasterize the
+    assigned county ring over each tile's pixel grid → masked per-pixel
+    NDVI sums → per-county rollup (reference M14/G1 clip path,
+    ``blob_manager_v3.py:800-845`` / ``landcover_analyzer_v3.py:224-263``).
+    Hash-checked against an independent per-edge rasterizer oracle."""
+    import ray
+
+    from ..sources.counties import rect_counties
+    from ..sources.tiles import read_tiles
+    from ..stages.clipzonal import ClipZonalStage
+
+    ds = read_tiles(
+        tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    ref = ray.put(rect_counties())
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    per_tile = ds.map_batches(
+        ClipZonalStage,
+        fn_constructor_kwargs={"counties_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(max(1, ncpus // 2), max(2, ncpus)),
+        batch_size=2048,
+    )
+    g = _grouped_sums(
+        per_tile,
+        ["county_fips"],
+        {"px_total": "n_px", "px_in": "n_in", "val_sum": "val_sum"},
+        "n_tiles",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        vs = b["val_sum"].to_numpy()
+        pin = b["px_in"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n_tiles": b["n_tiles"],
+                "px_total": b["px_total"],
+                "px_in": b["px_in"],
+                "val_sum": pa.array(round_away(vs, 6)),
+                "val_mean": pa.array(round_away(vs / pin, 6)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_knn_idw_sharded(sf_dir: str):
     """Cell-sharded kNN+IDW over the FULL tile universe — the 10¹²-row
     scale path (local per-cell indexes + halo instead of a global
@@ -1252,6 +1300,7 @@ def ensure_generated_oracles() -> None:
     engine side first."""
     from .oracles import (
         ensure_cell_oracle,
+        ensure_clip_oracle,
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
         ensure_minhash_oracle,
@@ -1260,6 +1309,7 @@ def ensure_generated_oracles() -> None:
     )
 
     ensure_px_oracle(_N_ORACLE)
+    ensure_clip_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
     ensure_minhash_oracle()
     ensure_simhash_oracle()
@@ -1271,6 +1321,7 @@ def build_queries() -> dict:
     from ..stages.textstages import sql_langid, sql_quality, sql_text_stats
     from .oracles import (
         sql_cell_index,
+        sql_county_clip_stats,
         sql_fingerprints,
         sql_ivf_topk,
         sql_minhash_pairs,
@@ -1303,6 +1354,7 @@ def build_queries() -> dict:
             q_county_dominant_fmt,
             _sql_county_dominant_fmt(_N_ORACLE),
         ),
+        "county_clip_stats": (q_county_clip_stats, sql_county_clip_stats(_N_ORACLE)),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),
