@@ -389,12 +389,13 @@ def _sql_tile_meta_stats(n: int) -> str:
 
 
 def q_phash_neardup(sf_dir: str):
-    """Image near-dup pairs by phash Hamming banding (rows-only)."""
+    """Image near-dup pairs by phash Hamming banding; hash-checked
+    against the pure-SQL banded pair finder over the decode oracle."""
     from ..sources.tiles import read_tiles
     from ..stages.dedup import phash_neardup_pairs
 
     ds = read_tiles(tiles_path(sf_dir), columns=["image_id", "phash"])
-    return phash_neardup_pairs(ds, max_hamming=3)
+    return phash_neardup_pairs(ds, max_hamming=3, n_rows=universe_n(sf_dir))
 
 
 def _tiles_with_county(sf_dir: str, columns: list[str]):

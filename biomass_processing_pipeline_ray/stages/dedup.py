@@ -126,12 +126,6 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-_EMPTY_PAIRS = {
-    "a": pd.Series([], dtype=np.int64),
-    "b": pd.Series([], dtype=np.int64),
-}
-
-
 def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
     """Candidate pairs from LSH buckets, verified with exact Jaccard —
     with NO whole-corpus broadcast anywhere.
@@ -201,19 +195,21 @@ def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
         docs_ds.map_batches(tag_docs, batch_format="pyarrow")
     )
 
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_text(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow output: most coarse groups carry docs but no
+        # candidate pairs, and empty pandas blocks with string columns
+        # spam Ray's size-estimator warning
         docs = g.loc[g["is_doc"] == 1, ["key", "text"]]
         pr = g.loc[g["is_doc"] == 0, ["key", "a", "b"]].drop_duplicates()
-        if len(pr) == 0:
-            return pd.DataFrame(
-                {
-                    **_EMPTY_PAIRS,
-                    "key": pd.Series([], dtype=np.int64),
-                    "text": pd.Series([], dtype=object),
-                }
-            )[["a", "b", "key", "text"]]
         m = pr.merge(docs, on="key", how="inner")
-        return m[["a", "b", "key", "text"]]
+        return pa.table(
+            {
+                "a": pa.array(m["a"].to_numpy(dtype=np.int64), pa.int64()),
+                "b": pa.array(m["b"].to_numpy(dtype=np.int64), pa.int64()),
+                "key": pa.array(m["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "text": pa.array(m["text"].tolist(), pa.string()),
+            }
+        )
 
     sided = unioned.groupby("coarse").map_groups(attach_text, batch_format="pandas")
 
@@ -287,27 +283,48 @@ def _explode_bands(
     )
 
 
+def adaptive_n_coarse(n_rows: int | None) -> int:
+    """Coarse-group count scaled to input size: ~64 exploded rows per
+    group keeps per-group dispatch amortized while group count (and so
+    shuffle parallelism) grows with N; capped well below the 4×2^16
+    distinct exact band keys so each coarse group still amortizes many
+    exact buckets."""
+    if n_rows is None:
+        return 1024
+    return int(np.clip(n_rows // 64, 1024, 1 << 15))
+
+
 def banded_hamming_pairs(
-    ds, id_col: str, hash_col: str, max_hamming: int = 3, n_coarse: int = 1024
+    ds, id_col: str, hash_col: str, max_hamming: int = 3, n_coarse: int | None = 1024
 ):
     """All (a, b, hamming<=max_hamming) pairs via 4×16-bit band blocking."""
     from ..image.phash import hamming_i64
+
+    if n_coarse is None:
+        n_coarse = 1024
 
     exploded = ds.map_batches(
         lambda b: _explode_bands(b, id_col, hash_col, n_coarse),
         batch_format="pyarrow",
     )
 
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def coarse_pairs(g: pd.DataFrame) -> pa.Table:
+        # output is a TYPED Arrow table (not pandas): most coarse groups
+        # produce ZERO pairs, and empty pandas blocks with object/string
+        # columns trip Ray's sampling size-estimator ("cannot call
+        # vectorize on size 0 inputs" warning spam)
+        id_type = (
+            pa.string() if g["rid"].dtype == object else pa.from_numpy_dtype(g["rid"].dtype)
+        )
         g = g.drop_duplicates(["band_key", "rid"])
         m = g.merge(g, on="band_key")
         m = m[m["rid_x"] < m["rid_y"]]
         if len(m) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "a": pd.Series([], dtype=g["rid"].dtype),
-                    "b": pd.Series([], dtype=g["rid"].dtype),
-                    "hamming": pd.Series([], dtype=np.int64),
+                    "a": pa.array([], id_type),
+                    "b": pa.array([], id_type),
+                    "hamming": pa.array([], pa.int64()),
                 }
             )
         hd = hamming_i64(m["rhash_x"].to_numpy(), m["rhash_y"].to_numpy())
@@ -318,8 +335,14 @@ def banded_hamming_pairs(
                 "b": m["rid_y"].to_numpy()[keep],
                 "hamming": hd[keep],
             }
+        ).drop_duplicates(["a", "b"])
+        return pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), id_type),
+                "b": pa.array(out["b"].to_numpy(), id_type),
+                "hamming": pa.array(out["hamming"].to_numpy(), pa.int64()),
+            }
         )
-        return out.drop_duplicates(["a", "b"])
 
     pairs = exploded.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
 
@@ -362,7 +385,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3):
+def simhash_neardup_pairs(ds, max_hamming: int = 3, n_rows: int | None = None):
     """Hamming ≤ max_hamming simhash pairs (banded, single shuffle)."""
 
     def sims_only(batch: pa.Table) -> pa.Table:
@@ -370,12 +393,17 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3):
         return t.select(["doc_id", "simhash"])
 
     sims = ds.map_batches(sims_only, batch_format="pyarrow")
-    return banded_hamming_pairs(sims, "doc_id", "simhash", max_hamming)
+    return banded_hamming_pairs(
+        sims, "doc_id", "simhash", max_hamming, n_coarse=adaptive_n_coarse(n_rows)
+    )
 
 
 # -- phash hamming near-dup (images) -----------------------------------------
 
 
-def phash_neardup_pairs(ds, max_hamming: int = 3):
-    """Image near-dup pairs by phash Hamming (banded, single shuffle)."""
-    return banded_hamming_pairs(ds, "image_id", "phash", max_hamming)
+def phash_neardup_pairs(ds, max_hamming: int = 3, n_rows: int | None = None):
+    """Image near-dup pairs by phash Hamming (banded, single shuffle);
+    pass ``n_rows`` so coarse-group count scales with the input."""
+    return banded_hamming_pairs(
+        ds, "image_id", "phash", max_hamming, n_coarse=adaptive_n_coarse(n_rows)
+    )

@@ -45,7 +45,10 @@ def _fan_out(batch: pa.Table, cell_deg: float) -> pa.Table:
     offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
     cells, home = [], []
     for dx, dy in offs:
-        cells.append((cx + dx) * 100000 + (cy + dy))
+        # alias-free composite key: y occupies the low 32 bits with a
+        # +2^31 bias, so negative neighbor coordinates (e.g. cy-1 at the
+        # domain edge) can never collide with another column's cells
+        cells.append((cx + dx) * (1 << 32) + (cy + dy + (1 << 31)))
         home.append(np.full(n, dx == 0 and dy == 0))
     return pa.table(
         {
