@@ -193,21 +193,37 @@ def ivf_topk(ds, queries_ref, nlist: int = 16, nprobe: int = 4, k: int = 10):
     )
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.3):
-    """Cosine-similar pairs within the same label group."""
+def embedding_neardup_pairs(ds, threshold: float = 0.3, row_chunk: int = 1024):
+    """Cosine-similar pairs within the same label group.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    Hot-group guard: the within-group comparison runs in row blocks of
+    ``row_chunk`` against the full group matrix, so a skewed label costs
+    O(chunk × n) memory instead of materializing the n×n similarity
+    matrix (the compute stays O(n²) — exact all-pairs; at 10⁹+ rows the
+    answer is LSH pre-bucketing, not a bigger matmul)."""
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
+        label = g["label"].iloc[0]
         emb = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
-        sims = emb @ emb.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] > threshold
-        return pd.DataFrame(
+        n = len(ids)
+        a_out, b_out = [], []
+        col_idx = np.arange(n)
+        for lo in range(0, n, row_chunk):
+            hi = min(lo + row_chunk, n)
+            sims = emb[lo:hi] @ emb.T  # (block, n)
+            upper = col_idx[None, :] > np.arange(lo, hi)[:, None]
+            ii, jj = np.nonzero((sims > threshold) & upper)
+            a_out.append(ids[ii + lo])
+            b_out.append(ids[jj])
+        a = np.concatenate(a_out) if a_out else np.empty(0, dtype=ids.dtype)
+        b = np.concatenate(b_out) if b_out else np.empty(0, dtype=ids.dtype)
+        return pa.table(
             {
-                "label": g["label"].iloc[0],
-                "a": ids[ii][keep],
-                "b": ids[jj][keep],
+                "label": pa.array(np.full(len(a), label, dtype=g["label"].dtype)),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
             }
         )
 

@@ -19,6 +19,65 @@ def rd(ray_session):
     return ray.data
 
 
+def test_minhash_copartitioned_verify_vs_bruteforce(rd):
+    """The broadcast-free two-hop MinHash verify must equal a sequential
+    pure-Python LSH+Jaccard reference on planted near-duplicates."""
+    from biomass_processing_pipeline_ray.pipelines.oracles import (
+        _py_jaccard,
+        _py_minhash_sig,
+        _py_shingles,
+    )
+    from biomass_processing_pipeline_ray.stages.dedup import (
+        BANDS,
+        ROWS_PER_BAND,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, size=60).tolist()) for _ in range(40)
+    ]
+    for j in range(8):  # planted near-dups: small edits of earlier docs
+        words = texts[j].split()
+        words[3] = "EDITED"
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+    got = (
+        minhash_lsh_pairs(rd.from_pandas(df), rd.from_pandas(df), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    # sequential reference: dict band buckets + exact Jaccard
+    sh = {int(r.doc_id): _py_shingles(r.text) for r in df.itertuples()}
+    sigs = {d: _py_minhash_sig(s) for d, s in sh.items()}
+    cand = set()
+    for b in range(BANDS):
+        buckets: dict = {}
+        for d, sig in sigs.items():
+            buckets.setdefault(
+                tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]), []
+            ).append(d)
+        for mem in buckets.values():
+            mem.sort()
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    cand.add((mem[i], mem[j]))
+    exp = sorted(
+        (a, b, _py_jaccard(sh[a], sh[b]))
+        for a, b in cand
+        if _py_jaccard(sh[a], sh[b]) >= 0.5
+    )
+    assert len(exp) >= 8  # the planted pairs are found
+    assert [tuple(r) for r in got[["a", "b"]].to_numpy()] == [
+        (a, b) for a, b, _ in exp
+    ]
+    assert np.allclose(got["jaccard"].to_numpy(), [j for _, _, j in exp], atol=0)
+
+
 def test_banded_hamming_pairs_exact(rd):
     from biomass_processing_pipeline_ray.image.phash import hamming_i64
     from biomass_processing_pipeline_ray.stages.dedup import banded_hamming_pairs
