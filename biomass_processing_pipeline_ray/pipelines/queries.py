@@ -1271,6 +1271,33 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """IVF top-k against a MATERIALIZED cell-partitioned index: vectors
+    written once as hive-partitioned parquet (``ivf_cell=N``), queries
+    read ONLY probed partitions — pruning at the storage layer (the
+    10⁹-vector path the plain ``ann_ivf_topk`` post-read filter
+    approximates).  Same centroids/probe set → same oracle."""
+    import ray
+
+    from ..stages.ann import build_ivf_index, ivf_topk_from_index, kmeans_centroids
+
+    qref = _query_vectors(sf_dir)
+    queries = ray.get(qref)
+    cents = kmeans_centroids(np.asarray(queries["sample"], dtype=np.float64), 16)
+    idx = os.path.join(
+        TILE_CACHE, f"ivf_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16"
+    )
+    build_ivf_index(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), idx, cents)
+    out = ivf_topk_from_index(idx, qref, nprobe=4, k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos"] = round_away(b["cos"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "cos"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def q_embedding_neardup(sf_dir: str):
     from ..stages.ann import embedding_neardup_pairs
 
@@ -1383,5 +1410,6 @@ def build_queries() -> dict:
         # embedding family
         "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, sql_ivf_topk()),
+        "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),
         "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
     }

@@ -193,6 +193,67 @@ def ivf_topk(ds, queries_ref, nlist: int = 16, nprobe: int = 4, k: int = 10):
     )
 
 
+def build_ivf_index(ds, out_dir: str, centroids: np.ndarray) -> str:
+    """Materialize the IVF index: vectors written as parquet PARTITIONED
+    BY coarse cell (hive dirs ``ivf_cell=N``), centroids stored beside
+    them.  At query time only probed partitions are ever READ — the
+    10⁹-vector design point where assignment is precomputed and pruning
+    happens at the storage layer, not as a post-read filter."""
+    import os
+
+    import ray
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    assigned.write_parquet(tmp, partition_cols=["ivf_cell"])
+    np.save(os.path.join(tmp, "centroids.npy"), np.asarray(centroids))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def ivf_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4, k: int = 10):
+    """Query a materialized IVF index: pick probed cells from the stored
+    centroids, then ``read_parquet`` ONLY those partition directories —
+    unprobed cells never leave storage."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    queries = ray.get(queries_ref)
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
+    paths = []
+    for c in probed:
+        cell_dir = os.path.join(index_dir, f"ivf_cell={int(c)}")
+        if os.path.isdir(cell_dir):
+            paths.extend(
+                os.path.join(cell_dir, f)
+                for f in sorted(os.listdir(cell_dir))
+                if f.endswith(".parquet")
+            )
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return cosine_topk(ds, queries_ref, k=k)
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.3, row_chunk: int = 1024):
     """Cosine-similar pairs within the same label group.
 
