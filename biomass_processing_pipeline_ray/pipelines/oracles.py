@@ -132,6 +132,90 @@ def sql_zonal_px(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# thumbnail oracle: independent area resize via RESHAPE block means (the
+# engine uses reduceat segment sums) — uint8 sums are exact in float64,
+# so the two orders agree bit-wise and any real divergence is a bug.
+# ---------------------------------------------------------------------------
+
+
+def thumb_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"thumbs_n{n}_v2.parquet")
+
+
+def _thumb_oracle_chunk(ids: np.ndarray, out_h: int = 16, out_w: int = 16) -> pa.Table:
+    from ..functions.rounding import round_away
+    from ..image import codecs, phash as PH
+    from ..sources import tiles as T
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    means = np.empty(n, dtype=np.float64)
+    phashes = np.empty(n, dtype=np.int64)
+    for k, i in enumerate(ids):
+        px = T.make_pixels(int(i))
+        w_, h_, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+        fmt = T.FMTS[int(fidx[0])]
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, int(h_[0]), int(w_[0]))
+        h, w = dec.shape[:2]
+        # tile dims are multiples of 16, so block means come from a pure
+        # reshape — a different reduction order than the engine's
+        # reduceat, equal because uint8 sums are exact in float64
+        small = np.clip(
+            np.floor(
+                dec.astype(np.float64)
+                .reshape(out_h, h // out_h, out_w, w // out_w, 3)
+                .mean(axis=(1, 3))
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        means[k] = round_away(np.asarray([small.mean()]), 6)[0]
+        phashes[k] = PH.dhash(small)
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{int(i):012d}" for i in ids], pa.string()),
+            "thumb_w": pa.array(np.full(n, out_w, dtype=np.int32)),
+            "thumb_h": pa.array(np.full(n, out_h, dtype=np.int32)),
+            "thumb_mean": pa.array(means),
+            "thumb_phash": pa.array(phashes),
+        }
+    )
+
+
+def ensure_thumb_oracle(n: int, chunk: int = 2048) -> str:
+    path = thumb_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_thumb_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_thumb_oracle_chunk(c) for c in chunks]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_image_thumbs(n: int) -> str:
+    return (
+        "SELECT image_id, thumb_w, thumb_h, thumb_mean, thumb_phash "
+        f"FROM read_parquet('{thumb_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # clip-zonal oracle: per-tile polygon-clipped masked pixel sums, with an
 # INDEPENDENT even-odd rasterizer (per-edge crossing accumulation loop
 # vs the engine's all-edges broadcast kernel in image/window.py).

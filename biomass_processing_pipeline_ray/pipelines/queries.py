@@ -527,6 +527,40 @@ def _sql_county_dominant_fmt(n: int) -> str:
     """
 
 
+def q_image_thumbs(sf_dir: str):
+    """Multimodal image resize as a pipeline: decode → area-mean 16×16
+    thumbnail → re-encode + stats, actor-pool stage.  Hash-checked
+    against an independent reshape-block-mean resize oracle."""
+    import ray
+
+    from ..sources.tiles import read_tiles
+    from ..stages.multimodal import ImageResizeStage
+
+    ds = read_tiles(
+        tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    out = ds.map_batches(
+        ImageResizeStage,
+        batch_format="pyarrow",
+        concurrency=(max(1, ncpus // 2), max(2, ncpus)),
+        batch_size=2048,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "thumb_w": b["thumb_w"],
+                "thumb_h": b["thumb_h"],
+                "thumb_mean": pa.array(round_away(b["thumb_mean"].to_numpy(), 6)),
+                "thumb_phash": b["thumb_phash"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_county_clip_stats(sf_dir: str):
     """Polygon-clipped raster zonal stats: decode → rasterize the
     assigned county ring over each tile's pixel grid → masked per-pixel
@@ -1092,16 +1126,34 @@ _SQL_ASOF = """
 
 def q_props_k_stats(sf_dir: str):
     """JSON-payload extraction + rollup (reference §2.8 JSON ops:
-    ``json.loads`` of geometry payloads / JSONB persist)."""
+    ``json.loads`` of geometry payloads / JSONB persist).
+
+    The '$.k' path is extracted with the vectorized Arrow regex kernel
+    (no per-row ``json.loads`` loop); rows where the fast path misses
+    (absent key / exotic formatting) fall back to ``json.loads``."""
     import json
+
+    import pyarrow.compute as pc
 
     ds = _tbl(sf_dir, "events", ["event_type", "props"])
 
     def prep(b: pa.Table) -> pa.Table:
-        ks = np.asarray(
-            [json.loads(s)["k"] for s in b["props"].to_pylist()], dtype=np.int64
-        )
-        return pa.table({"event_type": b["event_type"], "k": pa.array(ks)})
+        ex = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks_arr = pc.struct_field(ex, "k")
+        if ks_arr.null_count:
+            vals = ks_arr.to_pylist()
+            props = b["props"].to_pylist()
+            ks = np.asarray(
+                [
+                    int(v) if v is not None else int(json.loads(p)["k"])
+                    for v, p in zip(vals, props)
+                ],
+                dtype=np.int64,
+            )
+            ks_col = pa.array(ks)
+        else:
+            ks_col = pc.cast(ks_arr, pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": ks_col})
 
     g = _grouped_sums(
         ds.map_batches(prep, batch_format="pyarrow"),
@@ -1334,10 +1386,12 @@ def ensure_generated_oracles() -> None:
         ensure_minhash_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
+        ensure_thumb_oracle,
     )
 
     ensure_px_oracle(_N_ORACLE)
     ensure_clip_oracle(_N_ORACLE)
+    ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
     ensure_minhash_oracle()
     ensure_simhash_oracle()
@@ -1352,6 +1406,7 @@ def build_queries() -> dict:
         sql_county_clip_stats,
         sql_fingerprints,
         sql_ivf_topk,
+        sql_image_thumbs,
         sql_minhash_pairs,
         sql_phash_neardup,
         sql_simhash_pairs,
@@ -1383,6 +1438,7 @@ def build_queries() -> dict:
             _sql_county_dominant_fmt(_N_ORACLE),
         ),
         "county_clip_stats": (q_county_clip_stats, sql_county_clip_stats(_N_ORACLE)),
+        "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         # relational family
         "q1_pricing": (q_q1_pricing, _SQL_Q1),
