@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "ann_topk",
     "phash_neardup",
+    "county_clip_stats",
+    "image_thumbs",
 ]
 
 

@@ -103,3 +103,31 @@ def test_masked_stats():
     assert s["mean"] == pytest.approx(11.5)
     empty = W.masked_stats(vals, np.zeros_like(mask))
     assert empty["n_pixels"] == 0 and np.isnan(empty["mean"])
+
+
+def test_clip_zonal_stage_interior_fast_path(ray_session):
+    """The interior (all-true mask) fast path must equal the rasterized
+    path bit-for-bit, and boundary tiles must clip some pixels."""
+    import ray
+
+    from biomass_processing_pipeline_ray.sources import tiles as T
+    from biomass_processing_pipeline_ray.sources.counties import rect_counties
+    from biomass_processing_pipeline_ray.stages.clipzonal import ClipZonalStage
+
+    tbl = T.gen_tiles_batch(np.arange(300))
+    ref = ray.put(rect_counties())
+    stage = ClipZonalStage(counties_ref=ref)
+    out = stage(tbl).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    assert len(out) == 300
+    # most tiles are interior (mask all-true); some boundary tiles clip
+    full = out[out.n_in == out.n_px]
+    clipped = out[out.n_in < out.n_px]
+    assert len(full) > 250 and len(clipped) > 0
+
+    # force EVERY tile through the rasterized path by shrinking the bbox
+    # to nothing: results must be bit-identical where masks are all-true
+    forced = ClipZonalStage(counties_ref=ref)
+    forced.bbox = {f: (0.0, 0.0, 0.0, 0.0) for f in forced.bbox}
+    out2 = forced(tbl).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    assert np.array_equal(out.n_in.to_numpy(), out2.n_in.to_numpy())
+    assert np.array_equal(out.val_sum.to_numpy(), out2.val_sum.to_numpy())
