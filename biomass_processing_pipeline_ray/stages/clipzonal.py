@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..functions import georef as G
 from ..functions.rounding import snap_binary
 from ..image import codecs
-from ..image.window import masked_stats, rasterize_ring
+from ..image.window import masked_stats, pixel_window, rasterize_ring
 from ..sources.tiles import image_ids_to_int
 
 PIX_DEG = 1.0 / 8192.0  # exact binary: ~13 m at these latitudes
@@ -115,7 +115,11 @@ class ClipZonalStage:
             n_px[sel] = h * w
             n_in[sel] = h * w
             val_sum[sel] = v.sum(axis=(1, 2))
-        # boundary tiles: per-tile rasterized mask (the rare path)
+        # boundary tiles: rasterize only the pixel WINDOW covering the
+        # county bbox ∩ tile (M13 windowed-read semantics) — pixels
+        # outside it are provably outside the polygon, and the windowed
+        # masked sum selects the same pixels in the same row-major
+        # order, so the result is bit-identical to a full-tile mask
         for k in np.flatnonzero(ok & ~interior):
             px = pixels[k]
             h, w = px.shape[:2]
@@ -130,9 +134,25 @@ class ClipZonalStage:
                 lon[k] + half_w,
                 lat[k] + half_h,
             )
-            mask = rasterize_ring(self.rings[fips_col[k]], bounds, h, w)
-            stats = masked_stats(v, mask)
             n_px[k] = h * w
+            x0, y0, x1, y1 = self.bbox[fips_col[k]]
+            win = pixel_window(
+                bounds,
+                (
+                    max(x0, bounds[0]),
+                    max(y0, bounds[1]),
+                    min(x1, bounds[2]),
+                    min(y1, bounds[3]),
+                ),
+                h,
+                w,
+                buffer_px=1,
+            )
+            if win is None:
+                continue  # tile entirely outside its county bbox: no overlap
+            mask = rasterize_ring(self.rings[fips_col[k]], bounds, h, w, window=win)
+            r0, r1, c0, c1 = win
+            stats = masked_stats(v[r0:r1, c0:c1], mask)
             n_in[k] = stats["n_pixels"]
             val_sum[k] = stats["sum"]
         out = pa.table(

@@ -124,10 +124,14 @@ def test_clip_zonal_stage_interior_fast_path(ray_session):
     clipped = out[out.n_in < out.n_px]
     assert len(full) > 250 and len(clipped) > 0
 
-    # force EVERY tile through the rasterized path by shrinking the bbox
-    # to nothing: results must be bit-identical where masks are all-true
-    forced = ClipZonalStage(counties_ref=ref)
-    forced.bbox = {f: (0.0, 0.0, 0.0, 0.0) for f in forced.bbox}
-    out2 = forced(tbl).to_pandas().sort_values("tile_id").reset_index(drop=True)
-    assert np.array_equal(out.n_in.to_numpy(), out2.n_in.to_numpy())
-    assert np.array_equal(out.val_sum.to_numpy(), out2.val_sum.to_numpy())
+    # both paths (interior stacked sums AND windowed boundary rasterize)
+    # must match the independent per-edge rasterizer oracle bit-for-bit
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.pipelines.oracles import _clip_oracle_chunk
+
+    exp = _clip_oracle_chunk(np.arange(300)).to_pandas()
+    assert np.array_equal(out.n_px.to_numpy(), exp.n_px.to_numpy())
+    assert np.array_equal(out.n_in.to_numpy(), exp.n_in.to_numpy())
+    assert np.array_equal(
+        out.val_sum.to_numpy(), snap_binary(exp.val_sum.to_numpy())
+    )
