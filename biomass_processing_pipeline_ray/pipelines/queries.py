@@ -1124,6 +1124,41 @@ _SQL_ASOF = """
 """
 
 
+def q_order_events_range_join(sf_dir: str):
+    """Range (interval) join: per order, count + value-sum of the
+    user's events within 7 days after the order (beyond-reference join
+    family member; coarse-bucketed, cumulative-difference vectorized)."""
+    from ..stages.windows import range_join_orders_events
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = range_join_orders_events(orders, events)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "n_events": b["n_events"],
+                "value_sum": pa.array(round_away(b["value_sum"].to_numpy(), 4)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_RANGE_JOIN = f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM({sql_snap('e.value')}), 0.0), 4) AS value_sum
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey, o.o_custkey
+"""
+
+
 def q_props_k_stats(sf_dir: str):
     """JSON-payload extraction + rollup (reference §2.8 JSON ops:
     ``json.loads`` of geometry payloads / JSONB persist).
@@ -1454,6 +1489,7 @@ def build_queries() -> dict:
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
+        "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         # text family
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -200,6 +200,113 @@ def _asof_join(left_ds, right_ds, left_cols, right_cols, out_cols, n_coarse: int
     return unioned.groupby("coarse").map_groups(asof_bucket, batch_format="pandas")
 
 
+US_PER_DAY = 86_400_000_000
+
+
+def range_join_orders_events(
+    orders_ds, events_ds, window_us: int = 7 * US_PER_DAY, n_coarse: int = 128
+):
+    """Range (interval) join: per order, count + value-sum of that
+    user's events with ``ts ∈ [o_orderdate, o_orderdate + window)``.
+
+    Coarse-bucket co-partition (``key % n_coarse``), then each bucket
+    resolves ALL its orders with two vectorized ``merge_asof(by=key)``
+    lookups against per-user cumulative counts/sums: events-before-hi
+    minus events-before-lo.  Values are lattice-snapped, so cumulative-
+    difference equals a direct sum bit-wise (exact float addition).
+    """
+    from ..functions.rounding import snap_binary
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b["o_custkey"].to_numpy()
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "coarse": pa.array(key % n_coarse),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "oid": b["o_orderkey"],
+                "ts_us": _ts_us_col(b["o_orderdate"]),
+                "value": pa.array(np.zeros(n)),
+            }
+        )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        key = b["user_id"].to_numpy()
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["user_id"],
+                "coarse": pa.array(key % n_coarse),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "oid": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts_us": _ts_us_col(b["ts"]),
+                "value": pa.array(snap_binary(b["value"].to_numpy())),
+            }
+        )
+
+    unioned = orders_ds.map_batches(tag_orders, batch_format="pyarrow").union(
+        events_ds.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == 0]
+        if len(orders) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "value_sum": pd.Series([], dtype=np.float64),
+                }
+            )
+        ev = g[g["side"] == 1].sort_values(["ts_us", "oid"], kind="mergesort")
+        okey = orders["key"].to_numpy()
+        oid = orders["oid"].to_numpy()
+        ots = orders["ts_us"].to_numpy()
+        if len(ev) == 0:
+            cnt = np.zeros(len(orders), dtype=np.int64)
+            vsum = np.zeros(len(orders), dtype=np.float64)
+        else:
+            ev = ev.assign(
+                cum=ev.groupby("key").cumcount() + 1,
+                cumv=ev.groupby("key")["value"].cumsum(),
+            )
+            right = ev[["ts_us", "key", "cum", "cumv"]]
+
+            def below(bound: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                left = pd.DataFrame(
+                    {"ts_us": bound, "key": okey, "ord": np.arange(len(okey))}
+                ).sort_values("ts_us", kind="mergesort")
+                m = pd.merge_asof(
+                    left,
+                    right,
+                    on="ts_us",
+                    by="key",
+                    direction="backward",
+                    allow_exact_matches=False,  # strictly ts < bound
+                ).sort_values("ord", kind="mergesort")
+                return (
+                    m["cum"].fillna(0).to_numpy().astype(np.int64),
+                    m["cumv"].fillna(0.0).to_numpy(),
+                )
+
+            c_hi, v_hi = below(ots + window_us)
+            c_lo, v_lo = below(ots)
+            cnt = c_hi - c_lo
+            vsum = v_hi - v_lo
+        return pd.DataFrame(
+            {
+                "o_orderkey": oid.astype(np.int64),
+                "o_custkey": okey.astype(np.int64),
+                "n_events": cnt,
+                "value_sum": vsum,
+            }
+        )
+
+    return unioned.groupby("coarse").map_groups(bucket, batch_format="pandas")
+
+
 def asof_join_orders_events(orders_ds, events_ds, n_coarse: int = 128):
     """For each order: the latest event of that user at/before order time."""
     return _asof_join(

@@ -19,6 +19,53 @@ def rd(ray_session):
     return ray.data
 
 
+def test_range_join_vs_pandas_bruteforce(rd):
+    """Cumulative-difference range join == per-order boolean-mask oracle."""
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.windows import (
+        US_PER_DAY,
+        range_join_orders_events,
+    )
+
+    rng = np.random.default_rng(5)
+    n_o, n_e = 200, 1000
+    base = np.datetime64("2024-01-01", "us")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_o, dtype=np.int64),
+            "o_custkey": rng.integers(0, 30, n_o),
+            "o_orderdate": base + rng.integers(0, 90 * US_PER_DAY, n_o),
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_e, dtype=np.int64),
+            "user_id": rng.integers(0, 30, n_e),
+            "ts": base + rng.integers(0, 90 * US_PER_DAY, n_e),
+            "value": rng.uniform(0, 100, n_e),
+        }
+    )
+    got = (
+        range_join_orders_events(rd.from_pandas(orders), rd.from_pandas(events))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    ev_ts = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    sn = snap_binary(events["value"].to_numpy())
+    for i in (0, 17, 55, 199):
+        o = orders.iloc[i]
+        t0 = np.int64(o.o_orderdate.to_datetime64().astype("datetime64[us]").astype(np.int64))
+        m = (
+            (events["user_id"].to_numpy() == o.o_custkey)
+            & (ev_ts >= t0)
+            & (ev_ts < t0 + 7 * US_PER_DAY)
+        )
+        row = got[got.o_orderkey == o.o_orderkey].iloc[0]
+        assert int(row.n_events) == int(m.sum())
+        assert row.value_sum == pytest.approx(sn[m].sum(), abs=1e-9)
+
+
 def test_minhash_copartitioned_verify_vs_bruteforce(rd):
     """The broadcast-free two-hop MinHash verify must equal a sequential
     pure-Python LSH+Jaccard reference on planted near-duplicates."""
