@@ -532,19 +532,18 @@ def q_image_thumbs(sf_dir: str):
     thumbnail → re-encode + stats, actor-pool stage.  Hash-checked
     against an independent reshape-block-mean resize oracle."""
     import ray
+    import ray.data as rd
 
-    from ..sources.tiles import read_tiles
-    from ..stages.multimodal import ImageResizeStage
+    from ..stages.multimodal import ImageResizeStageFused
+    from .biomass import _parquet_files
 
-    ds = read_tiles(
-        tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
-    )
+    paths = _parquet_files(tiles_path(sf_dir))
     ncpus = int(ray.cluster_resources().get("CPU", 4))
-    out = ds.map_batches(
-        ImageResizeStage,
+    out = rd.from_items(paths).map_batches(
+        ImageResizeStageFused,
         batch_format="pyarrow",
         concurrency=(max(1, ncpus // 2), max(2, ncpus)),
-        batch_size=2048,
+        batch_size=1,  # one file per task: retry/backpressure unit
     )
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -568,22 +567,21 @@ def q_county_clip_stats(sf_dir: str):
     ``blob_manager_v3.py:800-845`` / ``landcover_analyzer_v3.py:224-263``).
     Hash-checked against an independent per-edge rasterizer oracle."""
     import ray
+    import ray.data as rd
 
     from ..sources.counties import rect_counties
-    from ..sources.tiles import read_tiles
-    from ..stages.clipzonal import ClipZonalStage
+    from ..stages.clipzonal import ClipZonalStageFused
+    from .biomass import _parquet_files
 
-    ds = read_tiles(
-        tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
-    )
+    paths = _parquet_files(tiles_path(sf_dir))
     ref = ray.put(rect_counties())
     ncpus = int(ray.cluster_resources().get("CPU", 4))
-    per_tile = ds.map_batches(
-        ClipZonalStage,
+    per_tile = rd.from_items(paths).map_batches(
+        ClipZonalStageFused,
         fn_constructor_kwargs={"counties_ref": ref},
         batch_format="pyarrow",
         concurrency=(max(1, ncpus // 2), max(2, ncpus)),
-        batch_size=2048,
+        batch_size=1,  # one file per task: retry/backpressure unit
     )
     g = _grouped_sums(
         per_tile,

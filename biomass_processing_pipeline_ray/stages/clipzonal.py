@@ -62,6 +62,11 @@ class ClipZonalStage:
                 counties["max_lat"].to_numpy(),
             )
         }
+        import pandas as pd
+
+        self._bbox_frame = pd.DataFrame.from_dict(
+            self.bbox, orient="index", columns=["x0", "y0", "x1", "y1"]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         int_ids = image_ids_to_int(batch["image_id"])
@@ -82,23 +87,25 @@ class ClipZonalStage:
         val_sum = np.zeros(n, dtype=np.float64)
         ok = np.zeros(n, dtype=bool)
         pixels: list = [None] * n
-        interior = np.zeros(n, dtype=bool)
+        known = np.asarray([f in self.rings for f in fips_col])
         for k in range(n):
-            if fips_col[k] not in self.rings:
+            if not known[k]:
                 continue
             try:
                 pixels[k] = codecs.decode(bufs[k], fmts[k], int(hs[k]), int(ws[k]))
                 ok[k] = True
             except Exception:
                 continue  # corrupt payload: row flagged invalid, job survives
-            x0, y0, x1, y1 = self.bbox[fips_col[k]]
-            half_w = int(ws[k]) * PIX_DEG * 0.5
-            half_h = int(hs[k]) * PIX_DEG * 0.5
-            interior[k] = (
-                lon[k] - half_w >= x0
-                and lon[k] + half_w <= x1
-                and lat[k] - half_h >= y0
-                and lat[k] + half_h <= y1
+        # vectorized interior test (routing only — both paths bit-equal)
+        bb = self._bbox_frame.reindex(fips_col).to_numpy(dtype=np.float64)
+        half_w_all = ws * PIX_DEG * 0.5
+        half_h_all = hs * PIX_DEG * 0.5
+        with np.errstate(invalid="ignore"):
+            interior = (
+                (lon - half_w_all >= bb[:, 0])
+                & (lat - half_h_all >= bb[:, 1])
+                & (lon + half_w_all <= bb[:, 2])
+                & (lat + half_h_all <= bb[:, 3])
             )
         # interior tiles: all-true mask → stacked vectorized sums per
         # (h, w) shape class (bit-identical to the masked flat sum)
@@ -166,3 +173,22 @@ class ClipZonalStage:
             }
         )
         return out.filter(pa.array(ok))
+
+
+class ClipZonalStageFused(ClipZonalStage):
+    """ClipZonalStage with the parquet read fused into the actor: input
+    rows are file paths, the multi-GB pixel payload never enters the
+    object store (same pattern as ``TileGeoStageFused``)."""
+
+    COLUMNS = ["image_id", "bytes", "w", "h", "fmt"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=self.COLUMNS)
+            for p in batch["item"].to_pylist()
+        ]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        )

@@ -284,14 +284,15 @@ def _explode_bands(
 
 
 def adaptive_n_coarse(n_rows: int | None) -> int:
-    """Coarse-group count scaled to input size: ~64 exploded rows per
-    group keeps per-group dispatch amortized while group count (and so
-    shuffle parallelism) grows with N; capped well below the 4×2^16
-    distinct exact band keys so each coarse group still amortizes many
-    exact buckets."""
+    """Coarse-group count scaled to input size: ~8k exploded rows per
+    group (4 bands × n_rows/2048) keeps per-group Python dispatch well
+    amortized — the dominant cost when groups shrink — while group
+    count still grows with N for shuffle parallelism; floor 1024 (≫
+    cores), cap 2^15 (well below the 4×2^16 distinct exact band keys,
+    so each coarse group amortizes many exact buckets)."""
     if n_rows is None:
         return 1024
-    return int(np.clip(n_rows // 64, 1024, 1 << 15))
+    return int(np.clip(n_rows // 2048, 1024, 1 << 15))
 
 
 def banded_hamming_pairs(

@@ -78,6 +78,25 @@ class ImageResizeStage:
         )
 
 
+class ImageResizeStageFused(ImageResizeStage):
+    """ImageResizeStage with the parquet read fused into the actor —
+    the tile payload never enters the object store (the wide-row rule,
+    same pattern as ``TileGeoStageFused``)."""
+
+    COLUMNS = ["image_id", "bytes", "w", "h", "fmt"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=self.COLUMNS)
+            for p in batch["item"].to_pylist()
+        ]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        )
+
+
 # -- audio: stubbed decode, real features ------------------------------------
 
 
