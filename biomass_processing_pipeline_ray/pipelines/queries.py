@@ -1248,6 +1248,15 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_token_counts(sf_dir: str):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    from ..stages.textstages import token_count_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
@@ -1433,7 +1442,12 @@ def ensure_generated_oracles() -> None:
 
 
 def build_queries() -> dict:
-    from ..stages.textstages import sql_langid, sql_quality, sql_text_stats
+    from ..stages.textstages import (
+        sql_langid,
+        sql_quality,
+        sql_text_stats,
+        sql_token_counts,
+    )
     from .oracles import (
         sql_cell_index,
         sql_county_clip_stats,
@@ -1493,6 +1507,7 @@ def build_queries() -> dict:
         "text_stats": (q_text_stats, sql_text_stats()),
         "langid": (q_langid, sql_langid()),
         "doc_quality": (q_doc_quality, sql_quality()),
+        "token_counts": (q_token_counts, sql_token_counts()),
         "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),

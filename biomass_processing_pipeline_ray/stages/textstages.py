@@ -139,6 +139,38 @@ def sql_quality(table: str = "documents") -> str:
     """
 
 
+# -- token counting: whitespace + BPE-ish regex -------------------------------
+
+# disjoint alternatives (letter runs / digit runs / single other glyphs),
+# so Python re and DuckDB RE2 tokenize identically
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    s = pd.Series(batch["text"].to_pylist())
+    ws = s.str.split().str.len().fillna(0).astype(np.int64)
+    bpe = s.str.count(BPE_RE).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(ws),
+            "n_bpe_tokens": pa.array(bpe),
+        }
+    )
+
+
+def sql_token_counts(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens
+    FROM {table}
+    """
+
+
 # -- fingerprints (no SQL twin; pytest oracle) -------------------------------
 
 _FP_P = np.uint64((1 << 31) - 1)
