@@ -132,6 +132,81 @@ def sql_zonal_px(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# jittered-PIP oracle: the rect-county PIP is mirror-checked by floor
+# arithmetic in SQL, which never exercises the real ray-cast.  This
+# oracle assigns every tile against the JITTERED (non-axis-aligned
+# convex quad) county layer with an independent per-county edge-loop
+# crossing test (vs the engine's CSR all-pairs kernel in geo/pip.py),
+# using the same crossing expression so boundary points agree bit-wise.
+# ---------------------------------------------------------------------------
+
+
+def pip_jittered_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"pip_jittered_n{n}.parquet")
+
+
+def ensure_pip_jittered_oracle(n: int) -> str:
+    path = pip_jittered_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
+    from ..geo.wkb import wkb_to_rings
+    from ..sources.counties import jittered_counties
+
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    counties = jittered_counties()
+    labels = counties["county_fips"].to_pylist()
+    wkbs = counties["geometry_wkb"].to_pylist()
+    order = np.argsort(np.asarray(labels, dtype=object))
+    assigned = np.full(n, "", dtype=object)
+    todo = np.ones(n, dtype=bool)
+    for src in order:  # ascending fips: first match == lowest label
+        if not todo.any():
+            break
+        ring = wkb_to_rings(wkbs[src])[0]
+        bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+        bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+        sel = np.flatnonzero(
+            todo & (lon >= bx0) & (lon <= bx1) & (lat >= by0) & (lat <= by1)
+        )
+        if len(sel) == 0:
+            continue
+        x, y = lon[sel], lat[sel]
+        crossings = np.zeros(len(sel), dtype=np.int64)
+        for e in range(len(ring) - 1):
+            x0, y0 = ring[e]
+            x1, y1 = ring[e + 1]
+            spans = (y0 <= y) != (y1 <= y)
+            if not spans.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+            crossings += spans & (x < xint)
+        inside = sel[crossings % 2 == 1]
+        assigned[inside] = labels[src]
+        todo[inside] = False
+    tbl = pa.table(
+        {
+            "tile_id": pa.array(ids),
+            "county_fips": pa.array(assigned.astype(str), pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_pip_jittered(n: int) -> str:
+    return (
+        "SELECT tile_id, county_fips "
+        f"FROM read_parquet('{pip_jittered_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # thumbnail oracle: independent area resize via RESHAPE block means (the
 # engine uses reduceat segment sums) — uint8 sums are exact in float64,
 # so the two orders agree bit-wise and any real divergence is a bug.

@@ -187,6 +187,28 @@ def _sql_pip_assign(n: int) -> str:
     """
 
 
+def q_pip_assign_jittered(sf_dir: str):
+    """PIP against the JITTERED (non-axis-aligned convex quad) county
+    layer — exercises the real ray-cast kernel, not the floor-arithmetic
+    mirror; hash-checked against an independent per-county edge-loop
+    oracle (``pipelines/oracles.py``)."""
+    import ray
+
+    from ..sources.counties import jittered_counties
+    from ..stages.pip_join import PIPJoiner
+
+    ds = _range_geo(universe_n(sf_dir))
+    ref = ray.put(jittered_counties())
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"counties_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    return ds.select_columns(["tile_id", "county_fips"])
+
+
 def q_cell_index(sf_dir: str):
     """hex + S2 cell encode per tile.  Hash-checked: the hex half
     against pure SQL (``hex_index``), the S2 half against an
@@ -1426,6 +1448,7 @@ def ensure_generated_oracles() -> None:
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
         ensure_minhash_oracle,
+        ensure_pip_jittered_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
         ensure_thumb_oracle,
@@ -1435,6 +1458,7 @@ def ensure_generated_oracles() -> None:
     ensure_clip_oracle(_N_ORACLE)
     ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
+    ensure_pip_jittered_oracle(_N_ORACLE)
     ensure_minhash_oracle()
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
@@ -1456,6 +1480,7 @@ def build_queries() -> dict:
         sql_image_thumbs,
         sql_minhash_pairs,
         sql_phash_neardup,
+        sql_pip_jittered,
         sql_simhash_pairs,
         sql_zonal_px,
     )
@@ -1464,6 +1489,7 @@ def build_queries() -> dict:
         # geo family (north-rule core)
         "zonal_biomass": (q_zonal_biomass, _sql_zonal_core(_N_ORACLE)),
         "pip_assign": (q_pip_assign, _sql_pip_assign(_N_ORACLE)),
+        "pip_assign_jittered": (q_pip_assign_jittered, sql_pip_jittered(_N_ORACLE)),
         "cell_index": (q_cell_index, sql_cell_index(_N_ORACLE)),
         "hex_index": (q_hex_index, _sql_hex_index(_N_ORACLE)),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
