@@ -1092,6 +1092,25 @@ _SQL_HOURLY = f"""
 """
 
 
+def q_sliding_event_stats(sf_dir: str):
+    """Sliding (hopping) window aggregate: 1 h windows every 30 min —
+    each event lands in 2 windows; explode happens inside the combiner
+    so only (type, window) partials shuffle."""
+    from ..stages.windows import sliding_aggregate
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+    return sliding_aggregate(ds)
+
+
+_SQL_SLIDING = f"""
+    SELECT event_type, (epoch_us(ts) // 1800000000) - r.range AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM({sql_snap('value')}) AS value_sum
+    FROM events CROSS JOIN range(2) r
+    GROUP BY event_type, window_id
+"""
+
+
 def q_user_sessions(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -1525,6 +1544,7 @@ def build_queries() -> dict:
         "union_distinct_keys": (q_union_distinct_keys, _SQL_UNION_DISTINCT),
         # stream-shaped family
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
+        "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),

@@ -59,6 +59,49 @@ def _ts_us_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
 
 
+def sliding_partial(
+    batch: pa.Table, width_us: int = US_PER_HOUR, hop_us: int = US_PER_HOUR // 2
+) -> pa.Table:
+    """Per-batch partial for SLIDING (hopping) windows: each event lands
+    in ``width/hop`` windows; the explode happens inside the combiner so
+    only (type, window) partial rows ever shuffle.  Window ``w`` covers
+    ``[w*hop, w*hop + width)``."""
+    from ..functions.rounding import snap_binary
+
+    assert width_us % hop_us == 0
+    k = width_us // hop_us
+    ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    base = ts // hop_us  # last window whose start is <= ts
+    etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    val = snap_binary(batch["value"].to_numpy())
+    frames = []
+    for j in range(k):
+        frames.append(
+            pd.DataFrame(
+                {"event_type": etype, "window_id": base - j, "value": val}
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    g = df.groupby(["event_type", "window_id"], as_index=False).agg(
+        n=("value", "size"), value_sum=("value", "sum")
+    )
+    g["n"] = g["n"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def sliding_aggregate(
+    ds, width_us: int = US_PER_HOUR, hop_us: int = US_PER_HOUR // 2
+):
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: sliding_partial(b, width_us, hop_us), batch_format="pyarrow"
+    )
+    return partial.groupby(["event_type", "window_id"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
+    )
+
+
 def sessionize(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
     """Per-user session counts with a gap rule.
 
