@@ -132,6 +132,114 @@ def sql_zonal_px(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# simplify oracle: Douglas–Peucker keep-set re-derived with an ITERATIVE
+# stack + scalar-math walk (vs the engine's recursive vectorized kernel
+# in geo/geoms.py); identical per-candidate float expressions, so the
+# discrete keep decisions agree exactly.
+# ---------------------------------------------------------------------------
+
+SIMPLIFY_TOL = 0.02
+
+
+def simplify_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "simplify_counties.parquet")
+
+
+def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    import math
+
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        ax, ay = pts[lo]
+        bx, by = pts[hi]
+        abx, aby = bx - ax, by - ay
+        denom = abx * abx + aby * aby
+        best, besti = -1.0, -1
+        for i in range(lo + 1, hi):
+            sx, sy = pts[i][0] - ax, pts[i][1] - ay
+            if denom == 0.0:
+                d = math.sqrt(sx * sx + sy * sy)
+            else:
+                t = (sx * abx + sy * aby) / denom
+                t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+                dx, dy = sx - t * abx, sy - t * aby
+                d = math.sqrt(dx * dx + dy * dy)
+            if d > best:
+                best, besti = d, i
+        if best > tol:
+            keep[besti] = True
+            stack.append((lo, besti))
+            stack.append((besti, hi))
+    return keep
+
+
+def _shoelace_py(ring: np.ndarray) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return s * 0.5
+
+
+def ensure_simplify_oracle(tol: float = SIMPLIFY_TOL) -> str:
+    path = simplify_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..geo.wkb import wkb_to_rings
+    from ..sources.counties import detailed_counties
+
+    t = detailed_counties()
+    rows = []
+    for f, w in zip(t["county_fips"].to_pylist(), t["geometry_wkb"].to_pylist()):
+        ring = wkb_to_rings(w)[0]
+        pts = ring[:-1]
+        keep = _dp_keep(pts, tol)
+        out = pts[keep]
+        if len(out) < 3:
+            out = pts[:3]
+        simp = np.vstack([out, out[:1]])
+        rows.append(
+            (
+                f,
+                len(pts),
+                len(simp) - 1,
+                abs(_shoelace_py(ring)),
+                abs(_shoelace_py(simp)),
+            )
+        )
+    from ..functions.rounding import round_away
+
+    tbl = pa.table(
+        {
+            "county_fips": pa.array([r[0] for r in rows], pa.string()),
+            "n_vertices": pa.array([r[1] for r in rows], pa.int64()),
+            "n_simplified": pa.array([r[2] for r in rows], pa.int64()),
+            "area_deg2": pa.array(round_away(np.asarray([r[3] for r in rows]), 9)),
+            "area_simplified_deg2": pa.array(
+                round_away(np.asarray([r[4] for r in rows]), 9)
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_simplify() -> str:
+    return (
+        "SELECT county_fips, n_vertices, n_simplified, area_deg2, "
+        f"area_simplified_deg2 FROM read_parquet('{simplify_oracle_path()}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # jittered-PIP oracle: the rect-county PIP is mirror-checked by floor
 # arithmetic in SQL, which never exercises the real ray-cast.  This
 # oracle assigns every tile against the JITTERED (non-axis-aligned

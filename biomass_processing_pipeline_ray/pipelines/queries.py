@@ -355,6 +355,41 @@ _SQL_COUNTY_GEO_STATS = f"""
 """
 
 
+def q_county_simplify(sf_dir: str):
+    """Douglas–Peucker simplify (M4) over the detailed (wiggly-edge)
+    county layer: vertex counts + shoelace areas before/after.
+    Hash-checked against an independent iterative-DP oracle."""
+    import ray.data as rd
+
+    from ..geo.geoms import shoelace_area, simplify_ring
+    from ..geo.wkb import wkb_to_rings
+    from ..sources.counties import detailed_counties
+    from .oracles import SIMPLIFY_TOL
+
+    ds = rd.from_arrow(detailed_counties().select(["county_fips", "geometry_wkb"]))
+
+    def stats(b: pa.Table) -> pa.Table:
+        nb, na, area_b, area_a = [], [], [], []
+        for w in b["geometry_wkb"].to_pylist():
+            ring = wkb_to_rings(w)[0]
+            simp = simplify_ring(ring, SIMPLIFY_TOL)
+            nb.append(len(ring) - 1)
+            na.append(len(simp) - 1)
+            area_b.append(abs(shoelace_area(ring)))
+            area_a.append(abs(shoelace_area(simp)))
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n_vertices": pa.array(nb, pa.int64()),
+                "n_simplified": pa.array(na, pa.int64()),
+                "area_deg2": pa.array(round_away(np.asarray(area_b), 9)),
+                "area_simplified_deg2": pa.array(round_away(np.asarray(area_a), 9)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_tile_meta_stats(sf_dir: str):
     """Read the real tile parquet (pruned columns) and roll up per fmt;
     the oracle reconstructs the same stats from the arithmetic tile spec
@@ -1470,6 +1505,7 @@ def ensure_generated_oracles() -> None:
         ensure_pip_jittered_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
+        ensure_simplify_oracle,
         ensure_thumb_oracle,
     )
 
@@ -1478,6 +1514,7 @@ def ensure_generated_oracles() -> None:
     ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
     ensure_pip_jittered_oracle(_N_ORACLE)
+    ensure_simplify_oracle()
     ensure_minhash_oracle()
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
@@ -1494,6 +1531,7 @@ def build_queries() -> dict:
     from .oracles import (
         sql_cell_index,
         sql_county_clip_stats,
+        sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
         sql_image_thumbs,
@@ -1521,6 +1559,7 @@ def build_queries() -> dict:
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
+        "county_simplify": (q_county_simplify, sql_county_simplify()),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
         "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),
         "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
