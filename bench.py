@@ -34,8 +34,11 @@ BENCH_QUERIES = [
     "orders_customer_join",
     "filter_project",
     "hourly_event_stats",
+    "sliding_event_stats",
     "user_sessions",
     "asof_order_events",
+    "order_events_range_join",
+    "pip_assign_jittered",
     "exact_dedup",
     "minhash_pairs",
     "ann_topk",
