@@ -1346,6 +1346,48 @@ _SQL_EXACT_DEDUP = """
 """
 
 
+def q_corpus_dedup_keep(sf_dir: str):
+    """Composed training-corpus cleaning pipeline: exact dedup (keep the
+    lowest doc_id per identical text) THEN near-dup removal (drop the
+    higher id of every verified MinHash pair).  The near-dup pair set is
+    tiny relative to the corpus, so the removal is a broadcast anti-join
+    — the standard corpus-dedup composition at 100 TB."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    kept = exact_dedup(docs)  # (text_md5, doc_id, dup_count)
+
+    pairs = minhash_lsh_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.7,
+    )
+    drop = np.asarray(sorted(pairs.unique("b")), dtype=np.int64)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        keep_mask = pc.invert(pc.is_in(b["doc_id"], pa.array(drop, pa.int64())))
+        b = b.filter(keep_mask)
+        return pa.table(
+            {"doc_id": b["doc_id"], "dup_count": b["dup_count"]}
+        )
+
+    return kept.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_corpus_dedup_keep() -> str:
+    from .oracles import minhash_oracle_path
+
+    return f"""
+    SELECT doc_id, dup_count FROM (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY text)
+    WHERE doc_id NOT IN (SELECT b FROM read_parquet('{minhash_oracle_path()}'))
+    """
+
+
 def q_fingerprints(sf_dir: str):
     from ..stages.textstages import fingerprint_batch
 
@@ -1594,6 +1636,7 @@ def build_queries() -> dict:
         "doc_quality": (q_doc_quality, sql_quality()),
         "token_counts": (q_token_counts, sql_token_counts()),
         "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
+        "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
