@@ -25,6 +25,17 @@ EP2 = E2 / (1.0 - E2)                    # second eccentricity squared
 K0 = 0.9996
 FALSE_EASTING = 500000.0
 FALSE_NORTHING_S = 10000000.0
+# deg→rad as ONE multiplicative constant (what np.radians applies); kept
+# explicit so the DuckDB mirror (sql_utm) uses the identical literal and
+# the product is bit-identical on both sides
+DEG2RAD = float(np.radians(1.0))
+
+# meridian-arc coefficients (Snyder eq. 3-21), precomputed so both the
+# numpy path and the SQL mirror consume the same float64 literals
+_M0 = 1 - E2 / 4 - 3 * (E2 * E2) / 64 - 5 * (E2 * E2 * E2) / 256
+_M1 = 3 * E2 / 8 + 3 * (E2 * E2) / 32 + 45 * (E2 * E2 * E2) / 1024
+_M2 = 15 * (E2 * E2) / 256 + 45 * (E2 * E2 * E2) / 1024
+_M3 = 35 * (E2 * E2 * E2) / 3072
 
 
 def utm_zone(lon: np.ndarray) -> np.ndarray:
@@ -47,12 +58,11 @@ def _central_meridian(zone: np.ndarray) -> np.ndarray:
 
 def _mdist(phi: np.ndarray) -> np.ndarray:
     """Meridian arc length from equator (Snyder eq. 3-21)."""
-    e2, e4, e6 = E2, E2 * E2, E2 * E2 * E2
     return WGS84_A * (
-        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
-        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
-        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
-        - (35 * e6 / 3072) * np.sin(6 * phi)
+        _M0 * phi
+        - _M1 * np.sin(2 * phi)
+        + _M2 * np.sin(4 * phi)
+        - _M3 * np.sin(6 * phi)
     )
 
 
@@ -65,15 +75,25 @@ def wgs84_to_utm(
     zone = utm_zone(lon) if zone is None else np.broadcast_to(
         np.asarray(zone, dtype=np.int64), lon.shape
     )
-    phi = np.radians(lat)
-    lam = np.radians(lon - _central_meridian(zone))
-    sp, cp, tp = np.sin(phi), np.cos(phi), np.tan(phi)
+    # every op below is chosen to be bit-reproducible in the DuckDB
+    # mirror (sql_utm): single-constant deg→rad product, tan as sin/cos
+    # (DuckDB's TAN differs from numpy's in the last ulp; division is
+    # IEEE-exact), and explicit left-to-right power chains (a**k and
+    # POWER(a,k) round differently)
+    phi = lat * DEG2RAD
+    lam = (lon - _central_meridian(zone)) * DEG2RAD
+    sp, cp = np.sin(phi), np.cos(phi)
+    tp = sp / cp
     n = WGS84_A / np.sqrt(1 - E2 * sp * sp)
     t = tp * tp
     c = EP2 * cp * cp
     a = cp * lam
     m = _mdist(phi)
-    a2, a3, a4, a5, a6 = a * a, a**3, a**4, a**5, a**6
+    a2 = a * a
+    a3 = a2 * a
+    a4 = a3 * a
+    a5 = a4 * a
+    a6 = a5 * a
     east = FALSE_EASTING + K0 * n * (
         a + (1 - t + c) * a3 / 6 + (5 - 18 * t + t * t + 72 * c - 58 * EP2) * a5 / 120
     )
@@ -131,6 +151,43 @@ def utm_to_wgs84(
         + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * EP2 + 24 * t1 * t1) * d5 / 120
     ) / cp
     return np.degrees(lon) + _central_meridian(zone), np.degrees(lat)
+
+
+def sql_utm(lon_expr: str, lat_expr: str) -> tuple[str, str, str]:
+    """DuckDB mirror of :func:`wgs84_to_utm` — MUST stay in op-order
+    lockstep with the numpy above (see the comment there).  Returns
+    (easting, northing, zone) SQL expressions.  Northern hemisphere
+    only (the georef domain); the engine's hemisphere branch is a
+    no-op there."""
+    zone = f"((CAST(FLOOR(({lon_expr} + 180.0) / 6.0) AS BIGINT) % 60) + 1)"
+    cm = f"(-183.0 + 6.0 * CAST({zone} AS DOUBLE))"
+    phi = f"(({lat_expr}) * {DEG2RAD!r})"
+    lam = f"((({lon_expr}) - {cm}) * {DEG2RAD!r})"
+    sp, cp = f"SIN({phi})", f"COS({phi})"
+    tp = f"({sp} / {cp})"
+    n = f"({WGS84_A!r} / SQRT(1 - {E2!r} * {sp} * {sp}))"
+    t = f"({tp} * {tp})"
+    c = f"({EP2!r} * {cp} * {cp})"
+    a = f"({cp} * {lam})"
+    m = (
+        f"({WGS84_A!r} * ({_M0!r} * {phi} - {_M1!r} * SIN(2 * {phi})"
+        f" + {_M2!r} * SIN(4 * {phi}) - {_M3!r} * SIN(6 * {phi})))"
+    )
+    a2 = f"({a} * {a})"
+    a3 = f"({a2} * {a})"
+    a4 = f"({a3} * {a})"
+    a5 = f"({a4} * {a})"
+    a6 = f"({a5} * {a})"
+    east = (
+        f"({FALSE_EASTING!r} + {K0!r} * {n} * ({a} + (1 - {t} + {c}) * {a3} / 6"
+        f" + (5 - 18 * {t} + {t} * {t} + 72 * {c} - 58 * {EP2!r}) * {a5} / 120))"
+    )
+    north = (
+        f"({K0!r} * ({m} + {n} * {tp} * ({a2} / 2"
+        f" + (5 - {t} + 9 * {c} + 4 * {c} * {c}) * {a4} / 24"
+        f" + (61 - 58 * {t} + {t} * {t} + 600 * {c} - 330 * {EP2!r}) * {a6} / 720)))"
+    )
+    return east, north, zone
 
 
 def utm_batch(batch, lon_col: str = "lon", lat_col: str = "lat"):

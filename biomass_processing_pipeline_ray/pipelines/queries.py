@@ -355,6 +355,30 @@ _SQL_COUNTY_GEO_STATS = f"""
 """
 
 
+def q_utm_project(sf_dir: str):
+    """CRS transform (M11): WGS84 → UTM easting/northing/zone per tile,
+    bit-identical to the DuckDB Snyder-series mirror (op-order lockstep,
+    see ``geo/crs.sql_utm``)."""
+    from ..geo.crs import utm_batch
+
+    ds = _range_geo(universe_n(sf_dir))
+    return ds.map_batches(utm_batch, batch_format="pyarrow").select_columns(
+        ["tile_id", "utm_easting", "utm_northing", "utm_zone"]
+    )
+
+
+def _sql_utm_project(n: int) -> str:
+    from ..geo.crs import sql_utm
+
+    lon, lat = G.sql_lonlat("id")
+    e, nn, z = sql_utm(lon, lat)
+    return f"""
+    SELECT id AS tile_id, {e} AS utm_easting, {nn} AS utm_northing,
+           CAST({z} AS BIGINT) AS utm_zone
+    FROM (SELECT range AS id FROM range({n}))
+    """
+
+
 def q_county_simplify(sf_dir: str):
     """Douglas–Peucker simplify (M4) over the detailed (wiggly-edge)
     county layer: vertex counts + shoelace areas before/after.
@@ -1602,6 +1626,7 @@ def build_queries() -> dict:
         "county_top10": (q_county_top10, _sql_county_top10(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
+        "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
         "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),
         "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
