@@ -1170,6 +1170,30 @@ _SQL_SLIDING = f"""
 """
 
 
+def q_watermark_event_stats(sf_dir: str):
+    """Tumbling aggregate with allowed-lateness watermark semantics:
+    deterministically-delayed arrivals past window_end + lateness are
+    dropped and counted separately."""
+    from ..stages.windows import watermark_aggregate
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return watermark_aggregate(ds)
+
+
+_SQL_WATERMARK = f"""
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+           CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN on_time THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
+           SUM(CASE WHEN on_time THEN {sql_snap('value')} ELSE 0.0 END) AS value_sum
+    FROM (SELECT event_type, ts, value,
+                 (epoch_us(ts) + (event_id % 7) * 600000000)
+                   <= ((epoch_us(ts) // 3600000000) + 1) * 3600000000 + 900000000
+                   AS on_time
+          FROM events)
+    GROUP BY event_type, hour_bucket
+"""
+
+
 def q_user_sessions(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -1651,6 +1675,7 @@ def build_queries() -> dict:
         # stream-shaped family
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
+        "watermark_event_stats": (q_watermark_event_stats, _SQL_WATERMARK),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),

@@ -102,6 +102,61 @@ def sliding_aggregate(
     )
 
 
+def watermark_partial(
+    batch: pa.Table,
+    width_us: int = US_PER_HOUR,
+    lateness_us: int = US_PER_HOUR // 4,
+    delay_mod: int = 7,
+    delay_step_us: int = 600_000_000,
+) -> pa.Table:
+    """Watermark semantics over a replayed log: each event's ARRIVAL
+    time is its event time plus a deterministic per-event delay
+    (``(event_id % delay_mod) * delay_step``, standing in for network
+    lag).  A tumbling window finalizes at ``window_end + lateness``;
+    events arriving later are counted as dropped, not aggregated —
+    the allowed-lateness rule of streaming engines, expressed as a
+    deterministic batch transform (mergeable partials)."""
+    from ..functions.rounding import snap_binary
+
+    ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = batch["event_id"].to_numpy()
+    arrival = ts + (eid % delay_mod) * delay_step_us
+    bucket = ts // width_us
+    on_time = arrival <= (bucket + 1) * width_us + lateness_us
+    etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    val = snap_binary(batch["value"].to_numpy())
+    df = pd.DataFrame(
+        {
+            "event_type": etype,
+            "hour_bucket": bucket,
+            "on_time": on_time.astype(np.int64),
+            "late": (~on_time).astype(np.int64),
+            "value": np.where(on_time, val, 0.0),
+        }
+    )
+    g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
+        n_on_time=("on_time", "sum"),
+        n_late=("late", "sum"),
+        value_sum=("value", "sum"),
+    )
+    g["n_on_time"] = g["n_on_time"].astype(np.int64)
+    g["n_late"] = g["n_late"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def watermark_aggregate(ds, **kw):
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: watermark_partial(b, **kw), batch_format="pyarrow"
+    )
+    return partial.groupby(["event_type", "hour_bucket"]).aggregate(
+        Sum("n_on_time", alias_name="n_on_time"),
+        Sum("n_late", alias_name="n_late"),
+        Sum("value_sum", alias_name="value_sum"),
+    )
+
+
 def sessionize(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
     """Per-user session counts with a gap rule.
 
