@@ -92,7 +92,7 @@ def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     from biomass_processing_pipeline_ray.pipelines.queries import build_queries, sf_of
 
     headline_sec, n_tiles, _ = run_headline(
-        sf_dir, trials=int(os.environ.get("GRAFT_TRIALS", "2"))
+        sf_dir, trials=int(os.environ.get("GRAFT_TRIALS", "3"))
     )
     out = {
         "metric": "headline pixel zonal pipeline wall-clock (sf dir)",

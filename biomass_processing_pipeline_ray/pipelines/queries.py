@@ -550,22 +550,39 @@ def _sql_county_fmt_hist(n: int) -> str:
     """
 
 
+def _add_fips_coarse(b: pa.Table, n_coarse: int = 64) -> pa.Table:
+    """Coarse co-partition key from the fips string (bounded groups —
+    per-key map_groups dispatch stays O(n_coarse) even at 3k counties)."""
+    import pyarrow.compute as pc
+
+    f = pc.cast(b["county_fips"], pa.int64()).to_numpy()
+    return b.append_column("coarse", pa.array(f % n_coarse))
+
+
 def q_county_shannon(sf_dir: str):
-    """Shannon diversity of the zonal histogram (reference G10)."""
+    """Shannon diversity of the zonal histogram (reference G10) —
+    coarse-bucketed: each bucket computes ALL its counties' entropies
+    with one vectorized pandas pass."""
     counts = _county_fmt_counts(sf_dir)
 
-    def entropy(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["n"].to_numpy().astype(np.float64)
-        p = n / n.sum()
-        h = float(-(p * np.log(p)).sum() / np.log(3.0))
+    def entropy_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].astype(np.float64)
+        tot = n.groupby(g["county_fips"]).transform("sum")
+        p = (n / tot).to_numpy()
+        term = pd.Series(p * np.log(p), index=g.index)
+        h = term.groupby(g["county_fips"]).sum()
         return pd.DataFrame(
             {
-                "county_fips": [g["county_fips"].iloc[0]],
-                "shannon": round_away(np.asarray([h]), 6),
+                "county_fips": h.index.to_numpy(),
+                "shannon": round_away(-h.to_numpy() / np.log(3.0), 6),
             }
         )
 
-    return counts.groupby("county_fips").map_groups(entropy, batch_format="pandas")
+    return (
+        counts.map_batches(_add_fips_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(entropy_bucket, batch_format="pandas")
+    )
 
 
 def _sql_county_shannon(n: int) -> str:
@@ -581,20 +598,29 @@ def _sql_county_shannon(n: int) -> str:
 
 def q_county_dominant_fmt(sf_dir: str):
     """Dominant class per zone (reference O3: argmax by count, ties to
-    the lexicographically smallest fmt)."""
+    the lexicographically smallest fmt) — coarse-bucketed vectorized
+    argmax (sort + drop_duplicates), no per-county Python dispatch."""
     counts = _county_fmt_counts(sf_dir)
 
-    def dominant(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "fmt"], ascending=[False, True])
+    def dominant_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["county_fips", "n", "fmt"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        d = g.drop_duplicates("county_fips")
         return pd.DataFrame(
             {
-                "county_fips": [g["county_fips"].iloc[0]],
-                "dominant_fmt": [g["fmt"].iloc[0]],
-                "n_dominant": [np.int64(g["n"].iloc[0])],
+                "county_fips": d["county_fips"].to_numpy(),
+                "dominant_fmt": d["fmt"].to_numpy(),
+                "n_dominant": d["n"].to_numpy().astype(np.int64),
             }
         )
 
-    return counts.groupby("county_fips").map_groups(dominant, batch_format="pandas")
+    return (
+        counts.map_batches(_add_fips_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(dominant_bucket, batch_format="pandas")
+    )
 
 
 def _sql_county_dominant_fmt(n: int) -> str:
