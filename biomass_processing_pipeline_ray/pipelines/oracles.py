@@ -710,6 +710,66 @@ def sql_minhash_pairs() -> str:
     return f"SELECT a, b, jaccard FROM read_parquet('{minhash_oracle_path()}')"
 
 
+def _py_char_shingles(text: str, k: int = 8) -> list[int]:
+    import zlib
+
+    if len(text) < k:
+        grams = [text] if text else []
+    else:
+        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    return sorted({zlib.crc32(g.encode("utf-8")) for g in grams})
+
+
+def ngram_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "ngram_jaccard_sf001.parquet")
+
+
+def ensure_ngram_oracle(threshold: float = 0.5) -> str:
+    """Character-n-gram-Jaccard reference: same brute-force LSH + exact
+    Jaccard walk as the MinHash oracle, over char 8-gram shingles."""
+    from collections import defaultdict
+
+    from ..stages.dedup import BANDS, ROWS_PER_BAND
+
+    path = ngram_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    docs = _read_docs(ORACLE_SF_DIR)
+    shingles = {d: _py_char_shingles(t) for d, t in docs}
+    sigs = {d: _py_minhash_sig(s) for d, s in shingles.items()}
+    cand: set[tuple[int, int]] = set()
+    for b in range(BANDS):
+        buckets: dict[tuple, list[int]] = defaultdict(list)
+        for d, sig in sigs.items():
+            buckets[tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])].append(d)
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(cand):
+        j = _py_jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((a, b, j))
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return f"SELECT a, b, jaccard FROM read_parquet('{ngram_oracle_path()}')"
+
+
 def simhash_oracle_path() -> str:
     return os.path.join(ORACLE_DIR, "simhash_sf001.parquet")
 

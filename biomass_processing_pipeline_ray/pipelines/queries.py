@@ -1481,6 +1481,17 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, docs, threshold=0.7)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Character n-gram Jaccard near-dup pairs: the same broadcast-free
+    MinHash-LSH machinery over char 8-gram shingles (robust to
+    word-boundary edits); exact char-Jaccard verify."""
+    from ..stages.dedup import char_shingle_set, minhash_lsh_pairs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, docs, threshold=0.5, shingler=char_shingle_set)
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -1618,6 +1629,7 @@ def ensure_generated_oracles() -> None:
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
         ensure_minhash_oracle,
+        ensure_ngram_oracle,
         ensure_pip_jittered_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
@@ -1632,6 +1644,7 @@ def ensure_generated_oracles() -> None:
     ensure_pip_jittered_oracle(_N_ORACLE)
     ensure_simplify_oracle()
     ensure_minhash_oracle()
+    ensure_ngram_oracle()
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
     ensure_ivf_oracle()
@@ -1652,6 +1665,7 @@ def build_queries() -> dict:
         sql_ivf_topk,
         sql_image_thumbs,
         sql_minhash_pairs,
+        sql_ngram_jaccard_pairs,
         sql_phash_neardup,
         sql_pip_jittered,
         sql_simhash_pairs,
@@ -1716,6 +1730,7 @@ def build_queries() -> dict:
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs()),
         # embedding family
         "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, sql_ivf_topk()),

@@ -92,19 +92,33 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return v.min(axis=0)
 
 
-def minhash_bands_batch(batch: pa.Table, n_coarse: int = 1024) -> pa.Table:
+def char_shingle_set(text: str, k: int = 8) -> np.ndarray:
+    """Character k-gram shingles hashed with crc32 — the n-gram-Jaccard
+    dedup flavor (robust to word-boundary edits)."""
+    if len(text) < k:
+        grams = [text] if text else []
+    else:
+        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    return np.unique(
+        np.asarray([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+    )
+
+
+def minhash_bands_batch(batch: pa.Table, n_coarse: int = 1024, shingler=None) -> pa.Table:
     """Explode each doc into BANDS (band_key, coarse, doc_id) rows.
 
     ``band_key`` is the first 8 bytes of md5(band_id ‖ signature chunk)
     as int64 — band identity is folded INTO the key, so downstream
     stages match on a single integer column; ``coarse`` is derived
     vectorized from it (no per-row Python on the exploded hot path)."""
+    if shingler is None:
+        shingler = shingle_set
     ids = batch["doc_id"].to_numpy()
     texts = batch["text"].to_pylist()
     n = len(texts)
     keys = np.empty((n, BANDS), dtype=np.int64)
     for i, t in enumerate(texts):
-        sig = minhash_signature(shingle_set(t))
+        sig = minhash_signature(shingler(t))
         for b in range(BANDS):
             chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
             digest = hashlib.md5(bytes([b]) + chunk.tobytes()).digest()
@@ -126,7 +140,9 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
+def minhash_lsh_pairs(
+    ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256, shingler=None
+):
     """Candidate pairs from LSH buckets, verified with exact Jaccard —
     with NO whole-corpus broadcast anywhere.
 
@@ -142,8 +158,15 @@ def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
 
     ``docs_ds`` is a second (column-pruned) read of the documents table
     — at scale that is a re-scan, never a driver materialization.
+    ``shingler`` picks the dedup flavor: word k-gram (default) or
+    :func:`char_shingle_set` for character n-gram Jaccard.
     """
-    bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    if shingler is None:
+        shingler = shingle_set
+    bands = ds.map_batches(
+        lambda b: minhash_bands_batch(b, shingler=shingler),
+        batch_format="pyarrow",
+    )
 
     def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["band_key", "doc_id"])
@@ -228,8 +251,8 @@ def minhash_lsh_pairs(ds, docs_ds, threshold: float = 0.7, n_coarse: int = 256):
         cache: dict[int, np.ndarray] = {}
         out = []
         for a, b, ta, tb in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
-            sa = cache.setdefault(int(a), shingle_set(ta))
-            sb = cache.setdefault(int(b), shingle_set(tb))
+            sa = cache.setdefault(int(a), shingler(ta))
+            sb = cache.setdefault(int(b), shingler(tb))
             j = jaccard(sa, sb)
             if j >= threshold:
                 out.append((int(a), int(b), j))
