@@ -355,6 +355,68 @@ _SQL_COUNTY_GEO_STATS = f"""
 """
 
 
+_BBOX_QUERY = (-90.5, 38.0, -89.0, 40.5)  # spatial range scan window
+
+
+def q_bbox_search_indexed(sf_dir: str):
+    """Spatial range scan against the S2-partitioned store: zone-map
+    manifest pruning reads only intersecting partitions, then an exact
+    bbox filter + count/biomass rollup.  Equals the full-scan SQL
+    (zone maps are supersets), proving pruned reads lose nothing."""
+    import pyarrow.compute as pc
+
+    from ..stages.geoindex import read_spatial_store, write_spatial_store
+
+    n = universe_n(sf_dir)
+    store = os.path.join(TILE_CACHE, f"geostore_n{n}")
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        return b.append_column("biomass", pa.array(snap_binary(G.derive_biomass(ids))))
+
+    write_spatial_store(
+        _range_geo(n).map_batches(add_cols, batch_format="pyarrow"), store
+    )
+    bx0, by0, bx1, by1 = _BBOX_QUERY
+    ds = read_spatial_store(store, _BBOX_QUERY, columns=["lon", "lat", "biomass"])
+
+    def in_box(b: pa.Table) -> pa.Table:
+        keep = (
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["lon"], bx0), pc.less_equal(b["lon"], bx1)
+                ),
+                pc.and_(
+                    pc.greater_equal(b["lat"], by0), pc.less_equal(b["lat"], by1)
+                ),
+            )
+        )
+        return b.filter(keep)
+
+    boxed = ds.map_batches(in_box, batch_format="pyarrow")
+    n_tiles = boxed.count()
+    bsum = boxed.sum("biomass")
+    return pa.table(
+        {
+            "n_tiles": pa.array([n_tiles], pa.int64()),
+            "biomass_sum": pa.array(round_away(np.asarray([bsum]), 4)),
+        }
+    )
+
+
+def _sql_bbox_search(n: int) -> str:
+    lon, lat, _ = _geo_sql_fragments()
+    bm = sql_snap(G.sql_biomass("id"))
+    bx0, by0, bx1, by1 = _BBOX_QUERY
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           ROUND(SUM(b), 4) AS biomass_sum
+    FROM (SELECT {lon} AS lon, {lat} AS lat, {bm} AS b
+          FROM (SELECT range AS id FROM range({n})))
+    WHERE lon >= {bx0} AND lon <= {bx1} AND lat >= {by0} AND lat <= {by1}
+    """
+
+
 def q_utm_project(sf_dir: str):
     """CRS transform (M11): WGS84 → UTM easting/northing/zone per tile,
     bit-identical to the DuckDB Snyder-series mirror (op-order lockstep,
@@ -1691,6 +1753,7 @@ def build_queries() -> dict:
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
+        "bbox_search_indexed": (q_bbox_search_indexed, _sql_bbox_search(_N_ORACLE)),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),
         "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),
         "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
