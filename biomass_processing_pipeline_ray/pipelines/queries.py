@@ -393,13 +393,21 @@ def q_bbox_search_indexed(sf_dir: str):
         )
         return b.filter(keep)
 
-    boxed = ds.map_batches(in_box, batch_format="pyarrow")
-    n_tiles = boxed.count()
-    bsum = boxed.sum("biomass")
+    def partial(b: pa.Table) -> pa.Table:
+        b = in_box(b)
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "s": pa.array([float(np.sum(b["biomass"].to_numpy()))]),
+            }
+        )
+
+    # single pass: one bounded partial row per block reaches the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return pa.table(
         {
-            "n_tiles": pa.array([n_tiles], pa.int64()),
-            "biomass_sum": pa.array(round_away(np.asarray([bsum]), 4)),
+            "n_tiles": pa.array([int(parts["n"].sum())], pa.int64()),
+            "biomass_sum": pa.array(round_away(np.asarray([parts["s"].sum()]), 4)),
         }
     )
 

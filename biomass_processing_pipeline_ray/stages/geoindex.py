@@ -38,9 +38,6 @@ def write_spatial_store(ds, out_dir: str, level: int = 8) -> str:
     atomic rename)."""
     import shutil
 
-    import ray.data as rd  # noqa: F401  (ray must be up)
-    from ray.data.aggregate import Max, Min
-
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
@@ -52,23 +49,41 @@ def write_spatial_store(ds, out_dir: str, level: int = 8) -> str:
             "s2_part", _part_col(b["lon"].to_numpy(), b["lat"].to_numpy(), level)
         )
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow")
-    parted.write_parquet(tmp, partition_cols=["s2_part"])
-    # zone maps: exact per-partition lon/lat bounds (small aggregate)
-    manifest = (
-        parted.groupby("s2_part")
-        .aggregate(
-            Min("lon", alias_name="min_lon"),
-            Min("lat", alias_name="min_lat"),
-            Max("lon", alias_name="max_lon"),
-            Max("lat", alias_name="max_lat"),
-        )
-        .to_pandas()
+    ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["s2_part"]
     )
-    pq.write_table(
-        pa.Table.from_pandas(manifest, preserve_index=False),
-        os.path.join(tmp, MANIFEST),
+    # zone maps from the written parquet FOOTER statistics — the data is
+    # read zero extra times (the min/max of every column is already in
+    # each row group's metadata)
+    rows = []
+    for entry in sorted(os.listdir(tmp)):
+        if not entry.startswith("s2_part="):
+            continue
+        part_dir = os.path.join(tmp, entry)
+        lo = [np.inf, np.inf]
+        hi = [-np.inf, -np.inf]
+        for f in os.listdir(part_dir):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(part_dir, f))
+            schema_names = meta.schema.to_arrow_schema().names
+            for ci, col in enumerate(("lon", "lat")):
+                idx = schema_names.index(col)
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    lo[ci] = min(lo[ci], st.min)
+                    hi[ci] = max(hi[ci], st.max)
+        rows.append((entry.split("=", 1)[1], lo[0], lo[1], hi[0], hi[1]))
+    manifest = pa.table(
+        {
+            "s2_part": pa.array([r[0] for r in rows], pa.string()),
+            "min_lon": pa.array([r[1] for r in rows], pa.float64()),
+            "min_lat": pa.array([r[2] for r in rows], pa.float64()),
+            "max_lon": pa.array([r[3] for r in rows], pa.float64()),
+            "max_lat": pa.array([r[4] for r in rows], pa.float64()),
+        }
     )
+    pq.write_table(manifest, os.path.join(tmp, MANIFEST))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
