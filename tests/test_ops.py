@@ -457,3 +457,37 @@ def test_relational_ops_vs_pandas(rd, ray_session):
     got_k = topk(rd.from_pandas(dup), by="val", k=5, tie_col="rid")
     exp_k = dup.sort_values(["val", "rid"], ascending=[False, True]).head(5)
     assert np.array_equal(got_k.rid.to_numpy(), exp_k.rid.to_numpy())
+
+
+def test_spatial_store_zone_map_pruning(rd, ray_session, tmp_path):
+    """Zone-map pruned reads are exact: for random bboxes, the pruned
+    subset contains every row the full scan finds in the box."""
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.stages.geoindex import (
+        read_spatial_store,
+        write_spatial_store,
+    )
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    tbl = pa.table({"tile_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+    store = str(tmp_path / "geostore")
+    write_spatial_store(rd.from_arrow(tbl), store)
+
+    rng = np.random.default_rng(13)
+    for _ in range(5):
+        x0 = rng.uniform(G.LON0, G.LON0 + G.LON_SPAN - 0.5)
+        y0 = rng.uniform(G.LAT0, G.LAT0 + G.LAT_SPAN - 0.5)
+        bbox = (x0, y0, x0 + rng.uniform(0.2, 1.5), y0 + rng.uniform(0.2, 1.5))
+        got = read_spatial_store(store, bbox).to_pandas()
+        inside = got[
+            (got.lon >= bbox[0]) & (got.lon <= bbox[2])
+            & (got.lat >= bbox[1]) & (got.lat <= bbox[3])
+        ]
+        exp = (
+            (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+        )
+        assert set(inside.tile_id) == set(ids[exp])
+        # pruning actually prunes: the store read is a strict subset
+        assert len(got) < n
