@@ -142,7 +142,7 @@ SIMPLIFY_TOL = 0.02
 
 
 def simplify_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "simplify_counties.parquet")
+    return os.path.join(ORACLE_DIR, "simplify_counties_v1.parquet")
 
 
 def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
@@ -250,7 +250,7 @@ def sql_county_simplify() -> str:
 
 
 def pip_jittered_oracle_path(n: int) -> str:
-    return os.path.join(ORACLE_DIR, f"pip_jittered_n{n}.parquet")
+    return os.path.join(ORACLE_DIR, f"pip_jittered_n{n}_v1.parquet")
 
 
 def ensure_pip_jittered_oracle(n: int) -> str:
@@ -529,7 +529,7 @@ def sql_county_clip_stats(n: int) -> str:
 
 
 def cell_oracle_path(n: int) -> str:
-    return os.path.join(ORACLE_DIR, f"cells_n{n}.parquet")
+    return os.path.join(ORACLE_DIR, f"cells_n{n}_v1.parquet")
 
 
 def _s2_cells_independent(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
@@ -661,7 +661,7 @@ def _py_jaccard(sa: list[int], sb: list[int]) -> float:
 
 
 def minhash_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "minhash_sf001.parquet")
+    return os.path.join(ORACLE_DIR, "minhash_sf001_v1.parquet")
 
 
 def ensure_minhash_oracle(threshold: float = 0.7) -> str:
@@ -721,7 +721,7 @@ def _py_char_shingles(text: str, k: int = 8) -> list[int]:
 
 
 def ngram_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "ngram_jaccard_sf001.parquet")
+    return os.path.join(ORACLE_DIR, "ngram_jaccard_sf001_v1.parquet")
 
 
 def ensure_ngram_oracle(threshold: float = 0.5) -> str:
@@ -771,7 +771,7 @@ def sql_ngram_jaccard_pairs() -> str:
 
 
 def simhash_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "simhash_sf001.parquet")
+    return os.path.join(ORACLE_DIR, "simhash_sf001_v1.parquet")
 
 
 def ensure_simhash_oracle(max_hamming: int = 3) -> str:
@@ -835,7 +835,7 @@ def sql_simhash_pairs() -> str:
 
 
 def fingerprint_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "fingerprints_sf001.parquet")
+    return os.path.join(ORACLE_DIR, "fingerprints_sf001_v1.parquet")
 
 
 def ensure_fingerprint_oracle(k: int = 8, w: int = 4) -> str:
@@ -896,7 +896,10 @@ def sql_fingerprints() -> str:
 
 
 def ivf_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "ivf_topk_sf001.parquet")
+    # v2: hashed k-means training sample (round-3 fix of the id-prefix
+    # sample bias) — versioned filename so a stale cached oracle built
+    # with the old sample can never be reused silently
+    return os.path.join(ORACLE_DIR, "ivf_topk_sf001_v2.parquet")
 
 
 def ensure_ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
@@ -910,6 +913,7 @@ def ensure_ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
     if os.path.exists(path):
         return path
     os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
     from ..functions.rounding import round_away
     from ..stages.ann import _normalize, kmeans_centroids
 
@@ -921,7 +925,11 @@ def ensure_ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
-    sample = emb[:512]
+    # hashed training sample, hash-ascending order — the engine's
+    # distributed hashed-top-k pull (_query_vectors) yields the same
+    # 512 rows in the same order
+    skey = G.derive_key(ids)
+    sample = emb[np.argsort(skey, kind="stable")[:512]]
     qids = ids[:8]
     qmat = _normalize(emb[:8].copy())
     cents = kmeans_centroids(sample, nlist)
@@ -986,3 +994,103 @@ def sql_phash_neardup(n: int, max_hamming: int = 3) -> str:
               JOIN h hb ON hb.tile_id = cand.tb
     WHERE bit_count(xor(ha.phash, hb.phash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# full-n kNN+IDW oracle: BRUTE-FORCE O(n²) distances in chunked numpy —
+# independent of both the engine's grid-bucketed index (geo/knn.py
+# GridKNN ring walk) and the sharded halo fan-out (stages/knn_sharded).
+# The O(n²) SQL join form is infeasible at n=60k (3.6e9 pair rows), but
+# the same mathematics as a chunked dense distance matrix is a ~seconds
+# one-time pass, cached as a per-tile parquet the registered SQL reads.
+# Reference semantics: the radius-capped FIA neighbor join,
+# database_config_v3.py:104-114.
+# ---------------------------------------------------------------------------
+
+
+def knn_idw_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"knn_idw_n{n}_v1.parquet")
+
+
+def _knn_idw_chunk(lo: int, hi: int, n: int, k: int) -> pa.Table:
+    """Brute-force kNN+IDW for query ids [lo, hi) against all n tiles.
+
+    Float parity with ``stages/knn_sharded._solve_cell``: identical
+    expressions in identical order — d2 = dx*dx + dy*dy, neighbor order
+    (d2, id) ascending, w = 1/(sqrt(d2) + 0.01), idw = Σwv/Σw over the
+    k neighbors, half-away rounding to 6 — so equality is bitwise."""
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+    from ..stages.knn_sharded import IDW_EPS
+
+    all_ids = np.arange(n, dtype=np.int64)
+    x, y = G.derive_lonlat(all_ids)
+    values = G.derive_value(all_ids)
+    q = np.arange(lo, hi, dtype=np.int64)
+    dx = x[None, :] - x[q][:, None]
+    dy = y[None, :] - y[q][:, None]
+    d2 = dx * dx + dy * dy
+    d2[np.arange(len(q)), q] = np.inf  # exclude self by id
+    # pad absorbs (d2) ties at the k-boundary: the georef lattice is
+    # exact binary, so mirrored offsets (and hash-collided duplicate
+    # positions) produce EXACT float ties that argpartition may split
+    # arbitrarily — candidates are re-ordered by (d2, id) and a
+    # boundary-tie check falls back to a full row sort when the tie
+    # group could extend past the pad window
+    pad = min(k + 64, n - 1)
+    part = np.argpartition(d2, pad - 1, axis=1)[:, :pad]
+    idw = np.empty(len(q), dtype=np.float64)
+    for r in range(len(q)):
+        cand = part[r]
+        cd2 = d2[r, cand]
+        order = np.lexsort((all_ids[cand], cd2))
+        sel = cand[order]
+        if pad < n - 1 and cd2[order[k - 1]] == cd2[order[-1]]:
+            full = np.lexsort((all_ids, d2[r]))  # rare: tie past pad
+            sel = full
+        nbr = sel[:k]
+        d = np.sqrt(d2[r, nbr])
+        wgt = 1.0 / (d + IDW_EPS)
+        val = values[nbr]
+        idw[r] = (wgt * val).sum() / wgt.sum()
+    return pa.table(
+        {
+            "tile_id": pa.array(q),
+            "knn_idw_value": pa.array(round_away(idw, 6)),
+        }
+    )
+
+
+def ensure_knn_idw_oracle(n: int, k: int = 8, chunk: int = 256) -> str:
+    """Generate (once, cached) the full-n brute-force kNN+IDW parquet —
+    chunk-parallel via plain ``ray.remote`` when Ray is up (each chunk
+    is still the sequential brute-force reference)."""
+    path = knn_idw_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(bounds) > 1:
+        import ray
+
+        fn = ray.remote(_knn_idw_chunk)
+        tables = ray.get([fn.remote(lo, hi, n, k) for lo, hi in bounds])
+    else:
+        tables = [_knn_idw_chunk(lo, hi, n, k) for lo, hi in bounds]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_knn_idw_full(n: int) -> str:
+    return (
+        "SELECT tile_id, knn_idw_value "
+        f"FROM read_parquet('{knn_idw_oracle_path(n)}')"
+    )

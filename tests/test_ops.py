@@ -390,6 +390,45 @@ def test_ivf_topk_exact_when_probing_all(rd, ray_session):
     assert recall > 0.3
 
 
+def test_ivf_indexed_equals_inline(rd, ray_session, tmp_path):
+    """The materialized cell-partitioned index path must return exactly
+    what the inline assign→filter path returns for the same centroids
+    and probe set (the storage-layer pruning changes WHERE candidates
+    are read from, never WHICH candidates win)."""
+    import pyarrow as pa
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d = 500, 12
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+        }
+    )
+    qref = ray.put(
+        {"qid": np.arange(5, dtype=np.int64), "mat": emb[:5], "sample": emb[:256]}
+    )
+    inline = ivf_topk(rd.from_arrow(tbl), qref, nlist=8, nprobe=3, k=10).to_pandas()
+    cents = kmeans_centroids(emb[:256], 8)
+    idx = build_ivf_index(rd.from_arrow(tbl), str(tmp_path / "ivf"), cents)
+    indexed = ivf_topk_from_index(idx, qref, nprobe=3, k=10).to_pandas()
+    key = ["query_id", "rank"]
+    cols = ["query_id", "vec_id", "rank", "cos"]
+    pd.testing.assert_frame_equal(
+        inline.sort_values(key).reset_index(drop=True)[cols],
+        indexed.sort_values(key).reset_index(drop=True)[cols],
+    )
+
+
 def test_decode_error_isolation(rd):
     """A corrupt payload flags its row; the batch and job survive."""
     from biomass_processing_pipeline_ray.sources.tiles import gen_tiles_batch
