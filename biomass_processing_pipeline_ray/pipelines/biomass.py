@@ -70,20 +70,37 @@ class TileGeoStage:
     def __init__(
         self,
         counties_ref,
-        centroids_ref,
+        centroids_ref=None,
         k: int = 8,
         hex_res: int = 7,
         s2_level: int = 13,
         skip_counties: frozenset | None = None,
         skip_partitions: frozenset | None = None,
         n_salts: int = 1,
+        emit_clip: bool = False,
+        encode_cells: bool = True,
+        stitch_knn: bool = True,
     ):
         self.pip = PIPJoiner(counties_ref=counties_ref)
-        self.knn = KNNStitcher(centroids_ref=centroids_ref, k=k)
-        self.cells = CellEncoder(hex_res, s2_level)
+        self.knn = (
+            KNNStitcher(centroids_ref=centroids_ref, k=k)
+            if stitch_knn and centroids_ref is not None
+            else None
+        )
+        self.cells = CellEncoder(hex_res, s2_level) if encode_cells else None
         self.skip = sorted(skip_counties) if skip_counties else None
         self.skip_parts = sorted(skip_partitions) if skip_partitions else None
         self.n_salts = max(1, int(n_salts))
+        if emit_clip:
+            import ray
+
+            from ..stages.clipzonal import ClipContext
+
+            # clip state parses the SAME broadcast counties table the
+            # PIP joiner uses — one object-store read per actor
+            self.clip_ctx = ClipContext(ray.get(counties_ref))
+        else:
+            self.clip_ctx = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -107,8 +124,12 @@ class TileGeoStage:
             batch = batch.filter(
                 pc.invert(pc.is_in(key, pa.array(self.skip_parts)))
             )
-        batch = decode_batch(batch)
-        return self.knn(self.cells(batch))
+        batch = decode_batch(batch, clip_ctx=self.clip_ctx)
+        if self.cells is not None:
+            batch = self.cells(batch)
+        if self.knn is not None:
+            batch = self.knn(batch)
+        return batch
 
 
 class TileGeoStageFused(TileGeoStage):
@@ -151,6 +172,9 @@ def build_assignments(
     skip_partitions: set[str] | None = None,
     n_salts: int = 1,
     fused_read: bool = True,
+    emit_clip: bool = False,
+    encode_cells: bool = True,
+    stitch_knn: bool = True,
 ):
     """Dataset of per-tile join-output rows (the reference's J1+J2+G3/G4).
 
@@ -191,11 +215,14 @@ def build_assignments(
     bs = int(np.clip(n_tiles // (ncpus * 4), 512, 8192))
 
     counties_ref = ray.put(counties)
-    all_ids = np.arange(n_tiles, dtype=np.int64)
-    lon, lat = G.derive_lonlat(all_ids)
-    sidecar_ref = ray.put(
-        centroid_sidecar(lon, lat, all_ids, G.derive_value(all_ids))
-    )
+    if stitch_knn:
+        all_ids = np.arange(n_tiles, dtype=np.int64)
+        lon, lat = G.derive_lonlat(all_ids)
+        sidecar_ref = ray.put(
+            centroid_sidecar(lon, lat, all_ids, G.derive_value(all_ids))
+        )
+    else:
+        sidecar_ref = None
 
     kwargs = {
         "counties_ref": counties_ref,
@@ -208,6 +235,9 @@ def build_assignments(
             frozenset(skip_partitions) if skip_partitions else None
         ),
         "n_salts": n_salts,
+        "emit_clip": emit_clip,
+        "encode_cells": encode_cells,
+        "stitch_knn": stitch_knn,
     }
     if paths is not None:
         import ray.data as rd
@@ -288,19 +318,33 @@ def biomass_zonal_checkpointed(
         n_salts=n_salts, **kw
     )
 
-    def write_subpart(group: pd.DataFrame) -> pd.DataFrame:
+    def _summary_table(rows: list[dict]) -> pa.Table:
+        # typed Arrow in both branches (dedup.py coarse_pairs pattern):
+        # empty pandas blocks with object columns trip Ray's sampling
+        # size-estimator and log schema-divergence warnings
+        return pa.table(
+            {
+                "county_fips": pa.array(
+                    [r["county_fips"] for r in rows], pa.string()
+                ),
+                "salt": pa.array([r["salt"] for r in rows], pa.int64()),
+                "tile_count": pa.array(
+                    [r["tile_count"] for r in rows], pa.int64()
+                ),
+                "biomass_sum": pa.array(
+                    [r["biomass_sum"] for r in rows], pa.float64()
+                ),
+                "ndvi_sum": pa.array(
+                    [r["ndvi_sum"] for r in rows], pa.float64()
+                ),
+            }
+        )
+
+    def write_subpart(group: pd.DataFrame) -> pa.Table:
         fips = str(group["county_fips"].iloc[0])
         salt = int(group["salt"].iloc[0])
         if fips == "":
-            return pd.DataFrame(
-                {
-                    "county_fips": pd.Series([], dtype=object),
-                    "salt": pd.Series([], dtype=np.int64),
-                    "tile_count": pd.Series([], dtype=np.int64),
-                    "biomass_sum": pd.Series([], dtype=np.float64),
-                    "ndvi_sum": pd.Series([], dtype=np.float64),
-                }
-            )
+            return _summary_table([])
         t0 = time.time()
         group = group.sort_values("image_id")
         tbl = pa.Table.from_pandas(group, preserve_index=False)
@@ -332,7 +376,7 @@ def biomass_zonal_checkpointed(
             subdir=fips,
             filename=f"part-{salt}.parquet",
         )
-        return pd.DataFrame([summary])
+        return _summary_table([summary])
 
     fresh = (
         ds.groupby(["county_fips", "salt"])

@@ -369,7 +369,8 @@ def q_bbox_search_indexed(sf_dir: str):
     from ..stages.geoindex import read_spatial_store, write_spatial_store
 
     n = universe_n(sf_dir)
-    store = os.path.join(TILE_CACHE, f"geostore_n{n}")
+    # _v2: manifest layout gained a per-partition file-list column
+    store = os.path.join(TILE_CACHE, f"geostore_n{n}_v2")
 
     def add_cols(b: pa.Table) -> pa.Table:
         ids = b["tile_id"].to_numpy()
@@ -743,26 +744,31 @@ def q_county_clip_stats(sf_dir: str):
     assigned county ring over each tile's pixel grid → masked per-pixel
     NDVI sums → per-county rollup (reference M14/G1 clip path,
     ``blob_manager_v3.py:800-845`` / ``landcover_analyzer_v3.py:224-263``).
-    Hash-checked against an independent per-edge rasterizer oracle."""
-    import ray
-    import ray.data as rd
+    Hash-checked against an independent per-edge rasterizer oracle.
 
-    from ..sources.counties import rect_counties
-    from ..stages.clipzonal import ClipZonalStageFused
-    from .biomass import _parquet_files
+    Rides the HEADLINE fused decode stage with ``emit_clip=True``
+    (round-3 fix: the former standalone ``ClipZonalStage`` pass
+    re-decoded the entire corpus the headline had already decoded —
+    at 100 TB the entropy decode dominates, so both outputs now come
+    from one decode of each payload; cells/kNN are skipped since only
+    the clip columns are consumed here)."""
+    from .biomass import build_assignments
 
-    paths = _parquet_files(tiles_path(sf_dir))
-    ref = ray.put(rect_counties())
-    ncpus = int(ray.cluster_resources().get("CPU", 4))
-    per_tile = rd.from_items(paths).map_batches(
-        ClipZonalStageFused,
-        fn_constructor_kwargs={"counties_ref": ref},
-        batch_format="pyarrow",
-        concurrency=(max(1, ncpus // 2), max(2, ncpus)),
-        batch_size=1,  # one file per task: retry/backpressure unit
+    n = universe_n(sf_dir)
+    per_tile = build_assignments(
+        tiles_path(sf_dir),
+        n_tiles=n,
+        emit_clip=True,
+        encode_cells=False,
+        stitch_knn=False,
     )
+
+    def clip_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(b["clip_ok"])
+        return b.select(["county_fips", "n_px", "n_in", "val_sum"])
+
     g = _grouped_sums(
-        per_tile,
+        per_tile.map_batches(clip_rows, batch_format="pyarrow"),
         ["county_fips"],
         {"px_total": "n_px", "px_in": "n_in", "val_sum": "val_sum"},
         "n_tiles",

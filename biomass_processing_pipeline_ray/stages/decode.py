@@ -40,13 +40,21 @@ def ndvi_biomass(px: np.ndarray) -> tuple[float, float]:
     return ndvi, biomass
 
 
-def decode_batch(batch: pa.Table) -> pa.Table:
+def decode_batch(batch: pa.Table, clip_ctx=None) -> pa.Table:
     """map_batches body: decode, verify phash/shape, derive scalars.
 
     Per-row work is only the entropy decode (PNG/zlib are inherently
     per-image); the pixel math (dHash verify + NDVI band algebra) is
     vectorized over same-shape stacks — there are O(10) distinct
-    (h, w) combos per batch, so each stack is large."""
+    (h, w) combos per batch, so each stack is large.
+
+    ``clip_ctx`` (a ``stages.clipzonal.ClipContext``) additionally
+    emits the polygon-clip columns ``n_px / n_in / val_sum / clip_ok``
+    from the SAME decoded pixels and the SAME per-pixel value array —
+    the corpus is entropy-decoded once for both the headline zonal
+    scalars and the clip stats (the dominant cost at 100 TB).  Requires
+    ``county_fips`` already on the batch (PIP runs before decode in
+    ``TileGeoStage``)."""
     ids = batch["image_id"]
     bufs = batch["bytes"].to_pylist()
     ws = batch["w"].to_numpy()
@@ -70,6 +78,7 @@ def decode_batch(batch: pa.Table) -> pa.Table:
             px = None
             shape_ok[k] = False
         pixels[k] = px
+    vsum = np.zeros(n, dtype=np.float64) if clip_ctx is not None else None
     shape_key = hs.astype(np.int64) * 100000 + ws.astype(np.int64)
     for key in np.unique(shape_key):
         sel = np.flatnonzero(shape_key == key)
@@ -90,9 +99,16 @@ def decode_batch(batch: pa.Table) -> pa.Table:
             phash_ok[part] = _ph.dhash_stack(stack) == phashes[part]
             red = stack[:, :, :, 0].astype(np.float64)
             nir = stack[:, :, :, 2].astype(np.float64)
-            nd = ((nir - red) / (nir + red + 1.0)).mean(axis=(1, 2))
+            v = (nir - red) / (nir + red + 1.0)
+            nd = v.mean(axis=(1, 2))
             ndvi[part] = nd
             biomass[part] = (nd + 1.0) * area_m2 * 0.01
+            if vsum is not None:
+                # full-raster value sum off the SAME v array — for an
+                # interior tile the clip mask is all-true, so this IS
+                # the masked sum (clip_columns reuses it; boundary
+                # tiles get the windowed rasterize there)
+                vsum[part] = v.sum(axis=(1, 2))
     bad = ~shape_ok
     if bad.any():
         ndvi[bad] = np.nan
@@ -112,4 +128,19 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("ndvi", pa.array(ndvi))
     out = out.append_column("biomass", pa.array(biomass))
     out = out.append_column("phash_ok", pa.array(phash_ok))
-    return out.append_column("shape_ok", pa.array(shape_ok))
+    out = out.append_column("shape_ok", pa.array(shape_ok))
+    if clip_ctx is not None:
+        from .clipzonal import clip_columns
+
+        lon = out["lon"].to_numpy()
+        lat = out["lat"].to_numpy()
+        fips_col = out["county_fips"].to_pylist()
+        n_px, n_in, val_sum, clip_ok = clip_columns(
+            clip_ctx, pixels, fips_col, lon, lat, hs, ws,
+            vsum=vsum, vsum_valid=shape_ok,
+        )
+        out = out.append_column("n_px", pa.array(n_px))
+        out = out.append_column("n_in", pa.array(n_in))
+        out = out.append_column("val_sum", pa.array(val_sum))
+        out = out.append_column("clip_ok", pa.array(clip_ok))
+    return out

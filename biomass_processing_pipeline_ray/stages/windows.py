@@ -179,7 +179,7 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
@@ -192,9 +192,16 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
         out = pd.DataFrame({"user_id": uid, "is_new": is_new}).groupby(
             "user_id", as_index=False
         ).agg(n_sessions=("is_new", "sum"), n_events=("is_new", "size"))
-        out["n_sessions"] = out["n_sessions"].astype(np.int64)
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+        # typed Arrow (also when the bucket is empty) — see asof_bucket
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_sessions": pa.array(
+                    out["n_sessions"].to_numpy(), pa.int64()
+                ),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -259,16 +266,20 @@ def _asof_join(left_ds, right_ds, left_cols, right_cols, out_cols, n_coarse: int
     )
     lid_out, key_out, rid_out, pay_out = out_cols
 
-    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(g: pd.DataFrame) -> pa.Table:
+        # output is a TYPED Arrow table in BOTH branches (the dedup.py
+        # coarse_pairs pattern): a group callback that alternates
+        # pandas/empty outputs makes Ray log schema-divergence warnings
+        # and trips its sampling size-estimator on empty blocks
         left = g[g["side"] == 0]
         right = g[g["side"] == 1]
         if len(left) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    lid_out: pd.Series([], dtype=np.int64),
-                    key_out: pd.Series([], dtype=np.int64),
-                    rid_out: pd.Series([], dtype=np.int64),
-                    pay_out: pd.Series([], dtype=np.float64),
+                    lid_out: pa.array([], pa.int64()),
+                    key_out: pa.array([], pa.int64()),
+                    rid_out: pa.array([], pa.int64()),
+                    pay_out: pa.array([], pa.float64()),
                 }
             )
         left = left.sort_values(["ts_us", "left_id"], kind="mergesort")
@@ -286,12 +297,12 @@ def _asof_join(left_ds, right_ds, left_cols, right_cols, out_cols, n_coarse: int
             )
             rid = m["right_id"].fillna(-1).to_numpy().astype(np.int64)
             pay = m["payload"].to_numpy()
-        return pd.DataFrame(
+        return pa.table(
             {
-                lid_out: left["left_id"].to_numpy().astype(np.int64),
-                key_out: left["key"].to_numpy().astype(np.int64),
-                rid_out: rid,
-                pay_out: np.where(rid >= 0, pay, np.nan),
+                lid_out: pa.array(left["left_id"].to_numpy().astype(np.int64)),
+                key_out: pa.array(left["key"].to_numpy().astype(np.int64)),
+                rid_out: pa.array(rid),
+                pay_out: pa.array(np.where(rid >= 0, pay, np.nan)),
             }
         )
 
@@ -347,15 +358,16 @@ def range_join_orders_events(
         events_ds.map_batches(tag_events, batch_format="pyarrow")
     )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow in both branches — see asof_bucket note
         orders = g[g["side"] == 0]
         if len(orders) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "o_orderkey": pd.Series([], dtype=np.int64),
-                    "o_custkey": pd.Series([], dtype=np.int64),
-                    "n_events": pd.Series([], dtype=np.int64),
-                    "value_sum": pd.Series([], dtype=np.float64),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_sum": pa.array([], pa.float64()),
                 }
             )
         ev = g[g["side"] == 1].sort_values(["ts_us", "oid"], kind="mergesort")
@@ -393,12 +405,12 @@ def range_join_orders_events(
             c_lo, v_lo = below(ots)
             cnt = c_hi - c_lo
             vsum = v_hi - v_lo
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_orderkey": oid.astype(np.int64),
-                "o_custkey": okey.astype(np.int64),
-                "n_events": cnt,
-                "value_sum": vsum,
+                "o_orderkey": pa.array(oid.astype(np.int64)),
+                "o_custkey": pa.array(okey.astype(np.int64)),
+                "n_events": pa.array(cnt),
+                "value_sum": pa.array(vsum),
             }
         )
 

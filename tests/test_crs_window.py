@@ -135,3 +135,42 @@ def test_clip_zonal_stage_interior_fast_path(ray_session):
     assert np.array_equal(
         out.val_sum.to_numpy(), snap_binary(exp.val_sum.to_numpy())
     )
+
+
+def test_fused_decode_clip_equals_standalone(ray_session):
+    """TileGeoStage(emit_clip=True) — the single-decode-pass fusion —
+    must emit clip columns bit-identical to the standalone
+    ClipZonalStage (and therefore to the per-edge rasterizer oracle),
+    while still producing the headline ndvi/biomass columns."""
+    import ray
+
+    from biomass_processing_pipeline_ray.pipelines.biomass import TileGeoStage
+    from biomass_processing_pipeline_ray.sources import tiles as T
+    from biomass_processing_pipeline_ray.sources.counties import rect_counties
+    from biomass_processing_pipeline_ray.stages.clipzonal import ClipZonalStage
+
+    tbl = T.gen_tiles_batch(np.arange(300))
+    ref = ray.put(rect_counties())
+    standalone = (
+        ClipZonalStage(counties_ref=ref)(tbl)
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    fused_tbl = TileGeoStage(
+        counties_ref=ref, emit_clip=True, encode_cells=False, stitch_knn=False
+    )(tbl)
+    fused = fused_tbl.to_pandas()
+    fused = (
+        fused[fused.clip_ok]
+        .sort_values("tile_int_id")
+        .reset_index(drop=True)
+    )
+    assert len(fused) == len(standalone) == 300
+    for col in ("n_px", "n_in", "val_sum"):
+        assert np.array_equal(
+            fused[col].to_numpy(), standalone[col].to_numpy()
+        ), col
+    # headline scalars still present and finite on the same rows
+    assert np.isfinite(fused.ndvi.to_numpy()).all()
+    assert np.isfinite(fused.biomass.to_numpy()).all()

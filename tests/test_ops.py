@@ -429,6 +429,42 @@ def test_ivf_indexed_equals_inline(rd, ray_session, tmp_path):
     )
 
 
+def test_embedding_neardup_hot_label_lsh_guard(rd, ray_session):
+    """Above ``exact_cap`` a label group switches to hyperplane-LSH
+    bucketing: every reported pair must also be an exact pair
+    (precision 1 — candidates are cosine-verified) and recall over the
+    banded buckets must stay high for near-duplicate-grade similarity."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.ann import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d = 600, 24
+    base = rng.normal(size=(n // 2, d))
+    # planted near-dups: each base vector plus a small perturbation
+    emb = np.vstack([base, base + 0.05 * rng.normal(size=base.shape)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    exact = embedding_neardup_pairs(
+        rd.from_arrow(tbl), threshold=0.9, exact_cap=10_000
+    ).to_pandas()
+    lsh = embedding_neardup_pairs(
+        rd.from_arrow(tbl), threshold=0.9, exact_cap=100
+    ).to_pandas()
+    ekeys = set(zip(exact.a, exact.b))
+    lkeys = set(zip(lsh.a, lsh.b))
+    assert len(ekeys) >= n // 2  # the planted pairs are found exactly
+    assert lkeys <= ekeys  # precision 1: every LSH pair is a true pair
+    assert len(lkeys) / len(ekeys) > 0.8  # banded recall
+
+
 def test_decode_error_isolation(rd):
     """A corrupt payload flags its row; the batch and job survive."""
     from biomass_processing_pipeline_ray.sources.tiles import gen_tiles_batch
