@@ -81,7 +81,106 @@ class GridKNN:
         Returns (neighbor_idx [n,k] int64 into the index arrays, padded
         with -1; d2 [n,k] float64, padded with +inf).  Neighbors are in
         (d2, id) ascending order — the documented deterministic order.
+
+        Strategy: a fully VECTORIZED 5×5-bucket fast path answers every
+        query in one batch of numpy ops (gather the ring≤2 neighborhood
+        for all queries at once via CSR expansion, one segmented
+        (d2, id) sort); a query is accepted iff its k-th neighbor is
+        provably closer than anything outside the gathered rings
+        (kth < 2·cell — the same bound the ring walk uses), else it
+        falls back to the per-bucket ring walk.  With the index sized at
+        ~12 points/bucket the fast path answers ~100 % of queries, so
+        the per-query Python loop (~130 µs each, the old hot spot of the
+        kNN stitch stage) is gone from the hot path.
         """
+        qx = np.asarray(qx, dtype=np.float64)
+        qy = np.asarray(qy, dtype=np.float64)
+        qids = np.asarray(qids, dtype=np.int64)
+        n = len(qx)
+        out_idx = np.full((n, k), -1, dtype=np.int64)
+        out_d2 = np.full((n, k), np.inf, dtype=np.float64)
+        if n == 0 or len(self.x) == 0:
+            return out_idx, out_d2
+        R = 2
+        qbx = np.clip(((qx - self.x0) / self.cell).astype(np.int64), 0, self.nx - 1)
+        qby = np.clip(((qy - self.y0) / self.cell).astype(np.int64), 0, self.ny - 1)
+        offs = np.arange(-R, R + 1)
+        bx = (qbx[:, None] + offs[None, :])[:, :, None]  # (n, 5, 1)
+        by = (qby[:, None] + offs[None, :])[:, None, :]  # (n, 1, 5)
+        valid = (bx >= 0) & (bx < self.nx) & (by >= 0) & (by < self.ny)
+        bucket = np.where(valid, bx * self.ny + by, -1).reshape(n, (2 * R + 1) ** 2)
+        lo = np.searchsorted(self.sorted_bucket, bucket, side="left")
+        hi = np.searchsorted(self.sorted_bucket, bucket, side="right")
+        cnt = np.where(bucket >= 0, hi - lo, 0)
+        counts_q = cnt.sum(axis=1)
+        flat_lo, flat_cnt = lo.ravel(), cnt.ravel()
+        total = int(flat_cnt.sum())
+        accepted = np.zeros(n, dtype=bool)
+        if total:
+            # CSR expansion of the [lo, lo+cnt) ranges, no Python loop
+            ends = flat_cnt.cumsum()
+            pos = (
+                np.arange(total)
+                - np.repeat(ends - flat_cnt, flat_cnt)
+                + np.repeat(flat_lo, flat_cnt)
+            )
+            cand = self.order[pos]
+            qidx = np.repeat(np.arange(n), counts_q)
+            dx = self.x[cand] - qx[qidx]
+            dy = self.y[cand] - qy[qidx]
+            d2 = dx * dx + dy * dy
+            d2[self.ids[cand] == qids[qidx]] = np.inf  # exclude self by id
+            # scatter the query-major candidate runs into a dense padded
+            # (n, Cmax) matrix, then ROW-WISE argpartition keeps k+16
+            # finalists per query — avoids a 3-key lexsort over the full
+            # candidate set (the all-candidates sort was the former cost
+            # center); only the tiny finalist matrix is (d2, id)-sorted
+            cmax = int(counts_q.max())
+            seg_starts = counts_q.cumsum() - counts_q
+            col = np.arange(total) - np.repeat(seg_starts, counts_q)
+            D = np.full((n, cmax), np.inf)
+            I = np.full((n, cmax), np.iinfo(np.int64).max, dtype=np.int64)
+            C = np.full((n, cmax), -1, dtype=np.int64)
+            D[qidx, col] = d2
+            I[qidx, col] = self.ids[cand]
+            C[qidx, col] = cand
+            m = min(k + 16, cmax)
+            if m < cmax:
+                part = np.argpartition(D, m - 1, axis=1)[:, :m]
+                Dp = np.take_along_axis(D, part, axis=1)
+                Ip = np.take_along_axis(I, part, axis=1)
+                Cp = np.take_along_axis(C, part, axis=1)
+            else:
+                Dp, Ip, Cp = D, I, C
+            rowsort = np.lexsort((Ip, Dp))  # per-row (d2, id) ascending
+            kk = min(k, Dp.shape[1])
+            sel = rowsort[:, :kk]
+            out_d2[:, :kk] = np.take_along_axis(Dp, sel, axis=1)
+            out_idx[:, :kk] = np.take_along_axis(Cp, sel, axis=1)
+            out_idx[~np.isfinite(out_d2)] = -1
+            # acceptance: (a) ring bound — everything outside rings 0..2
+            # is ≥ 2·cell from any point of the center bucket (the
+            # walk's rule); (b) partition bound — when the finalist cut
+            # dropped candidates, the k-th kept distance must beat the
+            # cut boundary strictly, else an exact-tie group could span
+            # it (same guard as the brute-force kNN oracle)
+            kth = out_d2[:, k - 1] if k <= kk else np.full(n, np.inf)
+            accepted = np.isfinite(kth) & (np.sqrt(kth) < 2 * self.cell)
+            if m < cmax:
+                cut = np.take_along_axis(
+                    Dp, rowsort[:, -1:], axis=1
+                ).ravel()
+                accepted &= (kth < cut) | (counts_q <= m)
+        if not accepted.all():
+            fi = np.flatnonzero(~accepted)
+            fidx, fd2 = self._query_ring_walk(qx[fi], qy[fi], qids[fi], k)
+            out_idx[fi] = fidx
+            out_d2[fi] = fd2
+        return out_idx, out_d2
+
+    def _query_ring_walk(self, qx: np.ndarray, qy: np.ndarray, qids: np.ndarray, k: int):
+        """Per-bucket expanding ring walk — the general-case path (and
+        the fast path's fallback for sparse neighborhoods)."""
         qx = np.asarray(qx, dtype=np.float64)
         qy = np.asarray(qy, dtype=np.float64)
         n = len(qx)

@@ -133,7 +133,9 @@ def _grouped_sums(ds, keys: list[str], sums: dict[str, str], count_col: str):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     aggs = [Sum(c, alias_name=c) for c in sums] + [Sum(count_col, alias_name=count_col)]
-    return partials.groupby(keys).aggregate(*aggs)
+    from ..stages.zonal import combine_partials
+
+    return combine_partials(partials, keys, aggs)
 
 
 def _geo_sql_fragments() -> tuple[str, str, str]:
@@ -585,15 +587,17 @@ def q_county_bounds(sf_dir: str):
             max_lat=("lat", "max"),
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("county_fips")
-        .aggregate(
+    from ..stages.zonal import combine_partials
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        "county_fips",
+        [
             Min("min_lon", alias_name="min_lon"),
             Min("min_lat", alias_name="min_lat"),
             Max("max_lon", alias_name="max_lon"),
             Max("max_lat", alias_name="max_lat"),
-        )
+        ],
     )
 
 

@@ -47,8 +47,12 @@ def tumbling_aggregate(ds, width_us: int = US_PER_HOUR):
     partial = ds.map_batches(
         lambda b: tumbling_partial(b, width_us), batch_format="pyarrow"
     )
-    return partial.groupby(["event_type", "hour_bucket"]).aggregate(
-        Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
+    from .zonal import combine_partials
+
+    return combine_partials(
+        partial,
+        ["event_type", "hour_bucket"],
+        [Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")],
     )
 
 
@@ -97,8 +101,12 @@ def sliding_aggregate(
     partial = ds.map_batches(
         lambda b: sliding_partial(b, width_us, hop_us), batch_format="pyarrow"
     )
-    return partial.groupby(["event_type", "window_id"]).aggregate(
-        Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")
+    from .zonal import combine_partials
+
+    return combine_partials(
+        partial,
+        ["event_type", "window_id"],
+        [Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum")],
     )
 
 
@@ -150,10 +158,16 @@ def watermark_aggregate(ds, **kw):
     partial = ds.map_batches(
         lambda b: watermark_partial(b, **kw), batch_format="pyarrow"
     )
-    return partial.groupby(["event_type", "hour_bucket"]).aggregate(
-        Sum("n_on_time", alias_name="n_on_time"),
-        Sum("n_late", alias_name="n_late"),
-        Sum("value_sum", alias_name="value_sum"),
+    from .zonal import combine_partials
+
+    return combine_partials(
+        partial,
+        ["event_type", "hour_bucket"],
+        [
+            Sum("n_on_time", alias_name="n_on_time"),
+            Sum("n_late", alias_name="n_late"),
+            Sum("value_sum", alias_name="value_sum"),
+        ],
     )
 
 

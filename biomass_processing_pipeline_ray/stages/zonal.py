@@ -24,6 +24,28 @@ from ..functions.rounding import round_away
 _SUM_COLS = ("biomass", "ndvi")
 
 
+def combine_partials(partial, keys, aggs):
+    """groupby().aggregate() for BOUNDED-cardinality partials.
+
+    Combiner outputs are one row per key per input block — hundreds to
+    hundreds of thousands of near-empty blocks at scale, and Ray's
+    sort-aggregate pays a fixed per-block cost (measured ~50 ms/block:
+    7+ s of the round-2 headline went to aggregating 9k tiny rows).
+    Coalesce the partials into a few substantial blocks first
+    (``repartition`` without shuffle = plain split/merge, no all-to-all)
+    and aggregate those.  Block count scales with the cluster so the
+    AggregateMap still parallelizes across nodes; float parity is
+    unaffected because every summed double is lattice-snapped, making
+    partial-sum merges exact in any grouping/order (functions/rounding).
+    Only for small-key aggregates — high-cardinality groupbys (dedup
+    pair keys) keep their block-parallel layout."""
+    import ray
+
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    k = max(4, ncpus // 4)
+    return partial.repartition(k).groupby(keys).aggregate(*aggs)
+
+
 def zonal_partial(batch: pa.Table, key: str = "county_fips", sum_cols=_SUM_COLS) -> pa.Table:
     """Combiner: one partial row per county per batch."""
     keys = np.asarray(batch[key].to_pylist(), dtype=object)
@@ -52,7 +74,7 @@ def zonal_aggregate(
     aggs = [Sum("tile_count", alias_name="tile_count")]
     for c in sum_cols:
         aggs.append(Sum(f"{c}_sum", alias_name=f"{c}_sum"))
-    merged = partial.groupby(key).aggregate(*aggs)
+    merged = combine_partials(partial, key, aggs)
 
     def finalize(batch: pa.Table) -> pa.Table:
         cnt = batch["tile_count"].to_numpy().astype(np.float64)
