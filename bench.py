@@ -80,6 +80,8 @@ def run_headline(sf_dir: str, trials: int = 2) -> tuple[float, int, int]:
 
 
 def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import logging
+
     import ray
 
     if not ray.is_initialized():
@@ -89,6 +91,22 @@ def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             include_dashboard=False,
             logging_level="ERROR",
         )
+    # Silence the known-benign "RefBundle with a different schema …
+    # new schema: ." warning: Ray's sort/groupby emits EMPTY blocks for
+    # shuffle partitions that received no rows (e.g. 64 county groups
+    # over 32+ sort partitions), and those blocks carry no schema.  It
+    # is Ray-internal — reproducible with a 5-line rd.range + groupby
+    # snippet, independent of UDFs (all group callbacks here already
+    # return typed Arrow in every branch) — and drowns the bench tail.
+    # A Filter (not setLevel — Ray re-applies its logging config per
+    # dataset execution) on exactly this one message.
+    class _DropEmptySchemaWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaWarning())
     from biomass_processing_pipeline_ray.pipelines.queries import build_queries, sf_of
 
     headline_sec, n_tiles, _ = run_headline(

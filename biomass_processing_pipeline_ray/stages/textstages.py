@@ -28,13 +28,25 @@ LANG_MARKERS = [
 ]
 PUNCT_CLASS = "[.,!?;:]"
 
+# ASCII whitespace, written EXPLICITLY on both sides: Python re / pandas
+# treat \s (and bare str.split) as UNICODE whitespace while DuckDB
+# RE2's \s is ASCII-only, so a document containing e.g. U+00A0 would
+# silently break hash parity if either side used \s.  Token counts are
+# run counts of non-whitespace ([^ws]+), which also sidesteps the
+# TRIM-strips-only-spaces vs str.split edge on leading tabs.
+WS_PY = r"[ \t\n\r\f\v]"
+NONWS_RUN_PY = r"[^ \t\n\r\f\v]+"
+WS_CHARS = " \\t\\n\\r\\f\\v"
+WS_SQL = f"[{WS_CHARS}]"
+NONWS_RUN_SQL = "[^ \\t\\n\\r\\f\\v]+"
+
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """token count, punct count, non-space chars, avg token length."""
     s = pd.Series(batch["text"].to_pylist())
-    n_tokens = s.str.split().str.len().fillna(0).astype(np.int64)
+    n_tokens = s.str.count(NONWS_RUN_PY).astype(np.int64)
     punct = s.str.count(PUNCT_CLASS).astype(np.int64)
-    nonspace = s.str.replace(r"\s", "", regex=True).str.len().astype(np.int64)
+    nonspace = s.str.replace(WS_PY, "", regex=True).str.len().astype(np.int64)
     avg_tok_len = np.where(n_tokens > 0, nonspace / np.maximum(n_tokens, 1), 0.0)
     return pa.table(
         {
@@ -50,13 +62,12 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 def sql_text_stats(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '{NONWS_RUN_SQL}')) AS n_tokens,
            LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS n_nonspace,
-           CASE WHEN TRIM(text) = '' THEN 0.0
-                ELSE CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
-                     / GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 1)
+           LENGTH(REGEXP_REPLACE(text, '{WS_SQL}', '', 'g')) AS n_nonspace,
+           CASE WHEN LEN(REGEXP_EXTRACT_ALL(text, '{NONWS_RUN_SQL}')) = 0 THEN 0.0
+                ELSE CAST(LENGTH(REGEXP_REPLACE(text, '{WS_SQL}', '', 'g')) AS DOUBLE)
+                     / LEN(REGEXP_EXTRACT_ALL(text, '{NONWS_RUN_SQL}'))
            END AS avg_tok_len
     FROM {table}
     """
@@ -126,8 +137,8 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 def sql_quality(table: str = "documents") -> str:
     tok = (
-        "CAST(CASE WHEN TRIM(text) = '' THEN 0 "
-        "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS DOUBLE)"
+        "CAST(LEN(REGEXP_EXTRACT_ALL(text, "
+        f"'{NONWS_RUN_SQL}')) AS DOUBLE)"
     )
     punct = "CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
     score = f"({tok} / (CAST(n_chars AS DOUBLE) + 1.0) * 100.0 - {punct} / ({tok} + 1.0))"
@@ -143,13 +154,13 @@ def sql_quality(table: str = "documents") -> str:
 
 # disjoint alternatives (letter runs / digit runs / single other glyphs),
 # so Python re and DuckDB RE2 tokenize identically
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace tokens + BPE-ish regex tokens per document."""
     s = pd.Series(batch["text"].to_pylist())
-    ws = s.str.split().str.len().fillna(0).astype(np.int64)
+    ws = s.str.count(NONWS_RUN_PY).astype(np.int64)
     bpe = s.str.count(BPE_RE).astype(np.int64)
     return pa.table(
         {
@@ -163,9 +174,9 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 def sql_token_counts(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_ws_tokens,
-           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           LEN(REGEXP_EXTRACT_ALL(text, '{NONWS_RUN_SQL}')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]'))
                AS n_bpe_tokens
     FROM {table}
     """

@@ -429,6 +429,43 @@ def test_ivf_indexed_equals_inline(rd, ray_session, tmp_path):
     )
 
 
+def test_text_tokenization_unicode_whitespace_parity():
+    """Engine (pandas/Python re) and DuckDB (RE2) must tokenize
+    identically even when documents contain non-ASCII whitespace —
+    both sides use the explicit ASCII class, never \\s (Python \\s is
+    Unicode-wide, RE2's is ASCII-only)."""
+    import duckdb
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        sql_text_stats,
+        sql_token_counts,
+        text_stats_batch,
+        token_count_batch,
+    )
+
+    texts = ["hello world", "\ta b c ", "", "x  y z", " pad　ded", "end\t"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    eng = token_count_batch(tbl).to_pandas()
+    sql = con.execute(sql_token_counts()).df()
+    m = eng.merge(sql, on="doc_id", suffixes=("_e", "_s"))
+    assert (m.n_ws_tokens_e == m.n_ws_tokens_s).all()
+    assert (m.n_bpe_tokens_e == m.n_bpe_tokens_s).all()
+    eng2 = text_stats_batch(tbl).to_pandas()
+    sql2 = con.execute(sql_text_stats()).df()
+    m2 = eng2.merge(sql2, on="doc_id", suffixes=("_e", "_s"))
+    for c in ("n_tokens", "n_punct", "n_nonspace", "avg_tok_len"):
+        assert (m2[c + "_e"] == m2[c + "_s"]).all(), c
+
+
 def test_embedding_neardup_hot_label_lsh_guard(rd, ray_session):
     """Above ``exact_cap`` a label group switches to hyperplane-LSH
     bucketing: every reported pair must also be an exact pair
