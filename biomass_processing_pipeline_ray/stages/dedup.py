@@ -266,9 +266,17 @@ def minhash_lsh_pairs(
     )
 
     # jaccard is identical for every copy of a pair → Min is a pure dedup
+    # (coalesced first: the verify emits one mostly-tiny block per pair
+    # bucket, and the sort-aggregate pays a fixed per-block cost — pair
+    # rows are narrow and sparse relative to the corpus, so a few
+    # substantial blocks is the right layout at any scale)
     from ray.data.aggregate import Min
 
-    return verified.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    from .zonal import combine_partials
+
+    return combine_partials(
+        verified, ["a", "b"], [Min("jaccard", alias_name="jaccard")]
+    )
 
 
 # -- banded Hamming near-dup (shared machinery) -------------------------------
@@ -373,9 +381,15 @@ def banded_hamming_pairs(
     # global dedup: the same pair can surface from bands in different
     # coarse groups.  hamming is identical for every copy of a pair, so
     # Min is a pure dedup — a vectorized aggregate, not per-group Python
+    # (coalesced: one mostly-empty pair block per coarse group otherwise
+    # feeds the sort-aggregate's fixed per-block cost)
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from .zonal import combine_partials
+
+    return combine_partials(
+        pairs, ["a", "b"], [Min("hamming", alias_name="hamming")]
+    )
 
 
 # -- simhash -----------------------------------------------------------------
