@@ -30,8 +30,12 @@ import time
 
 
 class CheckpointStore:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, key_name: str = "county_fips"):
         self.out_dir = out_dir
+        # hive-style data-dir key (``<key_name>=<value>/``); the
+        # flagship's county layout is the default, generic callers
+        # (state/ckptwrite.py) pass their own partition key name
+        self.key_name = key_name
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.manifest_path = os.path.join(out_dir, "_MANIFEST.json")
@@ -89,7 +93,7 @@ class CheckpointStore:
     # -- partitioned data ----------------------------------------------------
 
     def partition_dir(self, partition: str) -> str:
-        return os.path.join(self.out_dir, f"county_fips={partition}")
+        return os.path.join(self.out_dir, f"{self.key_name}={partition}")
 
     def write_partition(
         self,
