@@ -26,6 +26,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# fast-path query block size — see GridKNN.query docstring
+_QUERY_BLOCK = 512
+
 
 class GridKNN:
     def __init__(self, x: np.ndarray, y: np.ndarray, ids: np.ndarray, target_per_bucket: float = 12.0):
@@ -92,11 +95,29 @@ class GridKNN:
         ~12 points/bucket the fast path answers ~100 % of queries, so
         the per-query Python loop (~130 µs each, the old hot spot of the
         kNN stitch stage) is gone from the hot path.
+
+        Queries run in blocks of ``_QUERY_BLOCK``: the fast path's
+        temporaries (candidate arrays + the dense finalist matrices)
+        must stay a few MB, because multi-MB fresh allocations in many
+        concurrent Ray workers collapse on this class of host (measured
+        ~200× on 32-way: large per-call buffers → concurrent page-fault
+        storms; blocked: faster than the walk, flat under parallelism).
         """
         qx = np.asarray(qx, dtype=np.float64)
         qy = np.asarray(qy, dtype=np.float64)
         qids = np.asarray(qids, dtype=np.int64)
         n = len(qx)
+        if n > _QUERY_BLOCK:
+            parts = [
+                self.query(qx[i : i + _QUERY_BLOCK],
+                           qy[i : i + _QUERY_BLOCK],
+                           qids[i : i + _QUERY_BLOCK], k)
+                for i in range(0, n, _QUERY_BLOCK)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts], axis=0),
+                np.concatenate([p[1] for p in parts], axis=0),
+            )
         out_idx = np.full((n, k), -1, dtype=np.int64)
         out_d2 = np.full((n, k), np.inf, dtype=np.float64)
         if n == 0 or len(self.x) == 0:
