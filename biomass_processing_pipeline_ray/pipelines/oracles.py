@@ -1061,10 +1061,15 @@ def _knn_idw_chunk(lo: int, hi: int, n: int, k: int) -> pa.Table:
     )
 
 
-def ensure_knn_idw_oracle(n: int, k: int = 8, chunk: int = 256) -> str:
+def ensure_knn_idw_oracle(n: int, k: int = 8, chunk: int = 16) -> str:
     """Generate (once, cached) the full-n brute-force kNN+IDW parquet —
     chunk-parallel via plain ``ray.remote`` when Ray is up (each chunk
-    is still the sequential brute-force reference)."""
+    is still the sequential brute-force reference).
+
+    ``chunk`` keeps each task's dense distance matrix small
+    (16 × 60k × 8 B ≈ 7.7 MB): multi-MB fresh allocations in many
+    concurrent workers page-fault-storm on this host class (see
+    geo/knn.py ``_QUERY_BLOCK`` note)."""
     path = knn_idw_oracle_path(n)
     if os.path.exists(path):
         return path
