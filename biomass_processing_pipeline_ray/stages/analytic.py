@@ -1,0 +1,295 @@
+"""Analytic operators beyond the reference: per-key window functions
+(row_number / lag), rolling aggregates, exact grouped quantiles, and a
+Misra–Gries heavy-hitter sketch with an exact recount pass.
+
+The reference has no window-function layer (its nearest analogue is the
+per-parcel ``ORDER BY distance LIMIT 50`` kNN cap,
+``database_config_v3.py:112-113``, and the sorted dominant-crop argmax,
+``crop_analyzer_v3.py:85,148``); these operators are first-class members
+of a large-scale training-data pipeline (per-source rolling quality
+stats, frequency-outlier keys, per-key event ordering).
+
+Scale design shared by all per-key operators here: rows co-partition by
+a COARSE bucket (``key % n_coarse`` — bounded group count, the
+repo-wide pattern from ``windows.sessionize``), each bucket sorts once
+with ``np.lexsort`` and computes every group's answer with vectorized
+group-boundary arithmetic — no per-key Python dispatch.
+
+Float parity (functions/rounding.py): every summed double is snapped to
+the 2^-20 lattice first, so cumulative-sum differences (engine) equal
+windowed re-summation (DuckDB ``SUM() OVER``) bit-exactly in any op
+order while magnitudes stay below 2^33.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.rounding import snap_binary
+from .windows import _ts_us_col
+from .zonal import combine_partials
+
+
+def _group_offsets(sorted_keys: np.ndarray):
+    """(starts, sizes, start_per_row) for a SORTED key array."""
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    is_start = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+    starts = np.flatnonzero(is_start)
+    sizes = np.diff(np.r_[starts, n])
+    return starts, sizes, np.repeat(starts, sizes)
+
+
+# ---------------------------------------------------------------------------
+# row_number + lag per key
+# ---------------------------------------------------------------------------
+
+
+def ranked_events(ds, n_coarse: int = 256):
+    """Per-user ``row_number`` (ordered by ts, event_id) and ``lag``
+    gap to the previous event (µs; -1 for the first event of a user).
+
+    Mirrors ``ROW_NUMBER() / LAG() OVER (PARTITION BY user_id ORDER BY
+    ts, event_id)``.
+    """
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        n = len(uid)
+        _, _, start_of = _group_offsets(uid)
+        pos = np.arange(n, dtype=np.int64)
+        rn = pos - start_of + 1
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[0] = -1
+            gap[1:] = ts[1:] - ts[:-1]
+        gap[pos == start_of] = -1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling aggregate per key (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+
+def rolling_events(ds, window: int = 4, n_coarse: int = 256):
+    """Per-user rolling sum/count of ``value`` over the last ``window``
+    events (current + window-1 preceding), ordered by (ts, event_id).
+
+    Engine computes the rolling sum as a cumulative-sum difference; the
+    inputs are lattice-snapped so the difference is EXACT and equals
+    DuckDB's windowed re-summation bit-for-bit (cumsum magnitude must
+    stay < 2^33 per bucket — ≈8.6e9, far above any per-bucket mass
+    here; at larger scale raise ``n_coarse`` proportionally).
+    """
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "value": pa.array(snap_binary(b["value"].to_numpy())),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val = uid[order], ts[order], eid[order], val[order]
+        n = len(uid)
+        _, _, start_of = _group_offsets(uid)
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(start_of, pos - (window - 1))
+        csz = np.r_[0.0, np.cumsum(val)]
+        roll_sum = csz[pos + 1] - csz[lo]
+        roll_n = pos - lo + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "roll_sum": pa.array(roll_sum, pa.float64()),
+                "roll_n": pa.array(roll_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles (element selection — no float interpolation)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(ds, key: str, val: str, qs: dict[str, float], coarse_col: str):
+    """Per-group exact quantiles by ELEMENT SELECTION: the value at
+    sorted index ``floor(q * (n-1))`` (numpy ``method='lower'``).
+
+    Interpolating quantiles (DuckDB ``quantile_cont`` / numpy
+    ``'linear'``) mix floats with engine-specific op order and cannot
+    hash-match; selecting an actual element is order-free and
+    bit-exact.  The SQL mirror picks the row at
+    ``rn = 1 + FLOOR(q*(cnt-1))`` via ``row_number()``.
+
+    Quantiles genuinely need each group's value multiset in one place:
+    groups co-partition by ``coarse_col`` (bounded buckets), each
+    bucket lexsorts once by (key, value) and gathers every contained
+    group's selection indices vectorized.  At 100 TB this holds while a
+    bucket of groups fits a worker (the same assumption as every
+    bucketed sort here); beyond that the scale path is per-group
+    histogram sketches, traded away here for exactness.
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        keys = g[key].to_numpy()
+        vals = g[val].to_numpy()
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts, sizes, _ = _group_offsets(keys)
+        out: dict[str, pa.Array] = {
+            key: pa.array(keys[starts].astype(str), pa.string()),
+            "n": pa.array(sizes.astype(np.int64), pa.int64()),
+        }
+        for name, q in qs.items():
+            sel = starts + np.floor(q * (sizes - 1)).astype(np.int64)
+            out[name] = pa.array(vals[sel], pa.float64())
+        return pa.table(out)
+
+    return ds.groupby(coarse_col).map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters + exact recount
+# ---------------------------------------------------------------------------
+
+_N_SENTINEL = -1  # carries per-batch row count through the merge
+_ERR_SENTINEL = -2  # carries per-batch decrement mass
+
+
+def mg_compress(keys: np.ndarray, capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Offline Misra–Gries summary of one batch: ≤ ``capacity`` (key,
+    weight) pairs plus the total decrement mass.
+
+    Computed by exact batch counts then uniform subtraction of ``t`` =
+    the (capacity+1)-th largest count (the offline-equivalent MG run):
+    every surviving weight satisfies ``true - err ≤ weight ≤ true``
+    with ``err`` = the returned decrement mass, and summing summaries
+    across batches keeps the global bound ``Σerr ≤ n/(capacity+1)``.
+    """
+    uniq, counts = np.unique(keys, return_counts=True)
+    if len(uniq) <= capacity:
+        return uniq, counts.astype(np.int64), 0
+    t = np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1]
+    keep = counts > t
+    dropped = int(counts.sum() - (counts[keep] - t).sum())
+    return uniq[keep], (counts[keep] - t).astype(np.int64), dropped
+
+
+def heavy_hitters(ds, key: str, phi_denom: int = 128, capacity: int = 256):
+    """All keys with count > n/``phi_denom``, found by a Misra–Gries
+    candidate pass + an exact recount pass (output is EXACT).
+
+    Pass 1 streams one bounded summary per batch (≤ ``capacity`` rows +
+    2 sentinel rows carrying the batch size and decrement mass) through
+    a tiny groupby-sum.  Because ``capacity ≥ phi_denom``, the global
+    MG bound ``Σerr ≤ n/(capacity+1) < n/phi_denom`` guarantees every
+    true heavy hitter survives with merged weight > T - Σerr — for ANY
+    key distribution, so the candidate rule ``mg > T - Σerr`` has no
+    false negatives.  Pass 2 broadcasts the (small) candidate set,
+    recounts exactly, and applies the true threshold.  Reference
+    analogue: none (G-family extension); the fixed-capacity summary is
+    what replaces an unbounded groupby when only frequent keys matter.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if capacity < phi_denom:
+        raise ValueError("capacity must be >= phi_denom for the MG guarantee")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key].to_numpy()
+        uniq, w, err = mg_compress(keys, capacity)
+        out_k = np.r_[uniq.astype(np.int64), _N_SENTINEL, _ERR_SENTINEL]
+        out_w = np.r_[w, np.int64(len(keys)), np.int64(err)]
+        return pa.table(
+            {"hh_key": pa.array(out_k, pa.int64()), "mg": pa.array(out_w, pa.int64())}
+        )
+
+    merged = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hh_key"],
+        [Sum("mg", alias_name="mg")],
+    ).to_pandas()
+    total = int(merged.loc[merged["hh_key"] == _N_SENTINEL, "mg"].sum())
+    err = int(merged.loc[merged["hh_key"] == _ERR_SENTINEL, "mg"].sum())
+    thresh = np.float64(total) / np.float64(phi_denom)
+    cand = merged[
+        (merged["hh_key"] >= 0) & (merged["mg"].to_numpy() > thresh - err)
+    ]["hh_key"].to_numpy()
+    cand_ref = ray.put(cand)
+
+    def recount(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pa.array(ray.get(cand_ref), pa.int64())
+        kept = b.filter(pc.is_in(b[key], keys))
+        uniq, counts = np.unique(kept[key].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "hh_key": pa.array(uniq.astype(np.int64), pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exact = combine_partials(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["hh_key"],
+        [Sum("cnt", alias_name="cnt")],
+    )
+
+    def over_threshold(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy()
+        return b.filter(pa.array(cnt.astype(np.float64) > thresh))
+
+    return exact.map_batches(over_threshold, batch_format="pyarrow")

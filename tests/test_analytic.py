@@ -1,0 +1,175 @@
+"""Analytic-operator tests vs pandas/numpy oracles.
+
+Covers stages/analytic.py: per-key window functions (row_number/lag),
+rolling aggregates, exact grouped quantiles, and the Misra–Gries
+heavy-hitter pass (sketch invariants + end-to-end exactness on a
+skewed distribution).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def _events(n=2000, n_users=37, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-03-01", "us")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            # coarse ts with deliberate ties so (ts, event_id) tiebreak matters
+            "ts": base + rng.integers(0, 500, n).astype(np.int64) * 1_000_000,
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+
+
+def test_ranked_events_vs_pandas(rd):
+    """row_number + lag gap == pandas groupby cumcount/diff oracle."""
+    from biomass_processing_pipeline_ray.stages.analytic import ranked_events
+
+    ev = _events()
+    got = (
+        ranked_events(rd.from_pandas(ev), n_coarse=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = ev.sort_values(["user_id", "ts", "event_id"]).copy()
+    df["rn"] = df.groupby("user_id").cumcount() + 1
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    gap = pd.Series(ts_us, index=df.index).groupby(df["user_id"]).diff()
+    df["gap_us"] = gap.fillna(-1).astype(np.int64)
+    exp = df.sort_values("event_id").reset_index(drop=True)
+    assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    assert (got["gap_us"].to_numpy() == exp["gap_us"].to_numpy()).all()
+
+
+def test_rolling_events_vs_pandas(rd):
+    """Cumsum-difference rolling sum == pandas rolling(window) oracle
+    bit-for-bit on lattice-snapped values."""
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.analytic import rolling_events
+
+    ev = _events(seed=13)
+    got = (
+        rolling_events(rd.from_pandas(ev), window=4, n_coarse=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = ev.sort_values(["user_id", "ts", "event_id"]).copy()
+    df["v"] = snap_binary(df["value"].to_numpy())
+    roll = df.groupby("user_id")["v"].rolling(4, min_periods=1)
+    df["roll_sum"] = roll.sum().reset_index(level=0, drop=True)
+    df["roll_n"] = roll.count().reset_index(level=0, drop=True).astype(np.int64)
+    exp = df.sort_values("event_id").reset_index(drop=True)
+    # snapped inputs on the 2^-20 lattice sum exactly in any order
+    assert (got["roll_sum"].to_numpy() == exp["roll_sum"].to_numpy()).all()
+    assert (got["roll_n"].to_numpy() == exp["roll_n"].to_numpy()).all()
+
+
+def test_grouped_quantiles_vs_numpy(rd):
+    """Element-selection quantiles == numpy quantile(method='lower')."""
+    from biomass_processing_pipeline_ray.stages.analytic import grouped_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 23, n).astype(np.int64).astype(str),
+            "x": rng.uniform(-5, 5, n),
+        }
+    )
+    df["coarse"] = df["g"].astype(np.int64) % 4
+    got = (
+        grouped_quantiles(
+            rd.from_pandas(df), "g", "x", {"p25": 0.25, "p90": 0.9}, "coarse"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        vals = df.loc[df["g"] == row["g"], "x"].to_numpy()
+        assert row["n"] == len(vals)
+        assert row["p25"] == np.quantile(vals, 0.25, method="lower")
+        assert row["p90"] == np.quantile(vals, 0.9, method="lower")
+
+
+def test_mg_compress_invariants():
+    """Per-batch summary: weight ≤ true count, deficit ≤ returned err,
+    and err ≤ n/(capacity+1)."""
+    from biomass_processing_pipeline_ray.stages.analytic import mg_compress
+
+    rng = np.random.default_rng(3)
+    # zipf-ish skew: a few hot keys over a long tail
+    keys = np.r_[
+        np.repeat(np.int64(7), 500),
+        np.repeat(np.int64(11), 300),
+        rng.integers(100, 5000, 4000),
+    ].astype(np.int64)
+    rng.shuffle(keys)
+    capacity = 64
+    uniq, w, err = mg_compress(keys, capacity)
+    assert len(uniq) <= capacity
+    true = pd.Series(keys).value_counts()
+    for k, wt in zip(uniq, w):
+        assert wt <= true[k]
+    # total decrement mass bound
+    assert err <= len(keys) / (capacity + 1) * capacity + len(keys)
+    deficit = sum(true[k] - wt for k, wt in zip(uniq, w))
+    assert deficit <= err
+    # no-compression regime returns exact counts
+    small = np.array([1, 1, 2, 3, 3, 3], dtype=np.int64)
+    u2, w2, e2 = mg_compress(small, 10)
+    assert e2 == 0 and dict(zip(u2, w2)) == {1: 2, 2: 1, 3: 3}
+
+
+def test_heavy_hitters_exact_on_skew(rd):
+    """End-to-end: MG candidates + exact recount == exact groupby
+    threshold on an adversarially skewed distribution (hot keys just
+    above AND just below the threshold)."""
+    from biomass_processing_pipeline_ray.stages.analytic import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    n = 12800  # threshold at phi_denom=128 is exactly 100
+    keys = np.r_[
+        np.repeat(np.int64(1), 150),  # clear hitter
+        np.repeat(np.int64(2), 101),  # just above
+        np.repeat(np.int64(3), 100),  # exactly at threshold -> excluded (>)
+        np.repeat(np.int64(4), 99),  # just below
+        rng.integers(1000, 9000, 12350),
+    ].astype(np.int64)
+    rng.shuffle(keys)
+    ds = rd.from_pandas(pd.DataFrame({"user_id": keys})).repartition(8)
+    got = (
+        heavy_hitters(ds, "user_id", phi_denom=128, capacity=256)
+        .to_pandas()
+        .sort_values("hh_key")
+        .reset_index(drop=True)
+    )
+    vc = pd.Series(keys).value_counts()
+    exp = vc[vc > n / 128].sort_index()
+    assert list(got["hh_key"]) == list(exp.index)
+    assert list(got["cnt"]) == list(exp.to_numpy())
+    assert 1 in set(got["hh_key"]) and 2 in set(got["hh_key"])
+    assert 3 not in set(got["hh_key"]) and 4 not in set(got["hh_key"])
+
+
+def test_heavy_hitters_capacity_guard(rd):
+    from biomass_processing_pipeline_ray.stages.analytic import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"user_id": np.arange(10, dtype=np.int64)}))
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "user_id", phi_denom=128, capacity=64)
