@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "phash_neardup",
     "county_clip_stats",
     "image_thumbs",
+    "events_ranked",
+    "heavy_hitter_keys",
+    "county_quantiles",
 ]
 
 
