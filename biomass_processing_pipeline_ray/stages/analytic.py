@@ -177,8 +177,9 @@ def grouped_quantiles(ds, key: str, val: str, qs: dict[str, float], coarse_col: 
     bucket lexsorts once by (key, value) and gathers every contained
     group's selection indices vectorized.  At 100 TB this holds while a
     bucket of groups fits a worker (the same assumption as every
-    bucketed sort here); beyond that the scale path is per-group
-    histogram sketches, traded away here for exactness.
+    bucketed sort here); beyond that the scale path is
+    ``approx_grouped_quantiles`` below (mergeable histogram sketch,
+    bounded error, O(bins) state) — traded away here for exactness.
     """
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
@@ -197,6 +198,109 @@ def grouped_quantiles(ds, key: str, val: str, qs: dict[str, float], coarse_col: 
         return pa.table(out)
 
     return ds.groupby(coarse_col).map_groups(per_bucket, batch_format="pandas")
+
+
+def approx_grouped_quantiles(
+    ds,
+    key: str,
+    val: str,
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    nbins: int = 2048,
+):
+    """Mergeable histogram-sketch quantiles — the SCALE PATH that
+    ``grouped_quantiles`` documents trading away.
+
+    ``grouped_quantiles`` needs each group's full value multiset in one
+    bucket; this variant needs O(occupied bins) per (group, batch): each
+    batch emits ``(key, bin, cnt)`` partial rows over an equal-width
+    grid on the caller-supplied ``[lo, hi]`` value range, partials merge
+    by distributive Sum (tiny shuffle — at most groups × nbins rows
+    total regardless of input size), and each group's quantile is read
+    off the merged CDF vectorized.
+
+    Guarantee: the reported value is the UPPER EDGE of the bin holding
+    the rank-``floor(q*(n-1))`` element, so
+    ``|approx - exact| ≤ (hi - lo) / nbins``
+    for every group and q — distribution-independent.  Values outside
+    ``[lo, hi]`` clamp to the boundary bins (their quantile error is
+    then bounded by their clamp distance).  Exactness is deliberately
+    NOT claimed; the exact variant remains the oracle-checked query.
+    """
+    from ray.data.aggregate import Sum
+
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (np.float64(hi) - np.float64(lo)) / nbins
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[key].to_pylist(), dtype=object).astype(str)
+        vals = b[val].to_numpy().astype(np.float64)
+        bins = np.clip(
+            ((vals - lo) / width).astype(np.int64), 0, nbins - 1
+        )
+        uk, ki = np.unique(keys, return_inverse=True)
+        flat = ki.astype(np.int64) * nbins + bins
+        uf, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                key: pa.array(uk[(uf // nbins)], pa.string()),
+                "bin": pa.array(uf % nbins, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key, "bin"],
+        [Sum("cnt", alias_name="cnt")],
+    )
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        import zlib
+
+        ka = np.asarray(b[key].to_pylist(), dtype=object)
+        # deterministic across workers (process hash() is salted)
+        h = np.fromiter(
+            (zlib.crc32(str(k).encode()) & 0xF for k in ka),
+            dtype=np.int64,
+            count=len(ka),
+        )
+        return b.append_column("coarse", pa.array(h))
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        keys = g[key].to_numpy().astype(str)
+        order = np.lexsort((g["bin"].to_numpy(), keys))
+        keys = keys[order]
+        bins = g["bin"].to_numpy()[order]
+        cnt = g["cnt"].to_numpy()[order]
+        starts, sizes, start_of = _group_offsets(keys)
+        csum = np.cumsum(cnt)
+        base = np.repeat(csum[starts] - cnt[starts], sizes)
+        cdf = csum - base  # within-group running count
+        totals = cdf[starts + sizes - 1]
+        out: dict[str, pa.Array] = {
+            key: pa.array(keys[starts], pa.string()),
+            "n": pa.array(totals.astype(np.int64), pa.int64()),
+        }
+        for name, q in qs.items():
+            rank = np.floor(q * (totals - 1)).astype(np.int64) + 1
+            # first bin whose running count reaches the rank, per group
+            sel = np.empty(len(starts), dtype=np.int64)
+            for i, (s, z, r) in enumerate(zip(starts, sizes, rank)):
+                sel[i] = s + np.searchsorted(cdf[s : s + z], r)
+            out[name] = pa.array(lo + (bins[sel] + 1) * width, pa.float64())
+        return pa.table(out)
+
+    # merged output is ≤ groups × nbins rows; co-partition whole groups
+    # by a coarse deterministic key hash (repo-wide bucket pattern) so
+    # each finalize call sees every bin of its contained groups
+    return (
+        merged.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(finalize, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,45 @@ def test_grouped_quantiles_vs_numpy(rd):
         assert row["p90"] == np.quantile(vals, 0.9, method="lower")
 
 
+def test_approx_grouped_quantiles_error_bound(rd):
+    """Histogram-sketch quantiles land within (hi-lo)/nbins of the
+    exact element-selection quantile for every group and q — including
+    a heavily skewed group and a near-constant group."""
+    from biomass_processing_pipeline_ray.stages.analytic import (
+        approx_grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = [
+        pd.DataFrame({"g": "uniform", "x": rng.uniform(0, 10, 4000)}),
+        pd.DataFrame({"g": "skewed", "x": rng.exponential(0.5, 4000)}),
+        pd.DataFrame({"g": "constant", "x": np.full(500, 3.25)}),
+        pd.DataFrame({"g": "tiny", "x": np.array([1.0, 9.0])}),
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    lo, hi, nbins = 0.0, 10.0, 2048
+    got = (
+        approx_grouped_quantiles(
+            rd.from_pandas(df).repartition(6),
+            "g",
+            "x",
+            {"p50": 0.5, "p95": 0.95},
+            lo,
+            hi,
+            nbins=nbins,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    width = (hi - lo) / nbins
+    for g, sub in df.groupby("g"):
+        vals = np.clip(sub["x"].to_numpy(), lo, hi)  # sketch clamps
+        assert got.loc[g, "n"] == len(vals)
+        for name, q in (("p50", 0.5), ("p95", 0.95)):
+            exact = np.quantile(vals, q, method="lower")
+            assert abs(got.loc[g, name] - exact) <= width + 1e-12, (g, name)
+
+
 def test_mg_compress_invariants():
     """Per-batch summary: weight ≤ true count, deficit ≤ returned err,
     and err ≤ n/(capacity+1)."""
