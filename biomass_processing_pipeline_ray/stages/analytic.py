@@ -360,17 +360,38 @@ def heavy_hitters(ds, key: str, phi_denom: int = 128, capacity: int = 256):
             {"hh_key": pa.array(out_k, pa.int64()), "mg": pa.array(out_w, pa.int64())}
         )
 
+    # merged summary: distinct keys that were locally frequent in some
+    # batch — far smaller than the input but NOT driver-sized at 100 TB
+    # (≤ capacity × n_batches keys pre-merge).  Materialize it once (two
+    # consumers below), pull only the two sentinel rows to the driver,
+    # and apply the candidate rule distributed; the candidate SET is
+    # bounded (Σmg ≤ n ⇒ #{mg > T - Σerr} ≤ n/(T-Σerr) ≈ 2·phi_denom),
+    # so its take is a bounded pull.
     merged = combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["hh_key"],
         [Sum("mg", alias_name="mg")],
-    ).to_pandas()
-    total = int(merged.loc[merged["hh_key"] == _N_SENTINEL, "mg"].sum())
-    err = int(merged.loc[merged["hh_key"] == _ERR_SENTINEL, "mg"].sum())
+    ).materialize()
+
+    def sentinels_only(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["hh_key"].to_numpy() < 0))
+
+    sent = merged.map_batches(sentinels_only, batch_format="pyarrow").to_pandas()
+    sk, sv = sent["hh_key"].to_numpy(), sent["mg"].to_numpy()
+    total = int(sv[sk == _N_SENTINEL].sum())
+    err = int(sv[sk == _ERR_SENTINEL].sum())
     thresh = np.float64(total) / np.float64(phi_denom)
-    cand = merged[
-        (merged["hh_key"] >= 0) & (merged["mg"].to_numpy() > thresh - err)
-    ]["hh_key"].to_numpy()
+
+    def candidates_only(b: pa.Table) -> pa.Table:
+        k = b["hh_key"].to_numpy()
+        w = b["mg"].to_numpy()
+        return b.filter(pa.array((k >= 0) & (w.astype(np.float64) > thresh - err)))
+
+    cand = (
+        merged.map_batches(candidates_only, batch_format="pyarrow")
+        .to_pandas()["hh_key"]
+        .to_numpy()
+    )
     cand_ref = ray.put(cand)
 
     def recount(b: pa.Table) -> pa.Table:
