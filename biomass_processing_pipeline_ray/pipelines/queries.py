@@ -73,9 +73,18 @@ def tiles_path(sf_dir: str) -> str:
 
 
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # the driver-written tables carry b'pandas' footer metadata, which
+    # makes pa.Schema unhashable on pyarrow 16 — every downstream block
+    # concat/shuffle then skips Ray's schema-dedup fast path and logs
+    # "Failed to hash the schemas".  Hand read_parquet a metadata-free
+    # schema projected to the pruned columns (one cheap footer read).
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------

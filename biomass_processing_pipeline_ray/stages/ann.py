@@ -90,9 +90,11 @@ def cosine_topk(ds, queries_ref, k: int = 10):
             df = df.sort_values(
                 ["query_id", "cos", "vec_id"], ascending=[True, False, True]
             )
+            # metadata-free so downstream shuffle concat keeps Ray's
+            # schema-dedup fast path (pandas footer is unhashable)
             return pa.Table.from_pandas(
                 df.groupby("query_id").head(k), preserve_index=False
-            )
+            ).replace_schema_metadata(None)
 
     partial = ds.map_batches(
         PartialTopK,

@@ -38,7 +38,10 @@ def tumbling_partial(batch: pa.Table, width_us: int = US_PER_HOUR) -> pa.Table:
         n=("value", "size"), value_sum=("value", "sum")
     )
     g["n"] = g["n"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip the b'pandas' footer from_pandas attaches: it makes the
+    # schema unhashable (pyarrow 16) and every downstream shuffle
+    # concat then skips Ray's schema-dedup fast path
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def tumbling_aggregate(ds, width_us: int = US_PER_HOUR):
@@ -90,7 +93,10 @@ def sliding_partial(
         n=("value", "size"), value_sum=("value", "sum")
     )
     g["n"] = g["n"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip the b'pandas' footer from_pandas attaches: it makes the
+    # schema unhashable (pyarrow 16) and every downstream shuffle
+    # concat then skips Ray's schema-dedup fast path
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def sliding_aggregate(
@@ -149,7 +155,10 @@ def watermark_partial(
     )
     g["n_on_time"] = g["n_on_time"].astype(np.int64)
     g["n_late"] = g["n_late"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip the b'pandas' footer from_pandas attaches: it makes the
+    # schema unhashable (pyarrow 16) and every downstream shuffle
+    # concat then skips Ray's schema-dedup fast path
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def watermark_aggregate(ds, **kw):
