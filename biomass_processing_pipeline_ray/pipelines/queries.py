@@ -1917,6 +1917,390 @@ _SQL_EMBEDDING_NEARDUP = """
 
 
 # ---------------------------------------------------------------------------
+# cluster + sketch family (round 3): pair edges -> components, KMV
+# distinct sketch, caption agreement over image near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Corpus-dedup completion: MinHash-LSH near-dup pairs are EDGES of
+    a similarity graph; cluster assignment = distributed min-label
+    connected components (``stages/cluster.py``) → one row per paired
+    doc with its cluster representative (component-min doc_id) and
+    cluster size.  Keep-one-per-cluster / drop-oversized-cluster
+    filters compose directly on this frame."""
+    from ..stages.cluster import connected_components, with_cluster_sizes
+    from ..stages.dedup import minhash_lsh_pairs
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    docs2 = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, docs2, threshold=0.7)
+    labels = connected_components(pairs)
+    out = with_cluster_sizes(labels)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["node"],
+                "cluster_rep": b["lbl"],
+                "cluster_size": pa.array(
+                    b["cluster_size"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_neardup_clusters() -> str:
+    """Recursive-CTE components over the SAME verified pair set the
+    ``minhash_pairs`` oracle records — label propagation expressed as
+    transitive closure (min over reachable nodes = component min)."""
+    from .oracles import minhash_oracle_path
+
+    return f"""
+    WITH RECURSIVE
+    pe AS (SELECT a, b FROM read_parquet('{minhash_oracle_path()}')),
+    edges AS (SELECT a AS u, b AS v FROM pe UNION SELECT b AS u, a AS v FROM pe),
+    walk(u, lbl) AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v AS u, w.lbl FROM walk w JOIN edges e ON e.u = w.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY u)
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.rep AS BIGINT) AS cluster_rep,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c.rep = s.rep
+    """
+
+
+def _pairs_to_int_ids(b: pa.Table) -> pa.Table:
+    """image_id pair columns ('img' + 12 digits) → int64 (a, b)."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for col in ("a", "b"):
+        out[col] = pc.cast(pc.utf8_slice_codeunits(b[col], 3, 15), pa.int64())
+    return pa.table(out)
+
+
+def _int_to_image_id(arr) -> pa.Array:
+    import pyarrow.compute as pc
+
+    digits = pc.utf8_lpad(pc.cast(arr, pa.string()), 12, "0")
+    n = len(arr)
+    return pc.binary_join_element_wise(
+        pa.array(["img"] * n, pa.string()), digits, pa.array([""] * n, pa.string())
+    )
+
+
+def q_image_dup_clusters(sf_dir: str):
+    """Image near-dup clusters: banded-Hamming phash pairs → connected
+    components over tile ids → (image_id, cluster_rep, cluster_size).
+    The fixture's planted copy chains (donor → exact copy → flipped
+    copy, ``sources/tiles.py:plant_donor``) make multi-node components
+    the EXPECTED case, exercising >1 propagation round."""
+    from ..sources.tiles import read_tiles
+    from ..stages.cluster import connected_components, with_cluster_sizes
+    from ..stages.dedup import phash_neardup_pairs
+
+    ds = read_tiles(tiles_path(sf_dir), columns=["image_id", "phash"])
+    pairs = phash_neardup_pairs(ds, max_hamming=3, n_rows=universe_n(sf_dir))
+    labels = connected_components(
+        pairs.map_batches(_pairs_to_int_ids, batch_format="pyarrow")
+    )
+    out = with_cluster_sizes(labels)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": _int_to_image_id(b["node"]),
+                "cluster_rep": _int_to_image_id(b["lbl"]),
+                "cluster_size": pa.array(
+                    b["cluster_size"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_phash_pairs_numeric(n: int, max_hamming: int = 3) -> str:
+    """CTE fragment: numeric (a, b) tile-id phash near-dup pairs — the
+    same banded pigeonhole construction ``sql_phash_neardup`` uses."""
+    from .oracles import px_oracle_path
+
+    band_joins = "\n      UNION\n".join(
+        f"""      SELECT x.tile_id AS ta, y.tile_id AS tb
+      FROM h x JOIN h y
+        ON ((x.phash >> {16 * b}) & 65535) = ((y.phash >> {16 * b}) & 65535)
+       AND x.tile_id < y.tile_id"""
+        for b in range(4)
+    )
+    return f"""
+    h AS (SELECT tile_id, phash FROM read_parquet('{px_oracle_path(n)}')),
+    cand AS (
+{band_joins}
+    ),
+    pe AS (
+        SELECT ta AS a, tb AS b
+        FROM cand JOIN h ha ON ha.tile_id = cand.ta
+                  JOIN h hb ON hb.tile_id = cand.tb
+        WHERE bit_count(xor(ha.phash, hb.phash)) <= {max_hamming}
+    )"""
+
+
+def _sql_image_dup_clusters(n: int) -> str:
+    fmt_id = "'img' || lpad(CAST({c} AS VARCHAR), 12, '0')"
+    return f"""
+    WITH RECURSIVE
+    {_sql_phash_pairs_numeric(n)},
+    edges AS (SELECT a AS u, b AS v FROM pe UNION SELECT b AS u, a AS v FROM pe),
+    walk(u, lbl) AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v AS u, w.lbl FROM walk w JOIN edges e ON e.u = w.u
+    ),
+    comp AS (SELECT u AS tid, MIN(lbl) AS rep FROM walk GROUP BY u)
+    SELECT {fmt_id.format(c="c.tid")} AS image_id,
+           {fmt_id.format(c="c.rep")} AS cluster_rep,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c.rep = s.rep
+    """
+
+
+def q_caption_pair_jaccard(sf_dir: str):
+    """Multimodal curation signal: for every phash near-dup image pair,
+    the token-set Jaccard of the two CAPTIONS — near-identical images
+    with disagreeing captions (low Jaccard) are label noise in an
+    image+caption training corpus.
+
+    Shape: the pair set is tiny relative to the corpus, so captions are
+    attached via the two-hop co-partitioned join (pair endpoints and a
+    column-pruned caption re-scan co-bucketed by image id, then regroup
+    by pair) — the same broadcast-free pattern as the MinHash verify
+    (``stages/dedup.py``).  Per-pair token-set math is bounded by the
+    pair count, never the corpus."""
+    from ..sources.tiles import read_tiles
+    from ..stages.dedup import adaptive_n_coarse, phash_neardup_pairs
+
+    import ray
+
+    n = universe_n(sf_dir)
+    nb = adaptive_n_coarse(n)
+    tiles = read_tiles(tiles_path(sf_dir), columns=["image_id", "phash"])
+    pairs = phash_neardup_pairs(tiles, max_hamming=3, n_rows=n).map_batches(
+        _pairs_to_int_ids, batch_format="pyarrow"
+    )
+    # pair set is tiny vs the corpus: materialize once (it feeds the
+    # endpoint prefilter AND the join) and broadcast the endpoint-id
+    # set so the caption re-scan ships only involved rows into the
+    # shuffle.  For a pair set too large to broadcast, drop the filter
+    # and co-partition the full pruned scan (the MinHash-verify shape).
+    pairs = pairs.materialize()
+    endpoint_ref = ray.put(
+        np.union1d(
+            np.asarray(sorted(pairs.unique("a")), dtype=np.int64),
+            np.asarray(sorted(pairs.unique("b")), dtype=np.int64),
+        )
+    )
+
+    def tag_endpoints(b: pa.Table) -> pa.Table:
+        aa = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        node = np.concatenate([aa, bb])
+        other = np.concatenate([bb, aa])
+        end = np.concatenate(
+            [np.zeros(len(aa), dtype=np.int8), np.ones(len(bb), dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "tid": pa.array(node, pa.int64()),
+                "other": pa.array(other, pa.int64()),
+                "end": pa.array(end, pa.int8()),
+                "caption": pa.array([""] * len(node), pa.string()),
+                "bk": pa.array(G.derive_key(node) % nb, pa.int64()),
+                "side": pa.array(np.zeros(len(node), dtype=np.int8)),
+            }
+        )
+
+    def tag_captions(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tid = pc.cast(
+            pc.utf8_slice_codeunits(b["image_id"], 3, 15), pa.int64()
+        ).to_numpy()
+        keep = np.isin(tid, ray.get(endpoint_ref))
+        b = b.filter(pa.array(keep))
+        tid = tid[keep]
+        m = len(tid)
+        return pa.table(
+            {
+                "tid": pa.array(tid, pa.int64()),
+                "other": pa.array(np.full(m, -1, dtype=np.int64)),
+                "end": pa.array(np.zeros(m, dtype=np.int8)),
+                "caption": b["caption"],
+                "bk": pa.array(G.derive_key(tid) % nb, pa.int64()),
+                "side": pa.array(np.ones(m, dtype=np.int8)),
+            }
+        )
+
+    captions = read_tiles(tiles_path(sf_dir), columns=["image_id", "caption"])
+    unioned = pairs.map_batches(tag_endpoints, batch_format="pyarrow").union(
+        captions.map_batches(tag_captions, batch_format="pyarrow")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        ends = g.loc[g["side"] == 0, ["tid", "other", "end"]]
+        caps = g.loc[g["side"] == 1, ["tid", "caption"]]
+        m = ends.merge(caps, on="tid", how="left")
+        # pair key: (min, max) of the two endpoint ids
+        lo = np.minimum(m["tid"].to_numpy(np.int64), m["other"].to_numpy(np.int64))
+        hi = np.maximum(m["tid"].to_numpy(np.int64), m["other"].to_numpy(np.int64))
+        out = pd.DataFrame(
+            {
+                "a": lo,
+                "b": hi,
+                "end": m["end"].to_numpy(np.int8),
+                "caption": m["caption"],
+            }
+        )
+        out["pk"] = G.derive_key(out["a"].to_numpy()) % nb
+        return out
+
+    attached = unioned.groupby("bk").map_groups(attach, batch_format="pandas")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (lo, hi), gg in g.groupby(["a", "b"], sort=False):
+            cap_a = gg.loc[gg["end"] == 0, "caption"].iloc[0]
+            cap_b = gg.loc[gg["end"] == 1, "caption"].iloc[0]
+            sa = set(cap_a.split(" "))
+            sb = set(cap_b.split(" "))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            rows.append((lo, hi, np.float64(inter) / np.float64(union)))
+        out = pd.DataFrame(rows, columns=["a", "b", "caption_jaccard"])
+        out["a"] = out["a"].astype(np.int64)
+        out["b"] = out["b"].astype(np.int64)
+        return out
+
+    scored = attached.groupby("pk").map_groups(score, batch_format="pandas")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": _int_to_image_id(b["a"]),
+                "b": _int_to_image_id(b["b"]),
+                "caption_jaccard": pa.array(
+                    round_away(b["caption_jaccard"].to_numpy(), 6)
+                ),
+            }
+        )
+
+    return scored.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_caption_pair_jaccard(sf_dir: str) -> str:
+    tiles_glob = os.path.join(tiles_path(sf_dir), "*.parquet")
+    fmt_id = "'img' || lpad(CAST({c} AS VARCHAR), 12, '0')"
+    return f"""
+    WITH
+    {_sql_phash_pairs_numeric(universe_n(sf_dir))},
+    caps AS (SELECT CAST(substr(image_id, 4) AS BIGINT) AS tid, caption
+             FROM read_parquet('{tiles_glob}')),
+    toks AS (SELECT DISTINCT tid, tok FROM
+             (SELECT tid, unnest(string_split(caption, ' ')) AS tok FROM caps)),
+    sizes AS (SELECT tid, COUNT(*) AS n FROM toks GROUP BY tid),
+    inter AS (SELECT pe.a, pe.b, COUNT(*) AS ni
+              FROM pe JOIN toks ta ON ta.tid = pe.a
+                      JOIN toks tb ON tb.tid = pe.b AND tb.tok = ta.tok
+              GROUP BY pe.a, pe.b)
+    SELECT {fmt_id.format(c="pe.a")} AS a,
+           {fmt_id.format(c="pe.b")} AS b,
+           ROUND(CAST(COALESCE(inter.ni, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - COALESCE(inter.ni, 0) AS DOUBLE), 6)
+               AS caption_jaccard
+    FROM pe
+    JOIN sizes sa ON sa.tid = pe.a
+    JOIN sizes sb ON sb.tid = pe.b
+    LEFT JOIN inter ON inter.a = pe.a AND inter.b = pe.b
+    """
+
+
+KMV_K = 64
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate COUNT DISTINCT via a K-minimum-values sketch: per
+    group keep the ``KMV_K`` smallest distinct 32-bit hashes of the key;
+    estimate = (K-1)·2³² / kth-smallest-hash.  The sketch is MERGEABLE
+    (union of partials → k smallest of the union), so the shuffle moves
+    ≤ K values per group per batch — the scale substitute for an exact
+    distinct over 10¹² keys.  Deterministic hash ⇒ the estimate is
+    bit-reproducible and SQL-mirrorable (exact hash-equal gate, not a
+    tolerance check)."""
+    ds = _tbl(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_type", "user_id"]].copy()
+        df["hv"] = G.derive_key(df["user_id"].to_numpy())
+        out = (
+            df.drop_duplicates(["event_type", "hv"])
+            .sort_values(["event_type", "hv"], kind="mergesort")
+            .groupby("event_type", as_index=False)
+            .head(KMV_K)
+        )
+        return out[["event_type", "hv"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    # group count = distinct event types (each group substantial) — the
+    # bounded-key sketch merge, not the per-key anti-pattern
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy(np.int64))[:KMV_K]
+        n_kept = np.int64(len(hv))
+        kth = np.int64(hv[-1])
+        if n_kept >= KMV_K:
+            est = np.float64((KMV_K - 1) * G.MOD32) / np.float64(kth)
+        else:
+            est = np.float64(n_kept)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_kept": [n_kept],
+                "kth": [kth],
+                "est_distinct": [round_away(np.asarray([est]), 4)[0]],
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(merge, batch_format="pandas")
+
+
+_SQL_APPROX_DISTINCT_USERS = f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                      {G.SQL_KEY.format(id="user_id")} AS hv
+               FROM events),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    k AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(MAX(hv) AS BIGINT) AS kth
+          FROM r WHERE rn <= {KMV_K} GROUP BY event_type)
+    SELECT event_type, n_kept, kth,
+           ROUND(CASE WHEN n_kept >= {KMV_K}
+                      THEN CAST({(KMV_K - 1) * G.MOD32} AS DOUBLE)
+                           / CAST(kth AS DOUBLE)
+                      ELSE CAST(n_kept AS DOUBLE) END, 4) AS est_distinct
+    FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2009,6 +2393,14 @@ def build_queries() -> dict:
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
         "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
+        # cluster + sketch family (new in round 3 — never driver-checked)
+        "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
+        "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
+        "caption_pair_jaccard": (
+            q_caption_pair_jaccard,
+            _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
+        ),
+        "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),

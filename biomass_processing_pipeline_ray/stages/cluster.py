@@ -1,0 +1,196 @@
+"""Distributed connected components over near-dup pair edges.
+
+The corpus-dedup completion step the pair operators feed: MinHash /
+SimHash / phash emit EDGES of a sparse similarity graph; cluster
+assignment = connected components; keep-one-per-cluster / cluster-size
+filters follow.  (The reference stops at per-key upsert dedup of result
+rows — `result_writer_v3.py` — pair→cluster resolution is part of the
+beyond-reference LLM-corpus toolkit, alongside `stages/dedup.py`.)
+
+Algorithm: min-label propagation to fixpoint,
+
+    label[v]  <-  min(label[v], min over neighbors u of label[u])
+
+expressed so each round costs ONE co-partitioned shuffle.  Round state
+is the edge list with source labels attached, plus one self row per
+node carrying its current label:
+
+    (src, dst, lbl_src)        for every directed edge
+    (v,   v,   lbl_v)          one self row per node
+
+Grouping by ``bucket(dst)`` gives every node v all incoming labels; the
+group computes ``new_lbl_v`` and — because the symmetric edge set makes
+incoming(v) the mirror of outgoing(v) — emits the NEXT round's state
+directly: ``(v, u, new_lbl_v)`` for each incoming ``(u, v, ·)`` plus
+the refreshed self row.  No separate labels→edges join ever happens.
+Each round also emits SHORTCUT edges ``(new_lbl_v, u)`` (hash-to-min
+acceleration, Rastogi et al.): neighbors connect directly to the
+current minimum and mirror back to it next round, so min-to-node
+distances shrink geometrically — O(log diameter) rounds, not
+O(diameter).  Duplicate (src, dst) rows are collapsed in-group, so
+state stays O(E + V·rounds).
+
+Scale shape:
+
+- Round state is O(E + V) of the PAIR graph — the corpus is never
+  touched; one bucket shuffle per round.
+- State MATERIALIZES each round: an iterative fixpoint must checkpoint
+  or Dataset lineage re-executes every prior round from scratch.
+- Convergence is a `sum("changed")` on the already-materialized round
+  output (driver holds one integer); near-dup components have tiny
+  diameter so a handful of rounds suffices, with `max_iters` as a
+  safety bound.
+- Buckets key on `hash(node) % n_buckets` (Knuth multiplicative hash),
+  sized to the edge count: group count grows with data for shuffle
+  parallelism but stays coarse enough to amortize per-group dispatch —
+  skewed components spread across buckets because bucketing keys on
+  NODE, not on component.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import georef as G
+
+
+def _bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
+    return (G.derive_key(np.asarray(ids, dtype=np.int64)) % nb).astype(np.int64)
+
+
+def _adaptive_buckets(n_edges: int) -> int:
+    """~4k state rows per bucket, floor 32, cap 4096 (same sizing logic
+    as ``dedup.adaptive_n_coarse``: amortize per-group dispatch, keep
+    group count ≫ cores as data grows)."""
+    return int(np.clip(n_edges // 4096, 32, 4096))
+
+
+def connected_components(
+    pairs,
+    a: str = "a",
+    b: str = "b",
+    n_buckets: int | None = None,
+    max_iters: int = 50,
+):
+    """(node, lbl) per node appearing in ``pairs``; ``lbl`` is the
+    minimum node id of the node's connected component.  Nodes in no
+    pair are singletons by definition and are not emitted (output stays
+    bounded by the pair set)."""
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        ua = np.asarray(batch[a].to_numpy(), dtype=np.int64)
+        ub = np.asarray(batch[b].to_numpy(), dtype=np.int64)
+        # directed both ways + one self row per endpoint mention (the
+        # first reduce collapses duplicate self rows)
+        src = np.concatenate([ua, ub, ua, ub])
+        dst = np.concatenate([ub, ua, ua, ub])
+        lbl = src.copy()
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "lbl": pa.array(lbl, pa.int64()),
+            }
+        )
+
+    state = pairs.map_batches(init_state, batch_format="pyarrow").materialize()
+    nb = n_buckets or _adaptive_buckets(state.count())
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bk", pa.array(_bucket_of(t["dst"].to_numpy(), nb), pa.int64())
+        )
+
+    for _ in range(max_iters):
+
+        def step(g: pd.DataFrame) -> pd.DataFrame:
+            src = g["src"].to_numpy(np.int64)
+            dst = g["dst"].to_numpy(np.int64)
+            lbl = g["lbl"].to_numpy(np.int64)
+            # collapse duplicates: init emits duplicate self rows, and
+            # shortcut emission can produce the same (src, dst) from
+            # two source groups
+            keep = ~pd.DataFrame({"s": src, "d": dst}).duplicated().to_numpy()
+            src, dst, lbl = src[keep], dst[keep], lbl[keep]
+            is_self = src == dst
+            df = pd.DataFrame({"dst": dst, "lbl": lbl})
+            new = df.groupby("dst")["lbl"].min()
+            old = pd.Series(lbl[is_self], index=dst[is_self])
+            changed = new.to_numpy() < old.reindex(new.index).to_numpy()
+            # mirror emission: next round's outgoing edges of each node
+            # carry its refreshed label (preserves connectivity)
+            e_src, e_dst = dst[~is_self], src[~is_self]
+            new_lbl = new.reindex(e_src).to_numpy(np.int64)
+            # shortcut emission (hash-to-min acceleration): every
+            # neighbor u of v also gets a DIRECT edge from v's current
+            # minimum, so min-to-node distances shrink geometrically —
+            # O(log diameter) rounds instead of O(diameter).  Next
+            # round u mirrors it back, so the minimum also hears from u
+            # directly ("all-to-min / min-to-all").
+            s_keep = (new_lbl != e_src) & (new_lbl != e_dst)
+            nodes = new.index.to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "src": np.concatenate([e_src, new_lbl[s_keep], nodes]),
+                    "dst": np.concatenate([e_dst, e_dst[s_keep], nodes]),
+                    "lbl": np.concatenate(
+                        [new_lbl, new_lbl[s_keep], new.to_numpy(np.int64)]
+                    ),
+                    "changed": np.concatenate(
+                        [
+                            np.zeros(len(e_src) + int(s_keep.sum()), dtype=np.int64),
+                            changed.astype(np.int64),
+                        ]
+                    ),
+                }
+            )
+            return out
+
+        state = (
+            state.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(step, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = state.sum("changed")
+        if not n_changed:
+            break
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["src"], t["dst"]))
+        return pa.table({"node": t["src"], "lbl": t["lbl"]})
+
+    return state.map_batches(self_rows, batch_format="pyarrow")
+
+
+def with_cluster_sizes(labels, n_buckets: int | None = None):
+    """(node, lbl, cluster_size): one bucket shuffle keyed on the
+    cluster label — a component lives entirely in one bucket, so the
+    size count is local to the group."""
+    nb = n_buckets or 1024
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "lbl": t["lbl"],
+                "bl": pa.array(_bucket_of(t["lbl"].to_numpy(), nb), pa.int64()),
+            }
+        )
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["node", "lbl"]].copy()
+        out["cluster_size"] = (
+            g.groupby("lbl")["node"].transform("size").to_numpy(np.int64)
+        )
+        return out
+
+    return (
+        labels.map_batches(tag, batch_format="pyarrow")
+        .groupby("bl")
+        .map_groups(sizes, batch_format="pandas")
+    )

