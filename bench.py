@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "events_ranked",
     "heavy_hitter_keys",
     "county_quantiles",
+    "neardup_clusters",
+    "approx_distinct_users",
+    "kmeans_embeddings",
+    "hex_ring_smooth",
 ]
 
 

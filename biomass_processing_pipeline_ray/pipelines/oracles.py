@@ -1099,3 +1099,74 @@ def sql_knn_idw_full(n: int) -> str:
         "SELECT tile_id, knn_idw_value "
         f"FROM read_parquet('{knn_idw_oracle_path(n)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means oracle: one sequential Lloyd pass over the whole
+# embeddings table with the IDENTICAL float contract as stages/kmeans.py
+# (normalize -> 2^-20 lattice snap so sums are order-exact; explicit
+# multiply+reduce dots, never BLAS matmul; argmax ties to lowest index)
+# — so the distributed fixed-round fit is checked bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_oracle_path(k: int = 8, n_iters: int = 4) -> str:
+    return os.path.join(ORACLE_DIR, f"kmeans_sf001_k{k}_i{n_iters}_v1.parquet")
+
+
+def ensure_kmeans_oracle(k: int = 8, n_iters: int = 4) -> str:
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+    from ..stages.kmeans import dots, prep_rows
+
+    path = kmeans_oracle_path(k, n_iters)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    ids, mat = prep_rows(ids, emb)
+
+    # same seed rule as stages/kmeans.init_centroids: k smallest hashes,
+    # hash-ascending
+    skey = G.derive_key(ids)
+    cents = mat[np.argsort(skey, kind="stable")[:k]].copy()
+
+    for _ in range(n_iters):
+        assign = np.argmax(dots(mat, cents), axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                # same expression as the distributed M-step: exact
+                # lattice sum / count
+                new[c] = members.sum(axis=0) / np.float64(len(members))
+        _, cents = prep_rows(np.zeros(k), new)
+
+    sims = dots(mat, cents)
+    best = np.argmax(sims, axis=1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "centroid": pa.array(best.astype(np.int64)),
+            "cos": pa.array(round_away(sims[np.arange(len(best)), best], 6)),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_kmeans_assign(k: int = 8, n_iters: int = 4) -> str:
+    return (
+        "SELECT vec_id, centroid, cos "
+        f"FROM read_parquet('{kmeans_oracle_path(k, n_iters)}')"
+    )

@@ -147,6 +147,36 @@ def _grouped_sums(ds, keys: list[str], sums: dict[str, str], count_col: str):
     return combine_partials(partials, keys, aggs)
 
 
+def _bucketed_sums(ds, key: str, sums: dict[str, str], count_col: str | None,
+                   nb: int = 1024):
+    """Grouped sums for HIGH-cardinality int64 keys: coarse hash
+    buckets + one vectorized in-bucket pandas groupby.  Ray's native
+    Sum aggregate pays per-distinct-key sort costs that turn
+    pathological beyond ~10⁴ keys (measured 84 s for 37k hex cells vs
+    ~2 s bucketed); `_grouped_sums`/`combine_partials` stays the path
+    for bounded-key aggregates."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bk", pa.array(G.derive_key(b[key].to_numpy()) % nb, pa.int64())
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        if count_col:
+            agg[count_col] = (next(iter(sums.values())), "size")
+        r = g.groupby(key, as_index=False).agg(**agg)
+        if count_col:
+            r[count_col] = r[count_col].astype(np.int64)
+        return r
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _geo_sql_fragments() -> tuple[str, str, str]:
     lon, lat = G.sql_lonlat("id")
     fips = G.sql_county_fips(lon, lat)
@@ -2231,6 +2261,153 @@ def _sql_caption_pair_jaccard(sf_dir: str) -> str:
     """
 
 
+def q_hex_ring_smooth(sf_dir: str):
+    """Hex-grid neighborhood smoothing (H3 ``grid_disk(k=1)`` analog):
+    per-cell value sums ring-expand to self + 6 axial neighbors, so
+    each occupied cell's smoothed mean pools its 1-ring neighborhood —
+    the raster→vector→neighborhood-graph aggregation a tile mosaic
+    uses for seam-free county surfaces.
+
+    Scale shape: tiles combine per cell FIRST (combiner partials), the
+    ×7 ring expansion happens on CELL rows (≪ tiles), and the ring
+    merge is another partial-combine Sum — two small shuffles total,
+    both over cell-count-bounded tables."""
+    from ..geo.hexgrid import DIRECTIONS, pack_cell, unpack_cell
+    from ..stages.cells import DEFAULT_HEX_RES, CellEncoder
+
+    n = universe_n(sf_dir)
+    ds = _range_geo(n).map_batches(CellEncoder(), batch_format="pyarrow")
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["tile_id", "hex_cell"]].copy()
+        df["v"] = snap_binary(G.derive_value(df["tile_id"].to_numpy()))
+        g = df.groupby("hex_cell", as_index=False).agg(
+            vsum=("v", "sum"), cnt=("v", "size")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    cells = _bucketed_sums(
+        ds.map_batches(per_cell, batch_format="pandas"),
+        "hex_cell",
+        {"vsum": "vsum", "cnt": "cnt"},
+        None,
+    )
+
+    def ring_expand(b: pa.Table) -> pa.Table:
+        cell = b["hex_cell"].to_numpy()
+        res, q, r = unpack_cell(cell)
+        vsum = b["vsum"].to_numpy()
+        cnt = b["cnt"].to_numpy()
+        dsts, vs, cs, selfs = [cell], [vsum], [cnt], [np.ones(len(cell), np.int64)]
+        for dq, dr in DIRECTIONS:
+            dsts.append(pack_cell(int(res[0]) if len(res) else DEFAULT_HEX_RES,
+                                  q + dq, r + dr))
+            vs.append(vsum)
+            cs.append(cnt)
+            selfs.append(np.zeros(len(cell), np.int64))
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+                "vsum": pa.array(np.concatenate(vs)),
+                "cnt": pa.array(np.concatenate(cs), pa.int64()),
+                "self": pa.array(np.concatenate(selfs), pa.int64()),
+            }
+        )
+
+    msgs = cells.map_batches(ring_expand, batch_format="pyarrow")
+    agg = _bucketed_sums(
+        msgs,
+        "dst",
+        {"ssum": "vsum", "n_tiles": "cnt", "self_cnt": "self"},
+        "n_cells",
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["self_cnt"] > 0].copy()
+        return pd.DataFrame(
+            {
+                "hex_cell": b["dst"].to_numpy(np.int64),
+                "n_tiles": b["n_tiles"].to_numpy(np.int64),
+                "n_cells": b["n_cells"].to_numpy(np.int64),
+                "smooth_mean": round_away(
+                    b["ssum"].to_numpy() / b["n_tiles"].to_numpy(np.float64), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def _sql_hex_ring_smooth(n: int) -> str:
+    from ..geo.hexgrid import _MASK28, _OFFSET, sql_hex_cell
+    from ..stages.cells import DEFAULT_HEX_RES
+
+    from ..geo.hexgrid import DIRECTIONS
+
+    lon, lat, _ = _geo_sql_fragments()
+    v = G.sql_value("id")
+    dirs = ", ".join(f"({dq}, {dr})" for dq, dr in [(0, 0), *DIRECTIONS])
+    return f"""
+    WITH t AS (SELECT range AS id FROM range({n})),
+    cells AS (
+        SELECT {sql_hex_cell(lon, lat, DEFAULT_HEX_RES)} AS cell,
+               SUM({sql_snap(v)}) AS vsum,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t GROUP BY cell),
+    parts AS (
+        SELECT cell, ((cell >> 28) & {_MASK28}) - {_OFFSET} AS q,
+               (cell & {_MASK28}) - {_OFFSET} AS r, vsum, cnt
+        FROM cells),
+    dirs(dq, dr) AS (VALUES {dirs}),
+    msgs AS (
+        SELECT ((CAST({DEFAULT_HEX_RES} AS BIGINT) << 56)
+                | ((q + dq + {_OFFSET}) << 28) | (r + dr + {_OFFSET})) AS dst,
+               vsum, cnt,
+               CASE WHEN dq = 0 AND dr = 0 THEN 1 ELSE 0 END AS is_self
+        FROM parts CROSS JOIN dirs),
+    agg AS (
+        SELECT dst AS hex_cell, SUM(vsum) AS ssum,
+               CAST(SUM(cnt) AS BIGINT) AS n_tiles,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               MAX(is_self) AS has_self
+        FROM msgs GROUP BY dst)
+    SELECT hex_cell, n_tiles, n_cells,
+           ROUND(ssum / CAST(n_tiles AS DOUBLE), 6) AS smooth_mean
+    FROM agg WHERE has_self = 1
+    """
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed fixed-round Lloyd k-means over the full embeddings
+    table (the at-scale IVF trainer: per-batch combiner partials +
+    k-row merge per round, centroids broadcast) → final (vec_id,
+    centroid, cos) assignment.  Bit-exact vs the sequential oracle —
+    lattice-snapped rows make the partial sums order-exact and the
+    BLAS-free ``dots`` kernel is batch-shape-invariant
+    (``stages/kmeans.py``; oracle ``ensure_kmeans_oracle``)."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    out = kmeans_assign(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), cents)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "centroid": b["centroid"],
+                "cos": pa.array(round_away(b["cos"].to_numpy(), 6)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 KMV_K = 64
 
 
@@ -2317,6 +2494,7 @@ def ensure_generated_oracles() -> None:
         ensure_clip_oracle,
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
+        ensure_kmeans_oracle,
         ensure_knn_idw_oracle,
         ensure_minhash_oracle,
         ensure_ngram_oracle,
@@ -2339,6 +2517,7 @@ def ensure_generated_oracles() -> None:
     ensure_fingerprint_oracle()
     ensure_ivf_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
+    ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
 
 
 def build_queries() -> dict:
@@ -2354,6 +2533,7 @@ def build_queries() -> dict:
         sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
+        sql_kmeans_assign,
         sql_knn_idw_full,
         sql_image_thumbs,
         sql_minhash_pairs,
@@ -2401,6 +2581,11 @@ def build_queries() -> dict:
             _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
         ),
         "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
+        "kmeans_embeddings": (
+            q_kmeans_embeddings,
+            sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
+        ),
+        "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),

@@ -713,3 +713,38 @@ def test_kmv_distinct_sketch(rd):
     )
     assert out["small"] == true_small  # below K: exact distinct-hash count
     assert abs(out["big"] - true_big) / true_big < 3.0 / np.sqrt(KMV_K)
+
+
+def test_kmeans_batch_shape_invariance(rd):
+    """The distributed Lloyd fit is bit-identical regardless of how
+    rows are batched/partitioned — the lattice-snap (order-exact sums)
+    + BLAS-free dots contract."""
+    from biomass_processing_pipeline_ray.stages.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb.astype(np.float32))),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        cents = kmeans_fit(ds, k=5, n_iters=3)
+        a = (
+            kmeans_assign(rd.from_arrow(tbl), cents)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append((cents, a))
+    (c1, a1), (c2, a2) = outs
+    assert np.array_equal(c1, c2)
+    assert a1.equals(a2)
+    assert a1["centroid"].nunique() > 1
