@@ -149,32 +149,17 @@ def _grouped_sums(ds, keys: list[str], sums: dict[str, str], count_col: str):
 
 def _bucketed_sums(ds, key: str, sums: dict[str, str], count_col: str | None,
                    nb: int = 1024):
-    """Grouped sums for HIGH-cardinality int64 keys: coarse hash
-    buckets + one vectorized in-bucket pandas groupby.  Ray's native
-    Sum aggregate pays per-distinct-key sort costs that turn
-    pathological beyond ~10⁴ keys (measured 84 s for 37k hex cells vs
-    ~2 s bucketed); `_grouped_sums`/`combine_partials` stays the path
-    for bounded-key aggregates."""
+    """Grouped sums for HIGH-cardinality keys — thin wrapper over
+    ``stages/zonal.bucketed_agg`` (coarse hash buckets + vectorized
+    in-bucket pandas groupby; the native Sum aggregate is pathological
+    beyond ~10⁴ distinct keys — see that docstring for measurements).
+    `_grouped_sums`/`combine_partials` stays the bounded-key path."""
+    from ..stages.zonal import bucketed_agg
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "_bk", pa.array(G.derive_key(b[key].to_numpy()) % nb, pa.int64())
-        )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        agg = {out: (src, "sum") for out, src in sums.items()}
-        if count_col:
-            agg[count_col] = (next(iter(sums.values())), "size")
-        r = g.groupby(key, as_index=False).agg(**agg)
-        if count_col:
-            r[count_col] = r[count_col].astype(np.int64)
-        return r
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(merge, batch_format="pandas")
-    )
+    aggs: dict[str, tuple[str, str]] = {out: (src, "sum") for out, src in sums.items()}
+    if count_col:
+        aggs[count_col] = (next(iter(sums.values())), "size")
+    return bucketed_agg(ds, [key], aggs, nb=nb)
 
 
 def _geo_sql_fragments() -> tuple[str, str, str]:

@@ -251,10 +251,14 @@ def approx_grouped_quantiles(
             }
         )
 
-    merged = combine_partials(
+    # key × bin cardinality grows with both group count and bin
+    # resolution — bucketed merge
+    from .zonal import bucketed_agg
+
+    merged = bucketed_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         [key, "bin"],
-        [Sum("cnt", alias_name="cnt")],
+        {"cnt": ("cnt", "sum")},
     )
 
     def add_coarse(b: pa.Table) -> pa.Table:
@@ -367,10 +371,15 @@ def heavy_hitters(ds, key: str, phi_denom: int = 128, capacity: int = 256):
     # and apply the candidate rule distributed; the candidate SET is
     # bounded (Σmg ≤ n ⇒ #{mg > T - Σerr} ≤ n/(T-Σerr) ≈ 2·phi_denom),
     # so its take is a bounded pull.
-    merged = combine_partials(
+    # the union of locally-frequent keys across batches is
+    # high-cardinality (≤ capacity × n_batches distinct pre-merge) —
+    # bucketed merge, not the native sort-aggregate
+    from .zonal import bucketed_agg
+
+    merged = bucketed_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["hh_key"],
-        [Sum("mg", alias_name="mg")],
+        {"mg": ("mg", "sum")},
     ).materialize()
 
     def sentinels_only(b: pa.Table) -> pa.Table:

@@ -270,13 +270,9 @@ def minhash_lsh_pairs(
     # bucket, and the sort-aggregate pays a fixed per-block cost — pair
     # rows are narrow and sparse relative to the corpus, so a few
     # substantial blocks is the right layout at any scale)
-    from ray.data.aggregate import Min
+    from .zonal import bucketed_agg
 
-    from .zonal import combine_partials
-
-    return combine_partials(
-        verified, ["a", "b"], [Min("jaccard", alias_name="jaccard")]
-    )
+    return bucketed_agg(verified, ["a", "b"], {"jaccard": ("jaccard", "min")})
 
 
 # -- banded Hamming near-dup (shared machinery) -------------------------------
@@ -383,13 +379,9 @@ def banded_hamming_pairs(
     # Min is a pure dedup — a vectorized aggregate, not per-group Python
     # (coalesced: one mostly-empty pair block per coarse group otherwise
     # feeds the sort-aggregate's fixed per-block cost)
-    from ray.data.aggregate import Min
+    from .zonal import bucketed_agg
 
-    from .zonal import combine_partials
-
-    return combine_partials(
-        pairs, ["a", "b"], [Min("hamming", alias_name="hamming")]
-    )
+    return bucketed_agg(pairs, ["a", "b"], {"hamming": ("hamming", "min")})
 
 
 # -- simhash -----------------------------------------------------------------

@@ -46,6 +46,48 @@ def combine_partials(partial, keys, aggs):
     return partial.repartition(k).groupby(keys).aggregate(*aggs)
 
 
+def bucketed_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                 nb: int = 1024):
+    """Grouped aggregate for HIGH-cardinality keys: coarse hash buckets
+    + ONE vectorized in-bucket pandas groupby.
+
+    Ray's native sort-aggregate pays per-distinct-key costs that turn
+    pathological beyond ~10⁴ keys (measured: 84 s for a 3-Sum over 37k
+    hex cells vs ~2 s through this path; 20 s → ~4 s for the
+    heavy-hitter summary merge).  `combine_partials` stays the path for
+    BOUNDED-key aggregates, where the coalesce + native aggregate is
+    simpler and equally fast.
+
+    ``aggs`` maps output column → (source column, how) with how ∈
+    {"sum", "min", "max", "size"}.  Results are grouping-invariant
+    (exact int / lattice-float sums, order-free min/max), so the gate
+    hashes are unaffected by the bucket layout.  The bucket hash only
+    partitions work — any deterministic row hash will do; composite and
+    string keys hash via ``pd.util.hash_pandas_object``.
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bk"] = (
+            pd.util.hash_pandas_object(df[keys], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {out: (src, how) for out, (src, how) in aggs.items()}
+        r = g.groupby(keys, as_index=False).agg(**spec)
+        for out, (_, how) in aggs.items():
+            if how == "size":
+                r[out] = r[out].astype(np.int64)
+        return r
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bk")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def zonal_partial(batch: pa.Table, key: str = "county_fips", sum_cols=_SUM_COLS) -> pa.Table:
     """Combiner: one partial row per county per batch."""
     keys = np.asarray(batch[key].to_pylist(), dtype=object)
