@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "kmeans_embeddings",
     "hex_ring_smooth",
+    "bloom_semi_join",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "knn_pagerank",
 ]
 
 

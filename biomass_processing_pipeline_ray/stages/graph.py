@@ -1,0 +1,142 @@
+"""Iterative graph algorithms over edge Datasets (power iteration).
+
+PageRank-style rank propagation expressed as per-iteration
+co-partitioned exchanges — the same union-tag → coarse-bucket →
+vectorized in-bucket merge dataflow as ``cluster.connected_components``
+(no driver-side adjacency, no broadcast of the rank vector): each
+iteration is (1) attach ranks to out-edges by co-bucketing edges on
+``src`` with rank rows on ``node``, emitting lattice-snapped
+contributions keyed by ``dst``; (2) co-bucket contributions with the
+node universe and sum, producing the next rank table.  Rank values are
+snapped to the 2^-20 lattice (``functions/rounding.snap_binary``) so
+partial sums are order-free exact and the result hash-equals the
+sequential DuckDB mirror.
+
+Scale notes: the rank table is node-sized and stays distributed; both
+hops shuffle only (edges + nodes) rows per iteration, bucketed by the
+same coarse hash so group count stays ≫ cores but bounded.  At a real
+10⁹-node graph the bucket count comes from ``cluster._adaptive_buckets``
+sizing; iterations are a fixed small constant (power iteration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.rounding import snap_binary
+from .cluster import _bucket_of
+
+
+def _tag(key: np.ndarray, side: int, aux: np.ndarray | None,
+         r: np.ndarray | None, nb: int) -> pa.Table:
+    n = len(key)
+    return pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "side": pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
+            "aux": pa.array(
+                aux if aux is not None else np.zeros(n, dtype=np.int64), pa.int64()
+            ),
+            "r": pa.array(
+                r if r is not None else np.zeros(n, dtype=np.float64), pa.float64()
+            ),
+            "bk": pa.array(_bucket_of(key, nb), pa.int64()),
+        }
+    )
+
+
+def pagerank(edges, nodes, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85, teleport: float = 0.15,
+             out_deg: int = 8, nb: int = 64):
+    """(node, rank) after ``iters`` damped power iterations.
+
+    ``edges``: Dataset of (src, dst) with CONSTANT out-degree
+    ``out_deg`` per source (the kNN graph shape — each node emits
+    exactly k edges), so the per-edge contribution is rank/out_deg with
+    no per-node degree join.  ``nodes``: Dataset with a ``node`` int64
+    column (the full universe; nodes without in-edges decay to the
+    teleport term).  r₀ = 1.0.
+    """
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[src].to_numpy(), dtype=np.int64)
+        d = np.asarray(b[dst].to_numpy(), dtype=np.int64)
+        return _tag(key=s, side=0, aux=d, r=None, nb=nb)
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["node"].to_numpy(), dtype=np.int64)
+        return _tag(key=k, side=1, aux=None, r=None, nb=nb)
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    node_tagged = nodes.map_batches(node_rows, batch_format="pyarrow").materialize()
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("r"),
+            "r",
+            pa.array(np.ones(len(b), dtype=np.float64), pa.float64()),
+        )
+
+    ranks = node_tagged.map_batches(init_rank, batch_format="pyarrow")
+
+    # NOTE: ``teleport`` is a separate literal, NOT computed as
+    # 1.0 - damping — the float64 results differ in the last bit and the
+    # oracle SQL writes the literal; division by out_deg (not
+    # multiplication by a reciprocal) likewise mirrors the SQL op.
+    deg = float(out_deg)
+
+    for _ in range(iters):
+        # hop 1: edges(key=src) ⋈ ranks(key=node) → contributions keyed dst
+        def contribute(g: pd.DataFrame) -> pa.Table:
+            rmap = g[g["side"] == 1].set_index("key")["r"]
+            e = g[g["side"] == 0]
+            c = snap_binary(rmap.reindex(e["key"].to_numpy()).to_numpy() / deg)
+            dst_ids = e["aux"].to_numpy(np.int64)
+            # arrow output: unions with the arrow-blocked node/edge tables
+            return pa.table(
+                {
+                    "key": pa.array(dst_ids, pa.int64()),
+                    "side": pa.array(np.zeros(len(e), dtype=np.int8), pa.int8()),
+                    "aux": pa.array(np.zeros(len(e), dtype=np.int64), pa.int64()),
+                    "r": pa.array(c, pa.float64()),
+                    "bk": pa.array(_bucket_of(dst_ids, nb), pa.int64()),
+                }
+            )
+
+        contribs = (
+            edge_tagged.union(ranks)
+            .groupby("bk")
+            .map_groups(contribute, batch_format="pandas")
+        )
+
+        # hop 2: contributions(key=dst) + node universe → next ranks
+        def accumulate(g: pd.DataFrame) -> pa.Table:
+            nodes_g = g[g["side"] == 1]["key"].to_numpy(np.int64)
+            c = g[g["side"] == 0]
+            s = (
+                c.groupby("key")["r"].sum().reindex(nodes_g).fillna(0.0).to_numpy()
+            )
+            r_new = snap_binary(teleport + damping * s)
+            return pa.table(
+                {
+                    "key": pa.array(nodes_g, pa.int64()),
+                    "side": pa.array(np.ones(len(nodes_g), dtype=np.int8), pa.int8()),
+                    "aux": pa.array(np.zeros(len(nodes_g), dtype=np.int64), pa.int64()),
+                    "r": pa.array(r_new, pa.float64()),
+                    "bk": pa.array(_bucket_of(nodes_g, nb), pa.int64()),
+                }
+            )
+
+        ranks = (
+            contribs.union(node_tagged)
+            .groupby("bk")
+            .map_groups(accumulate, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["key"], "rank": b["r"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

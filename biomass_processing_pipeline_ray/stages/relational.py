@@ -87,3 +87,111 @@ def topk(ds, by: str, k: int, descending: bool = True, tie_col: str | None = Non
     cols = [by] + ([tie_col] if tie_col else [])
     asc = [not descending] + ([True] if tie_col else [])
     return small.sort_values(cols, ascending=asc).head(k).reset_index(drop=True)
+
+
+# -- Bloom-filter semi-join prefilter ----------------------------------------
+#
+# At 100 TB the exact key SET of even a "small" side can be too large to
+# broadcast comfortably, and shuffling the big side for an equi-join is
+# an all-to-all exchange.  A Bloom bitmap is FIXED SIZE regardless of
+# key count: build it distributed (per-batch partial bitmaps, OR-merged
+# through a small tree reduce), `ray.put` once, and drop non-matching
+# big-side rows inside `map_batches` before any exact work.  False
+# positives are then removed by the exact semi-join, so results stay
+# exact while the expensive stage sees only survivors.  (Reference
+# analog: the `plt_cn = ANY(...)` prefilters, database_config_v3.py:117-128,
+# re-expressed as a constant-memory prefilter.)
+
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_BLOOM_C3 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via splitmix-style double hashing."""
+    with np.errstate(over="ignore"):
+        x = keys.astype(np.int64).astype(np.uint64)
+        h1 = x * _BLOOM_C1
+        h1 ^= h1 >> np.uint64(29)
+        h1 = h1 * _BLOOM_C2
+        h1 ^= h1 >> np.uint64(32)
+        h2 = (x * _BLOOM_C3) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+def _bloom_words(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = _bloom_positions(keys, m_bits, k)
+    np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_build(ds, col: str, m_bits: int = 1 << 20, k: int = 4):
+    """Distributed Bloom build: per-batch partial bitmaps → tree OR
+    (coarse groups) → driver ORs a handful of fixed-size words arrays.
+    Returns a ``ray.ObjectRef`` to the final words array."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[col].to_numpy()
+        words = _bloom_words(np.asarray(keys, dtype=np.int64), m_bits, k)
+        g = int(words[0] % np.uint64(8)) if len(keys) else 0
+        return pa.table(
+            {"g": pa.array([g], pa.int64()),
+             "bm": pa.array([words.tobytes()], pa.binary())}
+        )
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for buf in g["bm"]:
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pd.DataFrame({"g": g["g"].iloc[:1], "bm": [acc.tobytes()]})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(or_group, batch_format="pandas")
+        .take_all()
+    )
+    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in merged:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return ray.put((acc, m_bits, k))
+
+
+class BloomPrefilter:
+    """map_batches actor: keep rows whose col MIGHT be in the filter
+    (no false negatives; false positives removed by the exact join)."""
+
+    def __init__(self, bloom_ref=None, col: str = "key"):
+        import ray
+
+        self.words, self.m_bits, self.k = ray.get(bloom_ref)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[self.col].to_numpy(), dtype=np.int64)
+        if not len(keys):
+            return batch
+        pos = _bloom_positions(keys, self.m_bits, self.k)
+        bits = (self.words[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+        return batch.filter(pa.array(bits.all(axis=1)))
+
+
+def bloom_semi_join(big, small, big_col: str, small_col: str,
+                    m_bits: int = 1 << 20, k: int = 4):
+    """Exact semi-join expressed as Bloom prefilter → exact key check.
+
+    The big side is never shuffled; the exact key set is only applied
+    to Bloom survivors (and is itself built distributed by the caller's
+    small-side pipeline — here via Dataset.unique on the pruned column)."""
+    bloom_ref = bloom_build(small, small_col, m_bits=m_bits, k=k)
+    survivors = big.map_batches(
+        BloomPrefilter,
+        fn_constructor_kwargs={"bloom_ref": bloom_ref, "col": big_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    keys = np.asarray(sorted(small.unique(small_col)), dtype=np.int64)
+    return semi_join(survivors, keys, big_col)

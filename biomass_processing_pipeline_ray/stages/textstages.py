@@ -247,3 +247,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "n_winnow_fp": pa.array(nwin),
         }
     )
+
+
+# -- TF-IDF term extraction ---------------------------------------------------
+
+def term_tf_batch(batch: pa.Table) -> pa.Table:
+    """Explode documents into (doc_id, term, tf) rows — term frequency
+    computed fully in-batch (documents are row-atomic, so a doc's terms
+    never span batches).  Terms are non-whitespace runs under the same
+    explicit-ASCII convention as the token counters, so the DuckDB
+    mirror (``regexp_extract_all(text, NONWS_RUN_SQL)`` + unnest) splits
+    identically."""
+    s = pd.Series(batch["text"].to_pylist())
+    ids = np.asarray(batch["doc_id"].to_numpy(), dtype=np.int64)
+    toks = s.str.findall(NONWS_RUN_PY)
+    lens = toks.str.len().to_numpy()
+    flat = [t for lst in toks for t in lst]
+    df = pd.DataFrame(
+        {"doc_id": np.repeat(ids, lens), "term": np.asarray(flat, dtype=object)}
+    )
+    tf = df.groupby(["doc_id", "term"], as_index=False).size()
+    return pa.table(
+        {
+            "doc_id": pa.array(tf["doc_id"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(tf["term"].astype(str), pa.string()),
+            "tf": pa.array(tf["size"].to_numpy(np.int64), pa.int64()),
+        }
+    )

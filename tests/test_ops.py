@@ -748,3 +748,128 @@ def test_kmeans_batch_shape_invariance(rd):
     assert np.array_equal(c1, c2)
     assert a1.equals(a2)
     assert a1["centroid"].nunique() > 1
+
+
+def test_bloom_semi_join_equals_exact(rd, ray_session):
+    """Bloom prefilter + exact check == plain semi-join (no false
+    negatives by construction; false positives removed)."""
+    from biomass_processing_pipeline_ray.stages.relational import (
+        BloomPrefilter,
+        bloom_build,
+        bloom_semi_join,
+        semi_join,
+    )
+
+    rng = np.random.default_rng(3)
+    big_keys = rng.integers(0, 5000, size=20000).astype(np.int64)
+    small_keys = np.unique(rng.integers(0, 5000, size=400)).astype(np.int64)
+    big = rd.from_arrow(
+        pa.table(
+            {"k": pa.array(big_keys), "v": pa.array(np.arange(20000, dtype=np.int64))}
+        )
+    ).repartition(8)
+    small = rd.from_arrow(pa.table({"sk": pa.array(small_keys)})).repartition(4)
+
+    got = (
+        bloom_semi_join(big, small, "k", "sk")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        semi_join(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array(big_keys),
+                        "v": pa.array(np.arange(20000, dtype=np.int64)),
+                    }
+                )
+            ),
+            small_keys,
+            "k",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exact)
+
+    # the prefilter alone never drops a true member
+    bloom_ref = bloom_build(small, "sk")
+    pre = BloomPrefilter(bloom_ref=bloom_ref, col="k")(
+        pa.table({"k": pa.array(small_keys)})
+    )
+    assert len(pre) == len(small_keys)
+
+
+def test_pagerank_matches_sequential(rd, ray_session):
+    """Distributed power iteration == sequential numpy on a small graph
+    with constant out-degree, including isolated-sink teleport decay."""
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    n, k = 60, 4
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    # neighbors biased to low ids so some high ids get no in-edges
+    dst = (rng.integers(0, 30, size=n * k) ** 2 % n).astype(np.int64)
+    same = src == dst
+    dst[same] = (dst[same] + 1) % n
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(5)
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(3)
+    got = (
+        pagerank(edges, nodes, iters=3, out_deg=k, nb=7)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    r = np.ones(n)
+    for _ in range(3):
+        c = snap_binary(r[src] / float(k))
+        s = np.zeros(n)
+        np.add.at(s, dst, c)
+        r = snap_binary(0.15 + 0.85 * s)
+    assert np.array_equal(got["rank"].to_numpy(), r)
+    assert (got["node"].to_numpy() == np.arange(n)).all()
+
+
+def test_tfidf_term_explode():
+    from biomass_processing_pipeline_ray.stages.textstages import term_tf_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a b a", "", "x\t y \n x"],
+        }
+    )
+    out = term_tf_batch(t).to_pandas()
+    assert out.values.tolist() == [[1, "a", 2], [1, "b", 1], [3, "x", 2], [3, "y", 1]]
+
+
+def test_stratified_sample_deterministic_and_rated(rd, ray_session):
+    """Hash sampling is partition-invariant and hits the configured
+    per-stratum rates to within binomial noise."""
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        _STRATA_RATES,
+        q_stratified_sample,
+    )
+
+    out = q_stratified_sample("/root/testdata/sf0.001").to_pandas()
+    out2 = q_stratified_sample("/root/testdata/sf0.001").to_pandas()
+    key = ["event_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
+    ids = out["event_id"].to_numpy(np.int64)
+    bucket = ((ids * _SAMPLE_MULT) % _SAMPLE_MOD) % 100
+    rates = out["event_type"].map(_STRATA_RATES).to_numpy(np.int64)
+    assert (bucket < rates).all()
