@@ -341,13 +341,141 @@ def banded_hamming_pairs(
         # produce ZERO pairs, and empty pandas blocks with object/string
         # columns trip Ray's sampling size-estimator ("cannot call
         # vectorize on size 0 inputs" warning spam)
+        #
+        # Candidate generation is pure-numpy over factorized int codes:
+        # a pandas self-merge on band_key materializes t² object-dtype
+        # rows for a hot band value (measured 25 s straggler tasks at
+        # 600k tiles — one degenerate band value with thousands of
+        # members), while the id strings are only needed for the few
+        # Hamming survivors.  Small band runs pair via one vectorized
+        # arange/repeat construction; hot runs (> _HOT_RUN rows) pair in
+        # bounded row blocks so temporaries stay cache-sized under
+        # full-machine concurrency (see BASELINE host lesson).
         id_type = (
             pa.string() if g["rid"].dtype == object else pa.from_numpy_dtype(g["rid"].dtype)
         )
         g = g.drop_duplicates(["band_key", "rid"])
-        m = g.merge(g, on="band_key")
-        m = m[m["rid_x"] < m["rid_y"]]
-        if len(m) == 0:
+        codes, uniq = pd.factorize(g["rid"], sort=True)
+        bk = g["band_key"].to_numpy(np.int64)
+        h = g["rhash"].to_numpy(np.int64)
+        order = np.argsort(bk, kind="stable")
+        bk_s, code_s, h_s = bk[order], codes[order], h[order]
+        n = len(bk_s)
+        starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        runlen = ends - starts
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+
+        def emit(ii: np.ndarray, jj: np.ndarray) -> None:
+            hd = hamming_i64(h_s[ii], h_s[jj])
+            keep = hd <= max_hamming
+            if keep.any():
+                ca, cb = code_s[ii[keep]], code_s[jj[keep]]
+                lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(hd[keep])
+
+        _PAIR_CHUNK = 1 << 18  # ≤ 256k pair indices ≈ 4 MB per array:
+        # fresh multi-MB temporaries in 32 concurrent workers collapse
+        # into page-fault storms on this host class (measured 12–18 s
+        # straggler tasks from ~1M-pair groups emitted in one shot;
+        # see the BASELINE host lesson) — all pair generation below is
+        # chunked to stay cache-sized
+
+        def triangle_runs(rows: np.ndarray, row_ends: np.ndarray,
+                          gather: np.ndarray | None = None) -> None:
+            # all (i, j) with i < j inside each run: element at sorted
+            # position x pairs with the next c[x] positions of its own
+            # run; emitted in bounded chunks of the flat pair space.
+            # ``gather`` maps local positions to global ones (hot-run
+            # sub-banding path).
+            c = row_ends - 1 - rows
+            csum = np.concatenate([[0], np.cumsum(c)])
+            total = int(csum[-1])
+            for p0 in range(0, total, _PAIR_CHUNK):
+                p1 = min(p0 + _PAIR_CHUNK, total)
+                a = int(np.searchsorted(csum, p0, side="right")) - 1
+                b = int(np.searchsorted(csum, p1, side="left"))
+                rr, cc, cs = rows[a:b], c[a:b], csum[a:b]
+                ii = np.repeat(rr, cc)
+                jj = np.arange(csum[a], csum[b]) - np.repeat(cs, cc) + ii + 1
+                lo = p0 - int(csum[a])
+                ii, jj = ii[lo:lo + (p1 - p0)], jj[lo:lo + (p1 - p0)]
+                if gather is None:
+                    emit(ii, jj)
+                else:
+                    emit(gather[ii], gather[jj])
+
+        def blockwise_all_pairs(idx: np.ndarray) -> None:
+            # chunked all-pairs over explicit global indices (one run)
+            t = len(idx)
+            if t > 1:
+                triangle_runs(
+                    np.arange(t), np.full(t, t, dtype=np.int64), gather=idx
+                )
+
+        _HOT_RUN = 512
+        small = runlen <= _HOT_RUN
+        if small.any():
+            triangle_runs(
+                np.flatnonzero(np.repeat(small, runlen)),
+                np.repeat(ends[small], runlen[small]),
+            )
+        for r in np.flatnonzero(~small):
+            # hot band run (a degenerate band value with thousands of
+            # members turns all-pairs into O(t²) — measured 12+ s
+            # straggler tasks at 600k tiles).  LSH refinement: re-band
+            # the run by the six 8-bit sub-bands OUTSIDE the hot 16-bit
+            # band; ≤ max_hamming (≤ 7) differing bits cannot touch all
+            # six, so every qualifying pair matches at least one
+            # sub-band and expected bucket size drops ~256×.  Duplicate
+            # discoveries across sub-bands collapse in the final
+            # drop_duplicates.  Still-degenerate sub-runs (near-exact
+            # duplicates) fall back to bounded blockwise all-pairs.
+            s, e = int(starts[r]), int(ends[r])
+            if max_hamming >= 6:
+                # the sub-band guarantee needs ≤ 5 differing bits over
+                # the six outside sub-bands; beyond that, pay all-pairs
+                blockwise_all_pairs(np.arange(s, e))
+                continue
+            hot_band = int(bk_s[s]) >> 16
+            run_idx = np.arange(s, e)
+            hh = h_s[s:e].astype(np.uint64)
+            for sb in range(8):
+                if sb // 2 == hot_band:
+                    continue
+                sub = ((hh >> np.uint64(8 * sb)) & np.uint64(0xFF)).astype(np.int64)
+                o2 = np.argsort(sub, kind="stable")
+                sub_s = sub[o2]
+                idx2 = run_idx[o2]
+                st2 = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])
+                en2 = np.r_[st2[1:], len(sub_s)]
+                ln2 = en2 - st2
+                sm2 = ln2 <= _HOT_RUN
+                # chunked triangle over LOCAL positions, mapped back
+                # through idx2
+                if sm2.any():
+                    triangle_runs(
+                        np.flatnonzero(np.repeat(sm2, ln2)),
+                        np.repeat(en2[sm2], ln2[sm2]),
+                        gather=idx2,
+                    )
+                # still-hot sub-runs must be paired in EVERY sub-band
+                # where they occur — a qualifying pair is only
+                # guaranteed to match SOME sub-band, and skipping one
+                # could skip exactly the band that finds it.  Duplicate
+                # discoveries collapse in the final drop_duplicates;
+                # the pathological 6× revisit only occurs for
+                # near-identical mega-clusters, where the output itself
+                # is O(t²) and dominates regardless.
+                for r2 in np.flatnonzero(~sm2):
+                    blockwise_all_pairs(idx2[st2[r2]:en2[r2]])
+
+        if not out_a:
             return pa.table(
                 {
                     "a": pa.array([], id_type),
@@ -355,19 +483,18 @@ def banded_hamming_pairs(
                     "hamming": pa.array([], pa.int64()),
                 }
             )
-        hd = hamming_i64(m["rhash_x"].to_numpy(), m["rhash_y"].to_numpy())
-        keep = hd <= max_hamming
         out = pd.DataFrame(
             {
-                "a": m["rid_x"].to_numpy()[keep],
-                "b": m["rid_y"].to_numpy()[keep],
-                "hamming": hd[keep],
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
             }
         ).drop_duplicates(["a", "b"])
+        uniq_arr = np.asarray(uniq)
         return pa.table(
             {
-                "a": pa.array(out["a"].to_numpy(), id_type),
-                "b": pa.array(out["b"].to_numpy(), id_type),
+                "a": pa.array(uniq_arr[out["a"].to_numpy()], id_type),
+                "b": pa.array(uniq_arr[out["b"].to_numpy()], id_type),
                 "hamming": pa.array(out["hamming"].to_numpy(), pa.int64()),
             }
         )

@@ -873,3 +873,44 @@ def test_stratified_sample_deterministic_and_rated(rd, ray_session):
     bucket = ((ids * _SAMPLE_MULT) % _SAMPLE_MOD) % 100
     rates = out["event_type"].map(_STRATA_RATES).to_numpy(np.int64)
     assert (bucket < rates).all()
+
+
+def test_banded_hamming_hot_run_refinement(rd, ray_session):
+    """A degenerate band value with > _HOT_RUN members must route
+    through the sub-band LSH refinement and still find exactly the
+    brute-force pair set."""
+    from biomass_processing_pipeline_ray.image.phash import hamming_i64
+    from biomass_processing_pipeline_ray.stages.dedup import banded_hamming_pairs
+
+    rng = np.random.default_rng(21)
+    n = 1500
+    # all hashes share band 0 (low 16 bits) == 0xBEEF: one hot run
+    high = rng.integers(0, 1 << 47, size=n).astype(np.int64) << 16
+    hashes = high | 0xBEEF
+    # plant near-dups: pairs differing in <= 3 bits of the high bands
+    for i in range(0, 200, 2):
+        flip = np.int64(0)
+        for b in rng.choice(np.arange(16, 64), size=int(rng.integers(1, 4)), replace=False):
+            flip |= np.int64(1) << np.int64(int(b))
+        hashes[i + 1] = hashes[i] ^ flip
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"iid": pa.array(ids), "h": pa.array(hashes)})
+    ).repartition(6)
+    got = (
+        banded_hamming_pairs(ds, "iid", "h", max_hamming=3, n_coarse=64)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    ii, jj = np.triu_indices(n, k=1)
+    hd = hamming_i64(hashes[ii], hashes[jj])
+    keep = hd <= 3
+    exp = (
+        pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]], "hamming": hd[keep]})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) >= 100
+    assert got.astype(np.int64).equals(exp.astype(np.int64))
