@@ -259,20 +259,17 @@ def minhash_lsh_pairs(
         df = pd.DataFrame(out, columns=["a", "b", "jaccard"])
         return df.astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
 
-    verified = (
+    # output is already pair-unique — no dedup shuffle needed: every
+    # copy of a candidate pair (band collisions across coarse buckets)
+    # carries the same key sides, all key=a rows of a pair co-locate in
+    # bucket a % n_coarse where attach_text drop_duplicates collapses
+    # them (likewise key=b), so the verify merge yields exactly one row
+    # per surviving pair.
+    return (
         sided.map_batches(add_pair_coarse, batch_format="pyarrow")
         .groupby("pair_coarse")
         .map_groups(verify_bucket, batch_format="pandas")
     )
-
-    # jaccard is identical for every copy of a pair → Min is a pure dedup
-    # (coalesced first: the verify emits one mostly-tiny block per pair
-    # bucket, and the sort-aggregate pays a fixed per-block cost — pair
-    # rows are narrow and sparse relative to the corpus, so a few
-    # substantial blocks is the right layout at any scale)
-    from .zonal import bucketed_agg
-
-    return bucketed_agg(verified, ["a", "b"], {"jaccard": ("jaccard", "min")})
 
 
 # -- banded Hamming near-dup (shared machinery) -------------------------------
