@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "tfidf_top_terms",
     "knn_pagerank",
+    "event_percent_rank",
+    "county_fmt_rollup",
 ]
 
 

@@ -2743,6 +2743,96 @@ def _sql_knn_pagerank(n: int, iters: int = 3) -> str:
     return sql
 
 
+def q_event_percent_rank(sf_dir: str):
+    """Exact windowed PERCENT_RANK over event values per type — the
+    distributed window-function shape: ranking spreads over VALUE
+    RANGES (equi-width buckets + offset pass) instead of collapsing a
+    partition into one task (stages/analytic.grouped_percent_rank)."""
+    from ..stages.analytic import grouped_percent_rank
+
+    ds = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+    return grouped_percent_rank(
+        ds, "event_type", "value", ["event_id", "event_type", "value"]
+    )
+
+
+_SQL_EVENT_PERCENT_RANK = """
+    SELECT event_id, event_type, value,
+           CASE WHEN cnt > 1
+                THEN CAST(rk - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+                ELSE 0.0 END AS pct_rank
+    FROM (SELECT event_id, event_type, value,
+                 rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events)
+"""
+
+
+def q_county_fmt_rollup(sf_dir: str):
+    """OLAP rollup (GROUPING SETS): per-(county, fmt) counts plus
+    per-county subtotals plus a grand total, as a union of three
+    aggregate levels — level 2 and 3 re-aggregate the (already tiny)
+    level-1 result, never the base table."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.zonal import combine_partials
+
+    l1 = _county_fmt_counts(sf_dir).materialize()
+
+    def lift1(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "fmt": b["fmt"],
+                "n": b["n"],
+            }
+        )
+
+    def strip_fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"county_fips": b["county_fips"], "n": b["n"]})
+
+    l2 = combine_partials(
+        l1.map_batches(strip_fmt, batch_format="pyarrow"),
+        ["county_fips"],
+        [Sum("n", alias_name="n")],
+    )
+
+    def lift2(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "fmt": pa.array(["ALL"] * len(b), pa.string()),
+                "n": b["n"],
+            }
+        )
+
+    grand = l1.sum("n")
+    l3 = pa.table(
+        {
+            "county_fips": pa.array(["ALL"], pa.string()),
+            "fmt": pa.array(["ALL"], pa.string()),
+            "n": pa.array([int(grand)], pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    return (
+        l1.map_batches(lift1, batch_format="pyarrow")
+        .union(l2.map_batches(lift2, batch_format="pyarrow"))
+        .union(rd.from_arrow(l3))
+    )
+
+
+def _sql_county_fmt_rollup(n: int) -> str:
+    return f"""
+    SELECT COALESCE(county_fips, 'ALL') AS county_fips,
+           COALESCE(fmt, 'ALL') AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {_sql_tiles_with_county(n)}
+    GROUP BY GROUPING SETS ((county_fips, fmt), (county_fips), ())
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2845,6 +2935,8 @@ def build_queries() -> dict:
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
         "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank(min(_N_ORACLE, KNN_N))),
+        "event_percent_rank": (q_event_percent_rank, _SQL_EVENT_PERCENT_RANK),
+        "county_fmt_rollup": (q_county_fmt_rollup, _sql_county_fmt_rollup(_N_ORACLE)),
         # cluster + sketch family (new in round 3 — never driver-checked)
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
@@ -2862,7 +2954,6 @@ def build_queries() -> dict:
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
         "bbox_search_indexed": (q_bbox_search_indexed, _sql_bbox_search(_N_ORACLE)),
-        "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
         "county_clip_stats": (q_county_clip_stats, sql_county_clip_stats(_N_ORACLE)),
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
@@ -2874,7 +2965,6 @@ def build_queries() -> dict:
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
-        "watermark_event_stats": (q_watermark_event_stats, _SQL_WATERMARK),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
@@ -2914,6 +3004,13 @@ def build_queries() -> dict:
         #                             partials through combine_partials)
         #   union_distinct_keys    -> corpus_dedup_keep / exact_dedup
         #                             (same distinct-groupby machinery)
+        #   county_fmt_hist        -> county_fmt_rollup (its level-1 IS
+        #                             the histogram, same _county_fmt_counts)
+        #   watermark_event_stats  -> sliding_event_stats (same tumbling
+        #                             bucket partials; lateness logic
+        #                             pytest-covered)
+        "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
+        "watermark_event_stats": (q_watermark_event_stats, _SQL_WATERMARK),
         "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),
         "union_distinct_keys": (q_union_distinct_keys, _SQL_UNION_DISTINCT),
         "tile_meta_stats": (q_tile_meta_stats, _sql_tile_meta_stats(_N_ORACLE)),

@@ -212,3 +212,41 @@ def test_heavy_hitters_capacity_guard(rd):
     ds = rd.from_pandas(pd.DataFrame({"user_id": np.arange(10, dtype=np.int64)}))
     with pytest.raises(ValueError):
         heavy_hitters(ds, "user_id", phi_denom=128, capacity=64)
+
+
+def test_grouped_percent_rank_matches_pandas(rd, ray_session):
+    """Range-bucketed two-pass percent_rank == pandas rank formula,
+    partition-invariant, exact under heavy ties."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.analytic import grouped_percent_rank
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(["a", "b", "c"], size=n),
+            # quantized values force cross-bucket ties
+            "v": np.round(rng.normal(size=n) * 5) / 2.0,
+        }
+    )
+    exp = df.copy()
+    rk = exp.groupby("grp")["v"].rank(method="min")
+    cnt = exp.groupby("grp")["v"].transform("size")
+    exp["pct_rank"] = np.where(
+        cnt > 1, (rk - 1.0).to_numpy() / (cnt - 1.0).to_numpy(np.float64), 0.0
+    )
+    for parts in (2, 9):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (
+            grouped_percent_rank(ds, "grp", "v", ["rid", "grp", "v"], n_buckets=16)
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(
+            got["pct_rank"].to_numpy(), exp.sort_values("rid")["pct_rank"].to_numpy()
+        )
