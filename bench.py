@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "knn_pagerank",
     "event_percent_rank",
     "county_fmt_rollup",
+    "revenue_by_nation",
+    "monthly_order_stats",
+    "orders_checksum",
 ]
 
 

@@ -128,20 +128,28 @@ def _pip(ds, concurrency=(1, 8)):
     )
 
 
-def _grouped_sums(ds, keys: list[str], sums: dict[str, str], count_col: str):
+def _grouped_sums(ds, keys: list[str], sums: dict[str, str],
+                  count_col: str | None):
     """Partial-combine groupby-sum: per-batch pandas combiner → tiny
-    shuffle → Sum merge (the scale pattern used everywhere here)."""
+    shuffle → Sum merge (the scale pattern used everywhere here).
+    ``count_col=None`` skips the row count (pure sums)."""
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         agg = {out: (src, "sum") for out, src in sums.items()}
-        agg[count_col] = (list(sums.values())[0] if sums else df.columns[0], "size")
+        if count_col:
+            agg[count_col] = (
+                list(sums.values())[0] if sums else df.columns[0], "size"
+            )
         g = df.groupby(keys, as_index=False).agg(**agg)
-        g[count_col] = g[count_col].astype(np.int64)
+        if count_col:
+            g[count_col] = g[count_col].astype(np.int64)
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sums] + [Sum(count_col, alias_name=count_col)]
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    if count_col:
+        aggs.append(Sum(count_col, alias_name=count_col))
     from ..stages.zonal import combine_partials
 
     return combine_partials(partials, keys, aggs)
@@ -2833,6 +2841,220 @@ def _sql_county_fmt_rollup(n: int) -> str:
     """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Three-table join composition: lineitem ⋈ orders is big–big
+    (union-tag coarse co-partition, the `orders_customer_join` shape),
+    then customer→nation is a broadcast dimension lookup — each join
+    picks the strategy its cardinality demands, the way a 100 TB plan
+    would."""
+    from ..stages.relational import broadcast_join
+
+    N_COARSE = 64
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        n = len(b)
+        key = b["l_orderkey"].to_numpy()
+        rev = snap_binary(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "coarse": pa.array(key % N_COARSE),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "rev": pa.array(rev),
+                "cust": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = len(b)
+        key = b["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "coarse": pa.array(key % N_COARSE),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "rev": pa.array(np.zeros(n)),
+                "cust": pa.array(b["o_custkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    unioned = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g.loc[g["side"] == 1, ["key", "cust"]]
+        l = g.loc[g["side"] == 0, ["key", "rev"]]
+        m = o.merge(l, on="key", how="inner")
+        out = m.groupby("cust", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return pa.table(
+            {
+                "cust": pa.array(out["cust"].to_numpy(np.int64)),
+                "rev": pa.array(out["rev"].to_numpy(np.float64)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    per_cust = unioned.groupby("coarse").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "cust"})
+
+    joined = broadcast_join(per_cust, dim, on="cust")
+    g = _grouped_sums(joined, ["n_name"], {"revenue": "rev", "n_items": "n"}, None)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pa.array(round_away(b["revenue"].to_numpy(), 4)),
+                "n_items": b["n_items"],
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_REVENUE_BY_NATION = f"""
+    SELECT n_name,
+           ROUND(SUM({sql_snap('l_extendedprice * (1.0 - l_discount)')}), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_monthly_order_stats(sf_dir: str):
+    """Calendar-month bucketing (non-uniform temporal buckets, unlike
+    the fixed-width µs windows in stages/windows.py): per-month order
+    count, snapped revenue sum and derived mean."""
+    ds = _tbl(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[M]")
+        return pa.table(
+            {
+                "month": pa.array(d.astype(str), pa.string()),
+                "price": pa.array(snap_binary(b["o_totalprice"].to_numpy())),
+            }
+        )
+
+    g = _grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["month"],
+        {"sum_price": "price"},
+        "n_orders",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["sum_price"].to_numpy()
+        n = b["n_orders"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "month": b["month"],
+                "n_orders": b["n_orders"],
+                "sum_price": pa.array(round_away(s, 4)),
+                "avg_price": pa.array(round_away(s / n, 4)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_MONTHLY_ORDER_STATS = f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM({sql_snap('o_totalprice')}), 4) AS sum_price,
+           ROUND(SUM({sql_snap('o_totalprice')})
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+"""
+
+
+_CKSUM_BUCKETS = 64
+_CKSUM_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def q_orders_checksum(sf_dir: str):
+    """Distributed table-integrity signature: a deterministic per-row
+    integer hash summed per key bucket — 64 signature rows stand in for
+    the whole table, so a 100 TB copy/migration verifies by comparing
+    signatures, never by moving rows.  Pure per-batch integer math +
+    one bounded aggregate."""
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        ck = b["o_custkey"].to_numpy().astype(np.int64)
+        cents = round_away(b["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        h = (ok * 2654435761 + ck * 40503 + cents) % 2147483648
+        bk = ok % _CKSUM_BUCKETS
+        g = (
+            pd.DataFrame({"bucket": bk, "h": h})
+            .groupby("bucket", as_index=False)
+            .agg(checksum=("h", "sum"), n_rows=("h", "size"))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+                "checksum": pa.array(g["checksum"].to_numpy(np.int64)),
+                "n_rows": pa.array(g["n_rows"].to_numpy(np.int64)),
+            }
+        )
+
+    g = _grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        {"checksum": "checksum", "n_rows": "n_rows"},
+        None,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # fold after the exact sum: per-row h < 2^31, so the true sum
+        # stays below 2^63 up to ~4e9 rows per bucket; beyond that the
+        # partial sums themselves would fold (documented scale bound)
+        return pa.table(
+            {
+                "bucket": b["bucket"],
+                "checksum": pa.array(
+                    b["checksum"].to_numpy() % _CKSUM_MOD, pa.int64()
+                ),
+                "n_rows": b["n_rows"],
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_ORDERS_CHECKSUM = f"""
+    SELECT o_orderkey % {_CKSUM_BUCKETS} AS bucket,
+           CAST(SUM((o_orderkey * 2654435761 + o_custkey * 40503
+                     + CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+                    % 2147483648) % {_CKSUM_MOD} AS BIGINT) AS checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2937,6 +3159,9 @@ def build_queries() -> dict:
         "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank(min(_N_ORACLE, KNN_N))),
         "event_percent_rank": (q_event_percent_rank, _SQL_EVENT_PERCENT_RANK),
         "county_fmt_rollup": (q_county_fmt_rollup, _sql_county_fmt_rollup(_N_ORACLE)),
+        "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
+        "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
+        "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         # cluster + sketch family (new in round 3 — never driver-checked)
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
@@ -2970,10 +3195,7 @@ def build_queries() -> dict:
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         # text family
-        "text_stats": (q_text_stats, sql_text_stats()),
-        "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),
         "fingerprints": (q_fingerprints, sql_fingerprints()),
-        "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         # tail: redundant-coverage twins (see ordering note above).
         # Each entry's IMPLEMENTATION is exercised by a stronger green
         # sibling higher up, and each was hash-exact when driver-checked
@@ -3009,6 +3231,15 @@ def build_queries() -> dict:
         #   watermark_event_stats  -> sliding_event_stats (same tumbling
         #                             bucket partials; lateness logic
         #                             pytest-covered)
+        #   text_stats             -> tfidf_top_terms / doc_quality family
+        #                             (same textstages ASCII machinery)
+        #   minhash_pairs / corpus_dedup_keep -> neardup_clusters +
+        #                             caption_pair_jaccard (both BUILT on
+        #                             minhash_lsh_pairs end-to-end, incl.
+        #                             the co-partitioned verify)
+        "text_stats": (q_text_stats, sql_text_stats()),
+        "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
+        "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),
         "county_fmt_hist": (q_county_fmt_hist, _sql_county_fmt_hist(_N_ORACLE)),
         "watermark_event_stats": (q_watermark_event_stats, _SQL_WATERMARK),
         "county_bounds": (q_county_bounds, _sql_county_bounds(_N_ORACLE)),

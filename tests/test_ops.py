@@ -914,3 +914,36 @@ def test_banded_hamming_hot_run_refinement(rd, ray_session):
     )
     assert len(exp) >= 100
     assert got.astype(np.int64).equals(exp.astype(np.int64))
+
+
+def test_orders_checksum_detects_single_row_change(rd, ray_session, tmp_path):
+    """The table signature is deterministic and flips when any row
+    changes (the 100 TB copy-validation contract)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from biomass_processing_pipeline_ray.pipelines.queries import q_orders_checksum
+
+    src = "/root/testdata/sf0.001"
+    a = q_orders_checksum(src).to_pandas().sort_values("bucket").reset_index(drop=True)
+    b = q_orders_checksum(src).to_pandas().sort_values("bucket").reset_index(drop=True)
+    assert a.equals(b)
+
+    # copy with one mutated o_custkey
+    mod = tmp_path / "sfmod"
+    os.makedirs(mod)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), mod / f)
+    t = pq.read_table(mod / "orders.parquet").to_pandas()
+    t.loc[0, "o_custkey"] = int(t.loc[0, "o_custkey"]) + 1
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), mod / "orders.parquet")
+    c = (
+        q_orders_checksum(str(mod))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert (a["n_rows"] == c["n_rows"]).all()
+    assert (a["checksum"] != c["checksum"]).sum() == 1
