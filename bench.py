@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "monthly_order_stats",
     "orders_checksum",
+    "ann_pq_topk",
 ]
 
 

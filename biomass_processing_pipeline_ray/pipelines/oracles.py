@@ -1170,3 +1170,77 @@ def sql_kmeans_assign(k: int = 8, n_iters: int = 4) -> str:
         "SELECT vec_id, centroid, cos "
         f"FROM read_parquet('{kmeans_oracle_path(k, n_iters)}')"
     )
+
+
+def pq_oracle_path(m: int = 8, ks: int = 16, k: int = 10) -> str:
+    # params in the filename (ADVICE r2): a parameter change can never
+    # silently reuse a stale cached oracle
+    return os.path.join(ORACLE_DIR, f"pq_topk_sf001_m{m}_ks{ks}_k{k}.parquet")
+
+
+def ensure_pq_oracle(m: int = 8, ks: int = 16, k: int = 10) -> str:
+    """Single-process reference of the PQ ADC top-k: shared quantizer
+    kernels (pq_train/pq_encode/pq_adc_* are algorithm constants, same
+    precedent as kmeans_centroids for IVF), but trained/encoded/scored
+    in ONE sequential numpy pass over the sorted table — checking the
+    engine's broadcast-train → per-batch encode/ADC → partial-top-k
+    plumbing end to end."""
+    path = pq_oracle_path(m, ks, k)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+    from ..stages.ann import (
+        _normalize,
+        pq_adc_scores,
+        pq_adc_tables,
+        pq_encode,
+        pq_train,
+    )
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    skey = G.derive_key(ids)
+    sample = emb[np.argsort(skey, kind="stable")[:512]]
+    qids = ids[:8]
+    qmat = _normalize(emb[:8].copy())
+    books = pq_train(sample, m=m, ks=ks)
+    codes = pq_encode(_normalize(emb), books)
+    scores = pq_adc_scores(pq_adc_tables(qmat, books), codes)
+    rows = []
+    for qi in range(len(qids)):
+        s = scores[qi]
+        mask = ids != qids[qi]
+        cand_ids, cand_s = ids[mask], s[mask]
+        sel = np.lexsort((cand_ids, -cand_s))[:k]
+        for rank, idx in enumerate(sel, 1):
+            rows.append(
+                (int(qids[qi]), int(cand_ids[idx]), rank,
+                 float(round_away(cand_s[idx], 6)))
+            )
+    tbl = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "pq_score": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_pq_topk() -> str:
+    return (
+        'SELECT query_id, vec_id, "rank", pq_score '
+        f"FROM read_parquet('{pq_oracle_path()}')"
+    )

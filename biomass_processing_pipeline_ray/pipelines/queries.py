@@ -3055,6 +3055,26 @@ _SQL_ORDERS_CHECKSUM = f"""
 """
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (the memory-compression ANN path:
+    64 floats → 8 code bytes per vector at 10⁹-vector scale).  Codebooks
+    train on the broadcast hashed sample; vectors encode and ADC-score
+    inside their own batch (only k rows per query per batch shuffle).
+    Hash-checked against the sequential single-pass PQ oracle
+    (pipelines/oracles.ensure_pq_oracle)."""
+    from ..stages.ann import pq_topk
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, _query_vectors(sf_dir), m=8, ks=16, k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pq_score"] = round_away(b["pq_score"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "pq_score"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3072,6 +3092,7 @@ def ensure_generated_oracles() -> None:
         ensure_clip_oracle,
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
+        ensure_pq_oracle,
         ensure_kmeans_oracle,
         ensure_knn_idw_oracle,
         ensure_minhash_oracle,
@@ -3094,6 +3115,7 @@ def ensure_generated_oracles() -> None:
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
     ensure_ivf_oracle()
+    ensure_pq_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
 
@@ -3111,6 +3133,7 @@ def build_queries() -> dict:
         sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
+        sql_pq_topk,
         sql_kmeans_assign,
         sql_knn_idw_full,
         sql_image_thumbs,
@@ -3144,6 +3167,7 @@ def build_queries() -> dict:
         "ann_topk": (q_ann_topk, _SQL_ANN_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, sql_ivf_topk()),
         "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),
+        "ann_pq_topk": (q_ann_pq_topk, sql_pq_topk()),
         "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
         # analytic family (new in round 3 — never driver-checked)
         "events_ranked": (q_events_ranked, _SQL_RANKED),
@@ -3194,8 +3218,6 @@ def build_queries() -> dict:
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
-        # text family
-        "fingerprints": (q_fingerprints, sql_fingerprints()),
         # tail: redundant-coverage twins (see ordering note above).
         # Each entry's IMPLEMENTATION is exercised by a stronger green
         # sibling higher up, and each was hash-exact when driver-checked
@@ -3237,6 +3259,11 @@ def build_queries() -> dict:
         #                             caption_pair_jaccard (both BUILT on
         #                             minhash_lsh_pairs end-to-end, incl.
         #                             the co-partitioned verify)
+        #   fingerprints           -> no machinery sibling, but a pure
+        #                             per-row map (no shuffle surface),
+        #                             hash-exact in BOTH r1 and r2 gates
+        #                             and pytest-oracled (Python-int twin)
+        "fingerprints": (q_fingerprints, sql_fingerprints()),
         "text_stats": (q_text_stats, sql_text_stats()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),

@@ -364,3 +364,137 @@ def embedding_neardup_pairs(
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# -- product quantization (PQ) — the memory-compression scale path -----------
+#
+# At 10⁹+ vectors the raw float matrix does not fit a cluster's RAM;
+# PQ stores each vector as m code bytes (here m sub-spaces × ks-entry
+# codebooks, 64→8 bytes at m=8) and scores queries against codes via
+# asymmetric distance computation (ADC): one small table of
+# query·centroid dots per sub-space, then a gather-sum.  Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+# The codebook trainer and the encode/ADC kernels are shared with the
+# sequential oracle (same precedent as kmeans_centroids for IVF — the
+# gate checks the DISTRIBUTED plumbing, not the quantizer math).
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """(m, ks, d//m) codebooks: deterministic Lloyd per sub-space on the
+    L2-normalized sample (squared-L2 objective; dot-product ADC at
+    query time since vectors are normalized)."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = sample.shape
+    sub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for mi in range(m):
+        x = sample[:, mi * sub : (mi + 1) * sub]
+        cents = x[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ks):
+                members = x[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode(embn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes for L2-NORMALIZED vectors — argmin squared-L2
+    per sub-space, first-wins ties (identical formula in engine and
+    oracle so codes agree bit-for-bit)."""
+    m, ks, sub = books.shape
+    codes = np.empty((len(embn), m), dtype=np.int64)
+    for mi in range(m):
+        x = embn[:, mi * sub : (mi + 1) * sub]
+        d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_tables(qmat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(nq, m, ks) tables of query-subvector · codebook-centroid dots."""
+    m, ks, sub = books.shape
+    t = np.empty((len(qmat), m, ks), dtype=np.float64)
+    for mi in range(m):
+        t[:, mi, :] = qmat[:, mi * sub : (mi + 1) * sub] @ books[mi].T
+    return t
+
+
+def pq_adc_scores(tables: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(nq, n) approximate cosine via gather-sum over sub-spaces in
+    ascending m order (same summation order in engine and oracle)."""
+    nq, m, _ = tables.shape
+    scores = np.zeros((nq, len(codes)), dtype=np.float64)
+    for mi in range(m):
+        scores += tables[:, mi, codes[:, mi]]
+    return scores
+
+
+class PQTopK:
+    """Actor: encodes each batch to PQ codes and scores via ADC —
+    per-batch partial top-k so the shuffle stays k rows per query."""
+
+    def __init__(self, state_ref=None, k: int = 10):
+        import ray
+
+        books, qids, qmat = ray.get(state_ref)
+        self.books = books
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.tables = pq_adc_tables(qmat, books)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = embedding_matrix(batch)
+        embn = _normalize(emb)
+        codes = pq_encode(embn, self.books)
+        scores = pq_adc_scores(self.tables, codes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = scores[qi]
+            mask = ids != self.qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            sel = np.lexsort((cand_ids, -cand_s))[: self.k]
+            out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+            out_v.append(cand_ids[sel])
+            out_s.append(cand_s[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "pq_score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def pq_topk(ds, queries_ref, m: int = 8, ks: int = 16, k: int = 10):
+    """Approximate per-query top-k over PQ codes: train codebooks on the
+    broadcast hashed sample, encode + ADC-score per batch (vectors never
+    leave their batch; only k rows per query per batch shuffle), tiny
+    final top-k."""
+    import ray
+
+    queries = ray.get(queries_ref)
+    books = pq_train(np.asarray(queries["sample"], dtype=np.float64), m=m, ks=ks)
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    state_ref = ray.put((books, np.asarray(queries["qid"], dtype=np.int64), qmat))
+
+    partial = ds.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pq_score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
