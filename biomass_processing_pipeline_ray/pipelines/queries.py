@@ -1532,6 +1532,37 @@ _SQL_ROLLING = f"""
 """
 
 
+def q_user_value_ema(sf_dir: str):
+    """Exponential time-decay aggregate: per-user EMA of ``value`` with
+    decay 1/2 over the last 16 events.  Power-of-two weights on
+    lattice-snapped inputs make a distributed EMA hash-exact against an
+    independent SQL mirror — the op-order trick that makes time-decay
+    features (recency-weighted user quality, label freshness) gate-able
+    at all.  No reference analogue (nearest is the IDW distance
+    weighting, ``database_config_v3.py:104-114``)."""
+    from ..stages.analytic import ema_events
+
+    return ema_events(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"]), k=EMA_K
+    )
+
+
+EMA_K = 16
+
+_SQL_EMA = f"""
+    SELECT user_id,
+           SUM(sv * CAST(1::BIGINT << ({EMA_K} - rn) AS DOUBLE))
+             / CAST(1::BIGINT << {EMA_K} AS DOUBLE) AS ema,
+           CAST(COUNT(*) AS BIGINT) AS n_used
+    FROM (SELECT user_id, {sql_snap('value')} AS sv,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn <= {EMA_K}
+    GROUP BY user_id
+"""
+
+
 def q_county_quantiles(sf_dir: str):
     """Exact per-county quantiles (p50/p90 of tile biomass) by element
     selection at ``floor(q*(n-1))`` — no float interpolation, so the
@@ -3172,6 +3203,7 @@ def build_queries() -> dict:
         # analytic family (new in round 3 — never driver-checked)
         "events_ranked": (q_events_ranked, _SQL_RANKED),
         "user_rolling_stats": (q_user_rolling_stats, _SQL_ROLLING),
+        "user_value_ema": (q_user_value_ema, _SQL_EMA),
         "county_quantiles": (q_county_quantiles, _sql_county_quantiles(_N_ORACLE)),
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
@@ -3207,7 +3239,6 @@ def build_queries() -> dict:
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         # relational family
-        "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
@@ -3263,7 +3294,11 @@ def build_queries() -> dict:
         #                             per-row map (no shuffle surface),
         #                             hash-exact in BOTH r1 and r2 gates
         #                             and pytest-oracled (Python-int twin)
+        #   revenue_by_priority    -> revenue_by_nation (same broadcast
+        #                             key-join + _grouped_sums machinery,
+        #                             one more table; r1+r2 hash-green)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
+        "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "text_stats": (q_text_stats, sql_text_stats()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),

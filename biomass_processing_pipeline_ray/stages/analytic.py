@@ -158,6 +158,72 @@ def rolling_events(ds, window: int = 4, n_coarse: int = 256):
 
 
 # ---------------------------------------------------------------------------
+# exact exponential time-decay (EMA) per key — power-of-two weights
+# ---------------------------------------------------------------------------
+
+
+def ema_events(ds, k: int = 16, n_coarse: int = 256):
+    """Recency-weighted per-user value: the last ``k`` events (ordered
+    by ts, event_id descending) weighted ``2^-1, 2^-2, … 2^-k`` — an
+    exponential moving average with decay 1/2, truncated at ``k``.
+
+    Float-exact BY CONSTRUCTION (the reason a general-α EMA can't
+    hash-match an independent oracle): snapped values are multiples of
+    2^-20, every weight is an exact power of two, so each product
+    ``sv * 2^(k-rank)`` only shifts the exponent (mantissa untouched),
+    every term stays a lattice multiple below 2^33, the sum is
+    order-free exact, and the final ``/ 2^k`` is again a pure exponent
+    shift.  Engine partial order vs DuckDB window order is irrelevant.
+
+    Scale shape: same coarse-bucket co-partition as the other per-key
+    operators (one lexsort per bucket, vectorized rank-from-group-end,
+    ``bincount`` per-user sums — no per-key dispatch); only (user, ema)
+    rows leave the bucket.
+    """
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "value": pa.array(snap_binary(b["value"].to_numpy())),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, val = uid[order], val[order]
+        n = len(uid)
+        starts, sizes, start_of = _group_offsets(uid)
+        pos = np.arange(n, dtype=np.int64)
+        rank = (start_of + np.repeat(sizes, sizes)) - pos  # 1 = most recent
+        keep = rank <= k
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        terms = val[keep] * np.ldexp(1.0, k - rank[keep])
+        sums = np.bincount(gidx[keep], weights=terms, minlength=len(starts))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "ema": pa.array(np.ldexp(sums, -k), pa.float64()),
+                "n_used": pa.array(np.minimum(sizes, k), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles (element selection — no float interpolation)
 # ---------------------------------------------------------------------------
 

@@ -79,6 +79,35 @@ def test_rolling_events_vs_pandas(rd):
     assert (got["roll_n"].to_numpy() == exp["roll_n"].to_numpy()).all()
 
 
+def test_ema_events_vs_sequential(rd):
+    """Distributed power-of-two EMA == a per-user SEQUENTIAL Python
+    loop (sort desc, accumulate sv * 2^-rank) bit-for-bit."""
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.analytic import ema_events
+
+    k = 16
+    ev = _events(seed=29)
+    got = (
+        ema_events(rd.from_pandas(ev), k=k, n_coarse=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = ev.copy()
+    df["sv"] = snap_binary(df["value"].to_numpy())
+    exp_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(k)
+        ema = 0.0
+        for rank, sv in enumerate(g["sv"].to_numpy(), start=1):
+            ema += sv * 2.0 ** (k - rank)
+        exp_rows.append((uid, ema / 2.0**k, min(len(g), k)))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "ema", "n_used"])
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["ema"].to_numpy() == exp["ema"].to_numpy()).all()
+    assert (got["n_used"].to_numpy() == exp["n_used"].to_numpy()).all()
+
+
 def test_grouped_quantiles_vs_numpy(rd):
     """Element-selection quantiles == numpy quantile(method='lower')."""
     from biomass_processing_pipeline_ray.stages.analytic import grouped_quantiles
