@@ -3086,6 +3086,63 @@ _SQL_ORDERS_CHECKSUM = f"""
 """
 
 
+_DIFF_P = 10000  # churn period: key positions [0,50) added, [50,100)
+# removed, [100,150) changed — localized so bucket pruning is real
+
+
+def q_orders_table_diff(sf_dir: str):
+    """Snapshot diff (incremental-sync verification): CURRENT vs
+    PREVIOUS views of orders compared by bucketed signatures, row-level
+    compare only inside dirty key ranges (stages/tablediff.py).  The
+    reference's nearest analogue is the per-county delete+re-insert
+    upsert (result writer, ``production_processor_v3.py``) — diffing
+    signatures replaces moving rows."""
+    from ..stages.tablediff import table_diff
+
+    def side(prev: bool):
+        ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy()
+            pos = k % _DIFF_P
+            mask = (pos >= 50) if prev else ~((pos >= 50) & (pos < 100))
+            k = k[mask]
+            v = b["o_totalprice"].to_numpy()[mask].copy()
+            if prev:
+                chg = (k % _DIFF_P >= 100) & (k % _DIFF_P < 150)
+                v[chg] += 1.0
+            return pa.table(
+                {"o_orderkey": pa.array(k, pa.int64()), "v": pa.array(v)}
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    out = table_diff(side(False), side(True), "o_orderkey", "v", shift=8)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["key"], "change": b["change"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+_SQL_TABLE_DIFF = f"""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+               WHERE (o_orderkey % {_DIFF_P}) < 50
+                  OR (o_orderkey % {_DIFF_P}) >= 100),
+         b AS (SELECT o_orderkey AS k,
+                      CASE WHEN (o_orderkey % {_DIFF_P}) >= 100
+                            AND (o_orderkey % {_DIFF_P}) < 150
+                           THEN o_totalprice + 1.0 ELSE o_totalprice END AS v
+               FROM orders WHERE (o_orderkey % {_DIFF_P}) >= 50)
+    SELECT COALESCE(a.k, b.k) AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'added'
+                WHEN a.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE b.k IS NULL OR a.k IS NULL OR a.v <> b.v
+"""
+
+
 def q_ann_pq_topk(sf_dir: str):
     """Product-quantization ADC top-k (the memory-compression ANN path:
     64 floats → 8 code bytes per vector at 10⁹-vector scale).  Codebooks
@@ -3218,6 +3275,7 @@ def build_queries() -> dict:
         "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
+        "orders_table_diff": (q_orders_table_diff, _SQL_TABLE_DIFF),
         # cluster + sketch family (new in round 3 — never driver-checked)
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
@@ -3246,7 +3304,6 @@ def build_queries() -> dict:
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
-        "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         # tail: redundant-coverage twins (see ordering note above).
@@ -3297,8 +3354,12 @@ def build_queries() -> dict:
         #   revenue_by_priority    -> revenue_by_nation (same broadcast
         #                             key-join + _grouped_sums machinery,
         #                             one more table; r1+r2 hash-green)
+        #   asof_order_events      -> order_events_range_join (same
+        #                             coarse-bucketed windows.py interval
+        #                             merge machinery; r1+r2 hash-green)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
+        "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "corpus_dedup_keep": (q_corpus_dedup_keep, _sql_corpus_dedup_keep()),

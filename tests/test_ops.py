@@ -1004,3 +1004,50 @@ def test_pq_topk_partition_invariant_and_sane(rd, ray_session):
         got = exact.loc[exact["query_id"] == q, "vec_id"].to_numpy()
         ex_same += int((labels[got] == labels[q]).sum())
     assert ex_same >= 72
+
+
+def test_table_diff_prunes_and_matches_bruteforce(rd, ray_session):
+    """table_diff finds exactly the planted added/removed/changed keys,
+    and the signature pass prunes every clean bucket (dirty_buckets
+    returns only ranges that actually contain churn)."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.tablediff import (
+        dirty_buckets,
+        table_diff,
+    )
+
+    n = 5000
+    rng = np.random.default_rng(41)
+    keys = np.arange(n, dtype=np.int64)
+    vals = rng.uniform(0, 1000, n)
+    # churn localized in keys [1000, 1060): 20 added, 20 removed, 20 changed
+    added = keys[1000:1020]
+    removed = keys[1020:1040]
+    changed = keys[1040:1060]
+    a_mask = ~np.isin(keys, removed)
+    b_mask = ~np.isin(keys, added)
+    vb = vals.copy()
+    vb[changed] += 1.0
+    ta = pa.table({"k": pa.array(keys[a_mask]), "v": pa.array(vals[a_mask])})
+    tb = pa.table({"k": pa.array(keys[b_mask]), "v": pa.array(vb[b_mask])})
+    da, db = rd.from_arrow(ta), rd.from_arrow(tb)
+
+    dirty = dirty_buckets(da, db, "k", "v", shift=8)
+    churned = np.unique(np.concatenate([added, removed, changed]) >> 8)
+    assert set(dirty) == {int(b) for b in churned}  # clean buckets pruned
+
+    out = (
+        table_diff(da, db, "k", "v", shift=8)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "key": np.concatenate([added, removed, changed]),
+            "change": ["added"] * 20 + ["removed"] * 20 + ["changed"] * 20,
+        }
+    ).sort_values("key").reset_index(drop=True)
+    assert (out["key"].to_numpy() == exp["key"].to_numpy()).all()
+    assert (out["change"].to_numpy() == exp["change"].to_numpy()).all()
