@@ -3009,6 +3009,72 @@ def q_monthly_order_stats(sf_dir: str):
     return g.map_batches(finalize, batch_format="pyarrow")
 
 
+def _monthly_partials(sf_dir: str, base: bool):
+    """Grouped (month → snapped price sum, count) partials over the
+    base (o_orderkey % 10 != 0) or the delta (% 10 == 0) slice."""
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        mask = (k % 10 != 0) if base else (k % 10 == 0)
+        d = b["o_orderdate"].to_numpy()[mask].astype("datetime64[M]")
+        return pa.table(
+            {
+                "month": pa.array(d.astype(str), pa.string()),
+                "price": pa.array(
+                    snap_binary(b["o_totalprice"].to_numpy()[mask])
+                ),
+            }
+        )
+
+    return _grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["month"],
+        {"sum_price": "price"},
+        "n_orders",
+    )
+
+
+def q_monthly_stats_incremental(sf_dir: str):
+    """Incremental aggregation (delta merge, stages/incremental.py):
+    the base slice's grouped state persists once as parquet; the delta
+    slice folds in at O(|delta| + |state|) with no base rescan — and
+    the merged result hash-equals the ONE-SHOT whole-table oracle
+    (_SQL_MONTHLY_ORDER_STATS), which is the IVM correctness claim.
+    Reference analogue: re-ingest re-runs whole counties
+    (``production_processor_v3.py`` upsert); here re-ingest is a
+    bounded state merge."""
+    import hashlib
+
+    from ..stages.incremental import merge_with_state, write_state
+
+    token = hashlib.sha1(
+        f"{os.path.basename(os.path.normpath(sf_dir))}|mod10|v1".encode()
+    ).hexdigest()[:12]
+    state_dir = f"/tmp/graft_cache/incr_state_{token}"
+    write_state(_monthly_partials(sf_dir, base=True), state_dir)
+    merged = merge_with_state(
+        state_dir,
+        _monthly_partials(sf_dir, base=False),
+        ["month"],
+        ["sum_price", "n_orders"],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["sum_price"].to_numpy()
+        n = b["n_orders"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "month": b["month"],
+                "n_orders": b["n_orders"],
+                "sum_price": pa.array(round_away(s, 4)),
+                "avg_price": pa.array(round_away(s / n, 4)),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 _SQL_MONTHLY_ORDER_STATS = f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3274,6 +3340,10 @@ def build_queries() -> dict:
         "county_fmt_rollup": (q_county_fmt_rollup, _sql_county_fmt_rollup(_N_ORACLE)),
         "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
+        "monthly_stats_incremental": (
+            q_monthly_stats_incremental,
+            _SQL_MONTHLY_ORDER_STATS,  # IVM claim: delta merge == one-shot
+        ),
         "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         "orders_table_diff": (q_orders_table_diff, _SQL_TABLE_DIFF),
         # cluster + sketch family (new in round 3 — never driver-checked)
@@ -3299,7 +3369,6 @@ def build_queries() -> dict:
         # relational family
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
-        "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
@@ -3357,7 +3426,14 @@ def build_queries() -> dict:
         #   asof_order_events      -> order_events_range_join (same
         #                             coarse-bucketed windows.py interval
         #                             merge machinery; r1+r2 hash-green)
+        #   filter_project         -> every in-window `_tbl()` reader
+        #                             (columns= pruned read) + the
+        #                             predicate-filter machinery in
+        #                             tiles_hash_sample / stratified_
+        #                             sample / bloom_semi_join; r1+r2
+        #                             hash-green
         "fingerprints": (q_fingerprints, sql_fingerprints()),
+        "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -1051,3 +1051,65 @@ def test_table_diff_prunes_and_matches_bruteforce(rd, ray_session):
     ).sort_values("key").reset_index(drop=True)
     assert (out["key"].to_numpy() == exp["key"].to_numpy()).all()
     assert (out["change"].to_numpy() == exp["change"].to_numpy()).all()
+
+
+def test_incremental_merge_equals_oneshot(rd, ray_session, tmp_path):
+    """Persisted base state + delta partials == one-shot aggregate over
+    the whole input, bit-for-bit; a rerun reuses the _SUCCESS state."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+    from biomass_processing_pipeline_ray.stages.incremental import (
+        merge_with_state,
+        write_state,
+    )
+    from biomass_processing_pipeline_ray.stages.zonal import combine_partials
+    from ray.data.aggregate import Sum
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    key = rng.integers(0, 7, n).astype(np.int64)
+    val = snap_binary(rng.uniform(0, 100, n))
+    is_delta = np.arange(n) % 10 == 0
+
+    def partials(mask):
+        t = pa.table({"k": pa.array(key[mask]), "v": pa.array(val[mask])})
+
+        def prep(df):
+            g = df.groupby("k", as_index=False).agg(
+                s=("v", "sum"), n_rows=("v", "size")
+            )
+            g["n_rows"] = g["n_rows"].astype(np.int64)
+            return g
+
+        return rd.from_arrow(t).map_batches(prep, batch_format="pandas")
+
+    aggs = [Sum("s", alias_name="s"), Sum("n_rows", alias_name="n_rows")]
+    base_agg = combine_partials(partials(~is_delta), ["k"], aggs)
+    state_dir = str(tmp_path / "state")
+    write_state(base_agg, state_dir)
+
+    merged = (
+        merge_with_state(state_dir, partials(is_delta), ["k"], ["s", "n_rows"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    oneshot = (
+        combine_partials(partials(np.ones(n, bool)), ["k"], aggs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (merged["s"].to_numpy() == oneshot["s"].to_numpy()).all()
+    assert (merged["n_rows"].to_numpy() == oneshot["n_rows"].to_numpy()).all()
+
+    # rerun hits the _SUCCESS state (no rebuild) and stays identical
+    write_state(base_agg, state_dir)
+    merged2 = (
+        merge_with_state(state_dir, partials(is_delta), ["k"], ["s", "n_rows"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert merged2.equals(merged)
