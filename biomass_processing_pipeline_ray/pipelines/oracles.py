@@ -399,6 +399,88 @@ def sql_image_thumbs(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# gradient-energy oracle: per-tile integer total-variation edge energy,
+# sequential decode + direct slice arithmetic (no Ray, no stages) —
+# pure int64, so county rollups need no float lattice at all.
+# ---------------------------------------------------------------------------
+
+
+def grad_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"grad_n{n}_v1.parquet")
+
+
+def _grad_oracle_chunk(ids: np.ndarray) -> pa.Table:
+    from ..image import codecs
+    from ..sources import tiles as T
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    grad = np.empty(n, dtype=np.int64)
+    n_px = np.empty(n, dtype=np.int64)
+    for k, i in enumerate(ids):
+        px = T.make_pixels(int(i))
+        w_, h_, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+        fmt = T.FMTS[int(fidx[0])]
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, int(h_[0]), int(w_[0]))
+        g = dec.astype(np.int64).sum(axis=2)
+        grad[k] = np.abs(g[1:, :] - g[:-1, :]).sum() + np.abs(
+            g[:, 1:] - g[:, :-1]
+        ).sum()
+        n_px[k] = g.shape[0] * g.shape[1]
+    return pa.table(
+        {
+            "tile_id": pa.array(ids),
+            "grad": pa.array(grad),
+            "n_px": pa.array(n_px),
+        }
+    )
+
+
+def ensure_grad_oracle(n: int, chunk: int = 2048) -> str:
+    path = grad_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_grad_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_grad_oracle_chunk(c) for c in chunks]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_gradient(n: int) -> str:
+    """County rollup of the oracle's per-tile integer gradient energy,
+    with the arithmetic county assignment (PIP parity surface D-checked
+    by zonal_biomass)."""
+    from ..functions import georef as G
+
+    lon, lat = G.sql_lonlat("tile_id")
+    fips = G.sql_county_fips(lon, lat)
+    return f"""
+    SELECT {fips} AS county_fips,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(grad) AS BIGINT) AS grad_sum,
+           CAST(SUM(n_px) AS BIGINT) AS px_sum
+    FROM read_parquet('{grad_oracle_path(n)}')
+    GROUP BY county_fips
+    """
+
+
+# ---------------------------------------------------------------------------
 # clip-zonal oracle: per-tile polygon-clipped masked pixel sums, with an
 # INDEPENDENT even-odd rasterizer (per-edge crossing accumulation loop
 # vs the engine's all-edges broadcast kernel in image/window.py).

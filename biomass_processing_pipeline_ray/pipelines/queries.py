@@ -575,6 +575,52 @@ def _sql_tile_meta_stats(n: int) -> str:
     """
 
 
+def q_county_gradient(sf_dir: str):
+    """Per-county image texture rollup: integer total-variation edge
+    energy per tile (decode → |Δrow|+|Δcol| of the channel sum, pure
+    int64 — the junk-image / blur score of a training-data filter),
+    summed per county.  Fused-read actor pool (payload never enters the
+    object store); hash-checked against a sequential decode oracle
+    (``pipelines/oracles.ensure_grad_oracle``).  Reference analogue:
+    the per-parcel decoded-raster statistics chain
+    (``vegetation_analyzer_v3.py:139-141``)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageGradientStageFused
+    from .biomass import _parquet_files
+
+    paths = _parquet_files(tiles_path(sf_dir))
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    out = rd.from_items(paths).map_batches(
+        ImageGradientStageFused,
+        batch_format="pyarrow",
+        concurrency=(max(1, ncpus // 2), max(2, ncpus)),
+        batch_size=1,
+    )
+
+    def add_fips(b: pa.Table) -> pa.Table:
+        from ..sources.tiles import image_ids_to_int
+
+        ids = image_ids_to_int(b["image_id"])
+        lon, lat = G.derive_lonlat(ids)
+        fips = G.county_fips_from_xy(*G.derive_county_xy(lon, lat))
+        return pa.table(
+            {
+                "county_fips": pa.array(fips, pa.string()),
+                "grad": b["grad"],
+                "n_px": b["n_px"],
+            }
+        )
+
+    return _grouped_sums(
+        out.map_batches(add_fips, batch_format="pyarrow"),
+        ["county_fips"],
+        {"grad_sum": "grad", "px_sum": "n_px"},
+        "n_tiles",
+    )
+
+
 def q_phash_neardup(sf_dir: str):
     """Image near-dup pairs by phash Hamming banding; hash-checked
     against the pure-SQL banded pair finder over the decode oracle."""
@@ -3251,6 +3297,7 @@ def ensure_generated_oracles() -> None:
         ensure_knn_idw_oracle,
         ensure_minhash_oracle,
         ensure_ngram_oracle,
+        ensure_grad_oracle,
         ensure_pip_jittered_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
@@ -3259,6 +3306,7 @@ def ensure_generated_oracles() -> None:
     )
 
     ensure_px_oracle(_N_ORACLE)
+    ensure_grad_oracle(_N_ORACLE)
     ensure_clip_oracle(_N_ORACLE)
     ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
@@ -3284,6 +3332,7 @@ def build_queries() -> dict:
     from .oracles import (
         sql_cell_index,
         sql_county_clip_stats,
+        sql_county_gradient,
         sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
@@ -3349,6 +3398,7 @@ def build_queries() -> dict:
         # cluster + sketch family (new in round 3 — never driver-checked)
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
+        "county_gradient": (q_county_gradient, sql_county_gradient(_N_ORACLE)),
         "caption_pair_jaccard": (
             q_caption_pair_jaccard,
             _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
@@ -3365,7 +3415,6 @@ def build_queries() -> dict:
         "bbox_search_indexed": (q_bbox_search_indexed, _sql_bbox_search(_N_ORACLE)),
         "county_clip_stats": (q_county_clip_stats, sql_county_clip_stats(_N_ORACLE)),
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
-        "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         # relational family
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
@@ -3432,8 +3481,13 @@ def build_queries() -> dict:
         #                             tiles_hash_sample / stratified_
         #                             sample / bloom_semi_join; r1+r2
         #                             hash-green
+        #   phash_neardup          -> image_dup_clusters (BUILT on the
+        #                             same banded-Hamming pair machinery
+        #                             end-to-end; phash r2 hash-green,
+        #                             1,236 planted pairs)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+        "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

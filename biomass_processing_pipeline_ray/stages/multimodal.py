@@ -97,6 +97,64 @@ class ImageResizeStageFused(ImageResizeStage):
         )
 
 
+# -- image: integer gradient energy (edge density / texture score) -----------
+
+
+def gradient_energy(px: np.ndarray) -> tuple[int, int]:
+    """Total-variation edge energy of an (h, w, 3) uint8 image:
+    Σ|Δrow| + Σ|Δcol| of the integer channel sum — pure int64 math, so
+    distributed county rollups hash the sequential oracle exactly with
+    no float lattice at all.  Returns (grad, n_px)."""
+    g = px[:, :, 0].astype(np.int64)
+    g += px[:, :, 1]
+    g += px[:, :, 2]
+    grad = int(np.abs(np.diff(g, axis=0)).sum()) + int(
+        np.abs(np.diff(g, axis=1)).sum()
+    )
+    return grad, g.shape[0] * g.shape[1]
+
+
+class ImageGradientStage:
+    """bytes(+fmt,w,h) → per-image integer gradient energy (a cheap
+    texture / blur / junk-image score for training-data filtering)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        grads = np.empty(len(bufs), dtype=np.int64)
+        npx = np.empty(len(bufs), dtype=np.int64)
+        for k, buf in enumerate(bufs):
+            px = codecs.decode(buf, fmts[k], int(hs[k]), int(ws[k]))
+            grads[k], npx[k] = gradient_energy(px)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "grad": pa.array(grads),
+                "n_px": pa.array(npx),
+            }
+        )
+
+
+class ImageGradientStageFused(ImageGradientStage):
+    """ImageGradientStage with the parquet read fused into the actor
+    (payload never enters the object store)."""
+
+    COLUMNS = ["image_id", "bytes", "w", "h", "fmt"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=self.COLUMNS)
+            for p in batch["item"].to_pylist()
+        ]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        )
+
+
 # -- audio: stubbed decode, real features ------------------------------------
 
 

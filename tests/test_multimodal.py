@@ -92,3 +92,25 @@ def test_video_stage_explodes_frames(ray_session, tiles_small):
     assert len(out) == 8 * 4
     assert sorted(out.frame_idx.unique()) == [0, 4, 8, 12]
     assert out.video_id.nunique() == 8
+
+
+def test_gradient_energy_vs_bruteforce():
+    """Vectorized TV edge energy == per-pixel Python loop, exactly."""
+    import numpy as np
+
+    from biomass_processing_pipeline_ray.stages.multimodal import gradient_energy
+
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    grad, n_px = gradient_energy(px)
+    exp = 0
+    g = [[int(px[i, j, 0]) + int(px[i, j, 1]) + int(px[i, j, 2])
+          for j in range(17)] for i in range(13)]
+    for i in range(13):
+        for j in range(17):
+            if i + 1 < 13:
+                exp += abs(g[i + 1][j] - g[i][j])
+            if j + 1 < 17:
+                exp += abs(g[i][j + 1] - g[i][j])
+    assert grad == exp
+    assert n_px == 13 * 17
