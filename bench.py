@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "monthly_order_stats",
     "orders_checksum",
     "ann_pq_topk",
+    "user_value_ema",
+    "orders_table_diff",
+    "monthly_stats_incremental",
+    "county_gradient",
 ]
 
 

@@ -1653,6 +1653,95 @@ def _sql_county_quantiles(n: int) -> str:
     """
 
 
+def q_county_top3_tiles(sf_dir: str):
+    """Per-group top-k (top-3 tiles per county by biomass): per-batch
+    per-group combiner caps the shuffle at groups × k rows — the
+    grouped sibling of ``relational.topk``, mirroring the reference's
+    per-parcel ``ORDER BY ... LIMIT`` caps (``database_config_v3.py:
+    112-113``) as a distributed operator."""
+    from ..stages.relational import grouped_topk
+
+    ds = _range_geo(universe_n(sf_dir))
+
+    def add_biomass(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        bm = snap_binary(G.derive_biomass(ids))
+        fips = G.county_fips_from_xy(*G.derive_county_xy(*G.derive_lonlat(ids)))
+        return pa.table(
+            {
+                "county_fips": pa.array(fips, pa.string()),
+                "tile_id": b["tile_id"],
+                "biomass": pa.array(bm),
+            }
+        )
+
+    out = grouped_topk(
+        ds.map_batches(add_biomass, batch_format="pyarrow"),
+        group="county_fips",
+        by="biomass",
+        k=3,
+        descending=True,
+        tie_col="tile_id",
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["county_fips", "tile_id", "biomass", "rn"]].assign(
+            rn=lambda d: d["rn"].astype(np.int64)
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def _sql_county_top3(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    bm = sql_snap(G.sql_biomass("id"))
+    return f"""
+    SELECT county_fips, id AS tile_id, biomass, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT county_fips, id, biomass,
+                 row_number() OVER (PARTITION BY county_fips
+                                    ORDER BY biomass DESC, id) AS rn
+          FROM (SELECT {fips} AS county_fips, id, {bm} AS biomass
+                FROM (SELECT range AS id FROM range({n}))))
+    WHERE rn <= 3
+    """
+
+
+def q_type_distinct_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct (type, user) pairs
+    partition cleanly by a hash of the user, so each bucket dedups and
+    counts its own users per type in one vectorized pass and only
+    (type, partial-count) rows shuffle again — the exact twin of the
+    KMV sketch (`approx_distinct_users`), for when exactness is worth
+    one extra exchange."""
+    ds = _tbl(sf_dir, "events", ["event_type", "user_id"])
+    nb = 64
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates()
+        return out.assign(coarse=out["user_id"].to_numpy() % nb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        c = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        c["n_users"] = c["n_users"].astype(np.int64)
+        return c
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return _grouped_sums(partials, ["event_type"], {"n_users": "n_users"}, None)
+
+
+_SQL_TYPE_DISTINCT_USERS = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
 def q_heavy_hitter_keys(sf_dir: str):
     """Frequent-key detection: all users with count > n/128, via a
     bounded Misra–Gries summary per batch (capacity 256 ≥ 1/φ makes
@@ -3378,8 +3467,9 @@ def build_queries() -> dict:
         "user_value_ema": (q_user_value_ema, _SQL_EMA),
         "county_quantiles": (q_county_quantiles, _sql_county_quantiles(_N_ORACLE)),
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
+        "county_top3_tiles": (q_county_top3_tiles, _sql_county_top3(_N_ORACLE)),
+        "type_distinct_users": (q_type_distinct_users, _SQL_TYPE_DISTINCT_USERS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
-        "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
         # bloom / sampling / tf-idf / graph family (new in round 3)
         "bloom_semi_join": (q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
@@ -3418,7 +3508,6 @@ def build_queries() -> dict:
         # relational family
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
-        "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
@@ -3485,9 +3574,20 @@ def build_queries() -> dict:
         #                             same banded-Hamming pair machinery
         #                             end-to-end; phash r2 hash-green,
         #                             1,236 planted pairs)
+        #   tiles_hash_sample      -> stratified_sample (same
+        #                             multiplicative-hash deterministic
+        #                             sampling machinery; r2-new but
+        #                             builder-gate green, trivial map)
+        #   events_top100_sorted   -> native Sort exercised by every
+        #                             in-window groupby/map_groups plan;
+        #                             limit by the topk family
+        #                             (top10_parts, county_top3_tiles);
+        #                             r1+r2 hash-green
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
+        "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
+        "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -1113,3 +1113,35 @@ def test_incremental_merge_equals_oneshot(rd, ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert merged2.equals(merged)
+
+
+def test_grouped_topk_vs_pandas(rd, ray_session):
+    """Per-group top-k == pandas row_number oracle, with string group
+    keys split across many blocks (combiner + coarse-bucket merge must
+    reassemble every group exactly)."""
+    from biomass_processing_pipeline_ray.stages.relational import grouped_topk
+
+    rng = np.random.default_rng(71)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": np.char.add("grp", rng.integers(0, 40, n).astype(str)),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.uniform(0, 100, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)  # force cross-block groups
+    got = (
+        grouped_topk(ds, group="g", by="v", k=5, descending=True, tie_col="id")
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["v", "id"], ascending=[False, True]).copy()
+    exp = exp.groupby("g", sort=False).head(5)
+    exp["rn"] = exp.groupby("g", sort=False).cumcount() + 1
+    exp = exp.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert (got["g"].to_numpy() == exp["g"].to_numpy()).all()
+    assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
