@@ -1609,6 +1609,44 @@ _SQL_EMA = f"""
 """
 
 
+def q_user_funnel(sf_dir: str):
+    """Funnel analysis (ordered sequential pattern matching): how far
+    each user got through view → click → purchase, each step strictly
+    after the previous step's first completion.  The classic product-
+    analytics query a pure groupby can't express; one coarse-bucket
+    shuffle, reduceat-cascade per bucket (stages/analytic.funnel_events).
+    No reference analogue (its events are stateless parcel rows)."""
+    from ..stages.analytic import funnel_events
+
+    return funnel_events(
+        _tbl(sf_dir, "events", ["ts", "user_id", "event_type"]),
+        steps=["view", "click", "purchase"],
+    )
+
+
+_SQL_FUNNEL = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t1
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2
+               GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+"""
+
+
 def q_county_quantiles(sf_dir: str):
     """Exact per-county quantiles (p50/p90 of tile biomass) by element
     selection at ``floor(q*(n-1))`` — no float interpolation, so the
@@ -3465,6 +3503,7 @@ def build_queries() -> dict:
         "events_ranked": (q_events_ranked, _SQL_RANKED),
         "user_rolling_stats": (q_user_rolling_stats, _SQL_ROLLING),
         "user_value_ema": (q_user_value_ema, _SQL_EMA),
+        "user_funnel": (q_user_funnel, _SQL_FUNNEL),
         "county_quantiles": (q_county_quantiles, _sql_county_quantiles(_N_ORACLE)),
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
         "county_top3_tiles": (q_county_top3_tiles, _sql_county_top3(_N_ORACLE)),
@@ -3507,7 +3546,6 @@ def build_queries() -> dict:
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         # relational family
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
-        "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
@@ -3583,11 +3621,16 @@ def build_queries() -> dict:
         #                             limit by the topk family
         #                             (top10_parts, county_top3_tiles);
         #                             r1+r2 hash-green
+        #   top10_parts            -> county_top3_tiles (same per-batch
+        #                             partial-top-k combiner pattern,
+        #                             grouped; global finish also in
+        #                             county_top10; r1+r2 hash-green)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
+        "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

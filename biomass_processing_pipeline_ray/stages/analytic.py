@@ -224,6 +224,71 @@ def ema_events(ds, k: int = 16, n_coarse: int = 256):
 
 
 # ---------------------------------------------------------------------------
+# funnel (ordered sequential pattern per key): step k counts only
+# strictly after the user's first completion of step k-1
+# ---------------------------------------------------------------------------
+
+
+def funnel_events(ds, steps: list[str], n_coarse: int = 256):
+    """Per-user funnel stage: how far each user got through an ORDERED
+    step sequence (e.g. view → click → purchase), where step k's first
+    occurrence must be strictly later than the user's first completion
+    of step k-1.  Returns (user_id, stage) with stage in [0, len(steps)].
+
+    Sequential pattern matching without per-key dispatch: each coarse
+    bucket computes every user's cascade with one ``minimum.reduceat``
+    per step (min timestamp of step-k rows gated by the previous
+    stage's per-user time, broadcast back by ``repeat``) — k passes
+    over the bucket, no sort-within-user needed.
+    """
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        et = b["event_type"].to_pandas()
+        step = et.map(step_of).fillna(-1).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "step": pa.array(step),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    big = np.int64(2**62)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        step = g["step"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid, ts, step = uid[order], ts[order], step[order]
+        starts, sizes, _ = _group_offsets(uid)
+        stage = np.zeros(len(starts), dtype=np.int64)
+        prev = np.full(len(starts), -1, dtype=np.int64)  # -1: no gate yet
+        for k in range(len(step_of)):
+            gate = np.repeat(prev, sizes)
+            cand = np.where((step == k) & (ts > gate), ts, big)
+            tk = np.minimum.reduceat(cand, starts)
+            reached = tk < big
+            stage += reached
+            prev = np.where(reached, tk, big)  # unreached: gate out later steps
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "stage": pa.array(stage, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles (element selection — no float interpolation)
 # ---------------------------------------------------------------------------
 

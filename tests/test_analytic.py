@@ -279,3 +279,45 @@ def test_grouped_percent_rank_matches_pandas(rd, ray_session):
         assert np.array_equal(
             got["pct_rank"].to_numpy(), exp.sort_values("rid")["pct_rank"].to_numpy()
         )
+
+
+def test_funnel_events_vs_sequential(rd):
+    """Reduceat-cascade funnel == per-user sequential scan oracle."""
+    from biomass_processing_pipeline_ray.stages.analytic import funnel_events
+
+    rng = np.random.default_rng(83)
+    n, n_users = 3000, 50
+    base = np.datetime64("2024-05-01", "us")
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": base + rng.integers(0, 10**6, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error", "signup"], n
+            ),
+        }
+    )
+    got = (
+        funnel_events(rd.from_pandas(ev), steps=["view", "click", "purchase"],
+                      n_coarse=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    def oracle(g):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        gate, stage = -1, 0
+        for step in ("view", "click", "purchase"):
+            m = (et == step) & (ts > gate)
+            if not m.any():
+                break
+            gate = ts[m].min()
+            stage += 1
+        return stage
+
+    exp = ev.groupby("user_id").apply(oracle, include_groups=False)
+    assert (got["user_id"].to_numpy() == exp.index.to_numpy()).all()
+    assert (got["stage"].to_numpy() == exp.to_numpy()).all()
+    assert got["stage"].max() == 3 and got["stage"].min() >= 0
