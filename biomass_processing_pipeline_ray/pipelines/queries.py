@@ -1647,6 +1647,32 @@ _SQL_FUNNEL = """
 """
 
 
+def q_user_longest_streak(sf_dir: str):
+    """Gaps & islands: longest run of consecutive identical event types
+    per user in (ts, event_id) order — run-length arithmetic per coarse
+    bucket (stages/analytic.longest_streak) vs the SQL double-row_number
+    island mirror."""
+    from ..stages.analytic import longest_streak
+
+    return longest_streak(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )
+
+
+_SQL_LONGEST_STREAK = """
+    SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS max_streak
+    FROM (SELECT user_id, COUNT(*) AS run_len
+          FROM (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       - row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS island
+                FROM events)
+          GROUP BY user_id, event_type, island)
+    GROUP BY user_id
+"""
+
+
 def q_county_quantiles(sf_dir: str):
     """Exact per-county quantiles (p50/p90 of tile biomass) by element
     selection at ``floor(q*(n-1))`` — no float interpolation, so the
@@ -3504,6 +3530,7 @@ def build_queries() -> dict:
         "user_rolling_stats": (q_user_rolling_stats, _SQL_ROLLING),
         "user_value_ema": (q_user_value_ema, _SQL_EMA),
         "user_funnel": (q_user_funnel, _SQL_FUNNEL),
+        "user_longest_streak": (q_user_longest_streak, _SQL_LONGEST_STREAK),
         "county_quantiles": (q_county_quantiles, _sql_county_quantiles(_N_ORACLE)),
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
         "county_top3_tiles": (q_county_top3_tiles, _sql_county_top3(_N_ORACLE)),
@@ -3517,7 +3544,6 @@ def build_queries() -> dict:
         "event_percent_rank": (q_event_percent_rank, _SQL_EVENT_PERCENT_RANK),
         "county_fmt_rollup": (q_county_fmt_rollup, _sql_county_fmt_rollup(_N_ORACLE)),
         "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
-        "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "monthly_stats_incremental": (
             q_monthly_stats_incremental,
             _SQL_MONTHLY_ORDER_STATS,  # IVM claim: delta merge == one-shot
@@ -3625,12 +3651,17 @@ def build_queries() -> dict:
         #                             partial-top-k combiner pattern,
         #                             grouped; global finish also in
         #                             county_top10; r1+r2 hash-green)
+        #   monthly_order_stats    -> monthly_stats_incremental (shares
+        #                             _monthly_partials and the SAME SQL
+        #                             oracle over the full table; r3-new
+        #                             but builder-gate green)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
+        "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -289,6 +289,62 @@ def funnel_events(ds, steps: list[str], n_coarse: int = 256):
 
 
 # ---------------------------------------------------------------------------
+# gaps & islands: longest same-value run per key
+# ---------------------------------------------------------------------------
+
+
+def longest_streak(ds, val_col: str = "event_type", n_coarse: int = 256):
+    """Per-user longest run of consecutive identical ``val_col`` values
+    in (ts, event_id) order — the gaps-and-islands pattern (SQL: double
+    row_number difference → island id → max island size).
+
+    One coarse-bucket shuffle; each bucket lexsorts once and computes
+    every contained user's answer with run-length arithmetic: a run
+    boundary is (user change) OR (value change), run lengths come from
+    ``_group_offsets`` over the run ids, and the per-user max reduces
+    with ``np.maximum.reduceat`` — no per-key dispatch."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "val": b[val_col],
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["val"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, val = uid[order], val[order]
+        n = len(uid)
+        starts, sizes, _ = _group_offsets(uid)
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (val[1:] != val[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        _, run_sizes, _ = _group_offsets(run_id)
+        run_len_of_row = np.repeat(run_sizes, run_sizes)
+        best = np.maximum.reduceat(run_len_of_row, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "max_streak": pa.array(best.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles (element selection — no float interpolation)
 # ---------------------------------------------------------------------------
 

@@ -321,3 +321,35 @@ def test_funnel_events_vs_sequential(rd):
     assert (got["user_id"].to_numpy() == exp.index.to_numpy()).all()
     assert (got["stage"].to_numpy() == exp.to_numpy()).all()
     assert got["stage"].max() == 3 and got["stage"].min() >= 0
+
+
+def test_longest_streak_vs_sequential(rd):
+    """Run-length gaps-and-islands == per-user sequential scan, with
+    timestamp ties broken by event_id on both sides."""
+    from biomass_processing_pipeline_ray.stages.analytic import longest_streak
+
+    ev = _events(seed=97).assign(
+        event_type=lambda d: np.random.default_rng(5).choice(
+            ["a", "b"], len(d)
+        )
+    )
+    got = (
+        longest_streak(rd.from_pandas(ev), n_coarse=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    def oracle(g):
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        best = cur = 1
+        for i in range(1, len(et)):
+            cur = cur + 1 if et[i] == et[i - 1] else 1
+            best = max(best, cur)
+        return best
+
+    exp = ev.groupby("user_id").apply(oracle, include_groups=False)
+    assert (got["user_id"].to_numpy() == exp.index.to_numpy()).all()
+    assert (got["max_streak"].to_numpy() == exp.to_numpy()).all()
+    assert got["max_streak"].max() >= 3  # fixture actually has streaks
