@@ -177,6 +177,61 @@ def buffer_convex(ring: np.ndarray, dist_deg: float) -> np.ndarray:
 # -- M5: bbox ops -------------------------------------------------------------
 
 
+def clip_ring_to_box(
+    ring: np.ndarray, x0: float, y0: float, x1: float, y1: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed simple ring to an axis-
+    aligned box: four successive half-plane passes, each keeping inside
+    vertices and inserting edge/boundary intersections.  Returns a
+    CLOSED ring (first point repeated) or an empty (0, 2) array.
+
+    The verification twin (pipelines/oracles.ensure_overlap_oracle)
+    computes the same region by an independent construction — candidate
+    vertex set + angular ordering — so agreement is algorithmic, not
+    shared code."""
+    pts = [tuple(p) for p in np.asarray(ring, dtype=np.float64)[:-1]]
+
+    def clip_half(points, inside, intersect):
+        out = []
+        m = len(points)
+        for i in range(m):
+            a, b = points[i], points[(i + 1) % m]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+                if not ib:
+                    out.append(intersect(a, b))
+            elif ib:
+                out.append(intersect(a, b))
+        return out
+
+    def ix_v(x):  # intersection with vertical line x = const
+        def f(a, b):
+            t = (x - a[0]) / (b[0] - a[0])
+            return (x, a[1] + t * (b[1] - a[1]))
+
+        return f
+
+    def ix_h(y):  # intersection with horizontal line y = const
+        def f(a, b):
+            t = (y - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), y)
+
+        return f
+
+    pts = clip_half(pts, lambda p: p[0] >= x0, ix_v(x0))
+    if pts:
+        pts = clip_half(pts, lambda p: p[0] <= x1, ix_v(x1))
+    if pts:
+        pts = clip_half(pts, lambda p: p[1] <= y1, ix_h(y1))
+    if pts:
+        pts = clip_half(pts, lambda p: p[1] >= y0, ix_h(y0))
+    if not pts:
+        return np.zeros((0, 2), dtype=np.float64)
+    arr = np.asarray(pts, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
 def ring_bounds(ring: np.ndarray) -> tuple[float, float, float, float]:
     return (
         float(ring[:, 0].min()),

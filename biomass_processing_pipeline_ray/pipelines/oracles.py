@@ -399,6 +399,123 @@ def sql_image_thumbs(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# polygon-overlap oracle: area(jittered quad ∩ base rect county) by an
+# INDEPENDENT construction — candidate vertex set (quad vertices in the
+# box, box corners in the quad, all edge×edge crossings) ordered by
+# angle, fsum shoelace — vs the engine's Sutherland–Hodgman clipper
+# (geo/geoms.clip_ring_to_box).  Agreement is algorithmic.
+# ---------------------------------------------------------------------------
+
+
+def overlap_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "overlap_v1.parquet")
+
+
+def _inside_convex(px: float, py: float, ring: np.ndarray) -> bool:
+    """Point in (or on) a CCW convex ring — all edge crosses >= -eps."""
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        if (bx - ax) * (py - ay) - (by - ay) * (px - ax) < -1e-12:
+            return False
+    return True
+
+
+def _seg_crossings(ring: np.ndarray, x0, y0, x1, y1) -> list:
+    """All intersection points of ring edges with the 4 box edges."""
+    out = []
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        dx, dy = bx - ax, by - ay
+        for xv in (x0, x1):  # vertical box edges
+            if dx != 0.0:
+                t = (xv - ax) / dx
+                if 0.0 <= t <= 1.0:
+                    yv = ay + t * dy
+                    if y0 - 1e-12 <= yv <= y1 + 1e-12:
+                        out.append((xv, min(max(yv, y0), y1)))
+        for yh in (y0, y1):  # horizontal box edges
+            if dy != 0.0:
+                t = (yh - ay) / dy
+                if 0.0 <= t <= 1.0:
+                    xh = ax + t * dx
+                    if x0 - 1e-12 <= xh <= x1 + 1e-12:
+                        out.append((min(max(xh, x0), x1), yh))
+    return out
+
+
+def ensure_overlap_oracle() -> str:
+    path = overlap_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    import math
+
+    from ..functions import georef as G
+    from ..sources.counties import jittered_counties
+    from ..geo import wkb as _wkb
+
+    tbl = jittered_counties()
+    fips_col = tbl["county_fips"].to_pylist()
+    wkbs = tbl["geometry_wkb"].to_pylist()
+    areas = np.empty(len(fips_col), dtype=np.float64)
+    for k, (fips, buf) in enumerate(zip(fips_col, wkbs)):
+        ring = _wkb.wkb_to_rings(buf)[0]
+        code = int(fips) - G.FIPS_BASE
+        cy, cx = divmod(code, G.COUNTY_NX)
+        x0 = G.LON0 + cx * G.COUNTY_W
+        x1 = G.LON0 + (cx + 1) * G.COUNTY_W
+        y0 = G.LAT0 + cy * G.COUNTY_H
+        y1 = G.LAT0 + (cy + 1) * G.COUNTY_H
+        cand: list = []
+        for vx, vy in ring[:-1]:
+            if x0 - 1e-12 <= vx <= x1 + 1e-12 and y0 - 1e-12 <= vy <= y1 + 1e-12:
+                cand.append((min(max(vx, x0), x1), min(max(vy, y0), y1)))
+        for bx_, by_ in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+            if _inside_convex(bx_, by_, ring):
+                cand.append((bx_, by_))
+        cand.extend(_seg_crossings(ring, x0, y0, x1, y1))
+        # dedupe with tolerance, order by angle around the mean
+        uniq: list = []
+        for p in cand:
+            if not any(abs(p[0] - q[0]) < 1e-9 and abs(p[1] - q[1]) < 1e-9
+                       for q in uniq):
+                uniq.append(p)
+        if len(uniq) < 3:
+            areas[k] = 0.0
+            continue
+        mx = sum(p[0] for p in uniq) / len(uniq)
+        my = sum(p[1] for p in uniq) / len(uniq)
+        uniq.sort(key=lambda p: math.atan2(p[1] - my, p[0] - mx))
+        terms = [
+            uniq[i][0] * uniq[(i + 1) % len(uniq)][1]
+            - uniq[(i + 1) % len(uniq)][0] * uniq[i][1]
+            for i in range(len(uniq))
+        ]
+        areas[k] = abs(math.fsum(terms) * 0.5)
+    from ..functions.rounding import snap_binary
+
+    out = pa.table(
+        {
+            "county_fips": pa.array(fips_col, pa.string()),
+            "overlap_area": pa.array(snap_binary(areas)),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_overlap() -> str:
+    return (
+        "SELECT county_fips, overlap_area "
+        f"FROM read_parquet('{overlap_oracle_path()}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # gradient-energy oracle: per-tile integer total-variation edge energy,
 # sequential decode + direct slice arithmetic (no Ray, no stages) —
 # pure int64, so county rollups need no float lattice at all.

@@ -349,6 +349,48 @@ def _sql_county_top10(n: int) -> str:
     """
 
 
+def q_county_overlap(sf_dir: str):
+    """Polygon∩polygon intersection area (M-family beyond bbox tests):
+    each jittered county quad clipped to its base grid rect by
+    Sutherland–Hodgman (``geo/geoms.clip_ring_to_box``), shoelace area
+    of the clipped region — the boundary-drift measure a re-survey
+    pipeline computes per county.  Hash-checked against an independent
+    candidate-vertex + angular-ordering construction
+    (``oracles.ensure_overlap_oracle``).  Reference analogue: the
+    PostGIS ``ST_Intersection`` zonal prefilters
+    (``database_config_v3.py:117-128``)."""
+    import ray.data as rd2
+
+    from ..geo import wkb as _wkbmod
+    from ..geo.geoms import clip_ring_to_box, shoelace_area
+    from ..sources.counties import jittered_counties
+
+    ds = rd2.from_arrow(jittered_counties())
+
+    def overlap(b: pa.Table) -> pa.Table:
+        fips = b["county_fips"].to_pylist()
+        wkbs = b["geometry_wkb"].to_pylist()
+        areas = np.empty(len(fips), dtype=np.float64)
+        for k, (f, buf) in enumerate(zip(fips, wkbs)):
+            ring = _wkbmod.wkb_to_rings(buf)[0]
+            code = int(f) - G.FIPS_BASE
+            cy, cx = divmod(code, G.COUNTY_NX)
+            x0 = G.LON0 + cx * G.COUNTY_W
+            y0 = G.LAT0 + cy * G.COUNTY_H
+            clipped = clip_ring_to_box(
+                ring, x0, y0, x0 + G.COUNTY_W, y0 + G.COUNTY_H
+            )
+            areas[k] = abs(shoelace_area(clipped)) if len(clipped) else 0.0
+        return pa.table(
+            {
+                "county_fips": pa.array(fips, pa.string()),
+                "overlap_area": pa.array(snap_binary(areas)),
+            }
+        )
+
+    return ds.map_batches(overlap, batch_format="pyarrow")
+
+
 def q_county_geo_stats(sf_dir: str):
     """Geometry kernels (shoelace area/centroid over WKB) vs the grid
     arithmetic the county layer was constructed from (M1–M3 parity)."""
@@ -3449,6 +3491,7 @@ def ensure_generated_oracles() -> None:
         ensure_kmeans_oracle,
         ensure_knn_idw_oracle,
         ensure_minhash_oracle,
+        ensure_overlap_oracle,
         ensure_ngram_oracle,
         ensure_grad_oracle,
         ensure_pip_jittered_oracle,
@@ -3473,6 +3516,7 @@ def ensure_generated_oracles() -> None:
     ensure_pq_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
+    ensure_overlap_oracle()
 
 
 def build_queries() -> dict:
@@ -3486,6 +3530,7 @@ def build_queries() -> dict:
         sql_cell_index,
         sql_county_clip_stats,
         sql_county_gradient,
+        sql_county_overlap,
         sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
@@ -3535,7 +3580,6 @@ def build_queries() -> dict:
         "heavy_hitter_keys": (q_heavy_hitter_keys, _SQL_HEAVY_HITTERS),
         "county_top3_tiles": (q_county_top3_tiles, _sql_county_top3(_N_ORACLE)),
         "type_distinct_users": (q_type_distinct_users, _SQL_TYPE_DISTINCT_USERS),
-        "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
         # bloom / sampling / tf-idf / graph family (new in round 3)
         "bloom_semi_join": (q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
@@ -3564,6 +3608,7 @@ def build_queries() -> dict:
             sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
         ),
         "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
+        "county_overlap": (q_county_overlap, sql_county_overlap()),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
@@ -3655,6 +3700,9 @@ def build_queries() -> dict:
         #                             _monthly_partials and the SAME SQL
         #                             oracle over the full table; r3-new
         #                             but builder-gate green)
+        #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
+        #                             the same _county_fmt_counts pivot
+        #                             partials; r3-new, builder-green)
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
@@ -3662,6 +3710,7 @@ def build_queries() -> dict:
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
+        "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

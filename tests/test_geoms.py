@@ -101,3 +101,38 @@ def test_geometry_stats_batch_on_counties():
         # centroids stay inside the domain
         assert out.centroid_lon.between(-91.5, -87.5).all()
         assert out.centroid_lat.between(37.0, 42.5).all()
+
+
+def test_clip_ring_to_box_properties():
+    """Sutherland–Hodgman clip: exact on closed-form cases, bounded by
+    both operands, identity when fully inside, empty when disjoint."""
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=np.float64)
+
+    # identity: box contains ring
+    out = geoms.clip_ring_to_box(sq, -1, -1, 3, 3)
+    assert abs(abs(geoms.shoelace_area(out)) - 4.0) < 1e-12
+    # disjoint
+    assert len(geoms.clip_ring_to_box(sq, 5, 5, 6, 6)) == 0
+    # half overlap: unit strip
+    out = geoms.clip_ring_to_box(sq, 1, 0, 3, 2)
+    assert abs(abs(geoms.shoelace_area(out)) - 2.0) < 1e-12
+    # diamond ∩ unit corner box: the triangle (1,0)-(1,1)-(0,1), area 0.5
+    dia = np.array([[1, 0], [2, 1], [1, 2], [0, 1], [1, 0]], dtype=np.float64)
+    out = geoms.clip_ring_to_box(dia, 0.0, 0.0, 1.0, 1.0)
+    assert abs(abs(geoms.shoelace_area(out)) - 0.5) < 1e-12
+    # box fully inside the diamond (corners on its boundary) → the box
+    out = geoms.clip_ring_to_box(dia, 0.5, 0.5, 1.5, 1.5)
+    assert abs(abs(geoms.shoelace_area(out)) - 1.0) < 1e-12
+
+    # random convex quads vs a fixed box: area bounded by both operands
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        c = rng.uniform(0.5, 1.5, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+        r = rng.uniform(0.3, 1.2, 4)
+        quad = np.c_[c[0] + r * np.cos(ang), c[1] + r * np.sin(ang)]
+        quad = np.vstack([quad, quad[:1]])
+        out = geoms.clip_ring_to_box(quad, 0.0, 0.0, 2.0, 2.0)
+        a = abs(geoms.shoelace_area(out)) if len(out) else 0.0
+        assert a <= abs(geoms.shoelace_area(quad)) + 1e-12
+        assert a <= 4.0 + 1e-12
