@@ -180,10 +180,16 @@ def buffer_convex(ring: np.ndarray, dist_deg: float) -> np.ndarray:
 def clip_ring_to_box(
     ring: np.ndarray, x0: float, y0: float, x1: float, y1: float
 ) -> np.ndarray:
-    """Sutherland–Hodgman clip of a closed simple ring to an axis-
+    """Sutherland–Hodgman clip of a closed CONVEX ring to an axis-
     aligned box: four successive half-plane passes, each keeping inside
     vertices and inserting edge/boundary intersections.  Returns a
     CLOSED ring (first point repeated) or an empty (0, 2) array.
+
+    Area-exact for convex subjects (the jittered county quads are
+    convex by construction — corner jitter < half a cell keeps every
+    vertex outside the opposite diagonal); a CONCAVE subject that exits
+    and re-enters the box can pick up same-orientation overlapping
+    boundary bridges and over-count area — don't use it for those.
 
     The verification twin (pipelines/oracles.ensure_overlap_oracle)
     computes the same region by an independent construction — candidate
