@@ -59,7 +59,11 @@ def merge_with_state(state_dir: str, delta_partials, keys: list[str],
     state = ray.data.read_parquet(state_dir, columns=cols)
 
     def project(b: pa.Table) -> pa.Table:
-        return b.select(cols)
+        # metadata-free so the union's shuffle-concat schema dedup keeps
+        # its fast path (pandas footer dicts are unhashable)
+        return b.select(cols).replace_schema_metadata(None)
 
-    merged = state.union(delta_partials.map_batches(project, batch_format="pyarrow"))
+    merged = state.map_batches(project, batch_format="pyarrow").union(
+        delta_partials.map_batches(project, batch_format="pyarrow")
+    )
     return combine_partials(merged, keys, [Sum(c, alias_name=c) for c in sum_cols])
