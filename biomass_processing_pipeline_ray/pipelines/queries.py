@@ -2967,7 +2967,7 @@ def q_knn_pagerank(sf_dir: str):
     mirror."""
     import ray.data as rd
 
-    from ..stages.graph import pagerank
+    from ..stages.graph import pagerank_auto
 
     edges = q_knn_edges(sf_dir)
 
@@ -2980,7 +2980,7 @@ def q_knn_pagerank(sf_dir: str):
         return pa.table({"node": pa.array(np.asarray(b["id"], dtype=np.int64))})
 
     nodes = rd.range(n).map_batches(node_col, batch_format="pyarrow")
-    pr = pagerank(
+    pr = pagerank_auto(
         edges.map_batches(e, batch_format="pyarrow"),
         nodes,
         iters=3,
@@ -2988,6 +2988,10 @@ def q_knn_pagerank(sf_dir: str):
         teleport=0.15,
         out_deg=8,
     )
+    if isinstance(pr, pd.DataFrame):  # broadcast fast path (small universe)
+        return pd.DataFrame(
+            {"tile_id": pr["node"].to_numpy(), "pagerank": pr["rank"].to_numpy()}
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({"tile_id": b["node"], "pagerank": b["rank"]})

@@ -143,3 +143,89 @@ def pagerank(edges, nodes, src: str = "src", dst: str = "dst",
         return pa.table({"node": b["key"], "rank": b["r"]})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+# broadcast-rank threshold: ids + ranks = 16 B/node, 4M nodes = 64 MB —
+# comfortably ray.put-able; beyond this the co-partitioned exchange
+# path above is the design (a 10⁹-node rank vector cannot broadcast).
+BROADCAST_NODE_LIMIT = 4_000_000
+
+
+def pagerank_broadcast(edges, node_ids: np.ndarray, src: str = "src",
+                       dst: str = "dst", iters: int = 3,
+                       damping: float = 0.85, teleport: float = 0.15,
+                       out_deg: int = 8, nb: int = 64):
+    """Broadcast-rank power iteration — bit-identical to :func:`pagerank`
+    (same snapped contributions, same op order), ONE bounded exchange
+    per iteration instead of two:
+
+    - the rank vector rides to every edge task via ``ray.put`` (no
+      rank-side shuffle for the src join);
+    - each edge batch pre-sums snapped contributions per ``dst``
+      (combiner — lattice sums are order-free exact), so the single
+      grouped aggregate moves ≤ distinct-dst rows per batch;
+    - the node-sized aggregate lands on the driver (bounded by the same
+      broadcast threshold) where the damping update is one vector op.
+
+    Valid while the rank vector fits ``BROADCAST_NODE_LIMIT``; the
+    caller (:func:`pagerank_auto`) switches paths on node count.
+    """
+    import ray
+
+    from .zonal import bucketed_agg
+
+    node_ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+    ids_ref = ray.put(node_ids)
+    deg = float(out_deg)
+    r = np.ones(len(node_ids), dtype=np.float64)
+
+    edges_only = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.array(b[src].to_numpy().astype(np.int64)),
+                "dst": pa.array(b[dst].to_numpy().astype(np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def contribute(b: pa.Table, _r=r_ref) -> pd.DataFrame:
+            ids = ray.get(ids_ref)
+            rv = ray.get(_r)
+            s = b["src"].to_numpy()
+            c = snap_binary(rv[np.searchsorted(ids, s)] / deg)
+            g = (
+                pd.DataFrame({"key": b["dst"].to_numpy(), "c": c})
+                .groupby("key", as_index=False)["c"]
+                .sum()
+            )
+            return g
+
+        agg = bucketed_agg(
+            edges_only.map_batches(contribute, batch_format="pyarrow"),
+            ["key"],
+            {"c": ("c", "sum")},
+            nb=nb,
+        ).to_pandas()
+        s = (
+            agg.set_index("key")["c"].reindex(node_ids).fillna(0.0).to_numpy()
+        )
+        r = snap_binary(teleport + damping * s)
+
+    return pd.DataFrame({"node": node_ids, "rank": r})
+
+
+def pagerank_auto(edges, nodes, **kw):
+    """Dispatch: broadcast-rank fast path when the node universe fits
+    the broadcast budget, co-partitioned exchanges otherwise.  Both
+    paths are hash-identical (pytest-asserted)."""
+    n = nodes.count()
+    if n <= BROADCAST_NODE_LIMIT:
+        ids = np.asarray(
+            nodes.to_pandas()["node"].to_numpy(), dtype=np.int64
+        )
+        return pagerank_broadcast(edges, ids, **kw)
+    return pagerank(edges, nodes, **kw)

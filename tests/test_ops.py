@@ -1145,3 +1145,38 @@ def test_grouped_topk_vs_pandas(rd, ray_session):
     assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
     assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+
+
+def test_pagerank_broadcast_equals_copartitioned(rd, ray_session):
+    """The broadcast-rank fast path and the co-partitioned exchange
+    path must be bit-identical (same snapped sums, different dataflow)."""
+    from biomass_processing_pipeline_ray.stages.graph import (
+        pagerank,
+        pagerank_broadcast,
+    )
+
+    rng = np.random.default_rng(13)
+    n, k = 500, 4
+    dst = np.array([
+        rng.choice(np.setdiff1d(np.arange(n), [s]), size=k, replace=False)
+        for s in range(n)
+    ])
+    edges = pd.DataFrame(
+        {
+            "src": np.repeat(np.arange(n, dtype=np.int64), k),
+            "dst": dst.ravel().astype(np.int64),
+        }
+    )
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    a = (
+        pagerank(rd.from_pandas(edges), rd.from_pandas(nodes), iters=3,
+                 out_deg=k)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = pagerank_broadcast(
+        rd.from_pandas(edges), nodes["node"].to_numpy(), iters=3, out_deg=k
+    ).sort_values("node").reset_index(drop=True)
+    assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()  # bitwise
