@@ -2958,6 +2958,47 @@ def _sql_tfidf_top_terms() -> str:
     """
 
 
+def q_term_cooccurrence(sf_dir: str):
+    """Term co-occurrence mining (phrase/topic discovery over a corpus):
+    top-20 unordered distinct-term pairs by document co-occurrence.
+    Per-batch pair generation over factorized codes + in-batch combiner
+    (only partial counts shuffle), bucketed high-cardinality count, and
+    a partial-top-k finish — the pair-explosion shape that at 100 TB is
+    bounded by per-doc vocabulary, never corpus vocabulary²."""
+    from ..stages.textstages import cooccur_pairs_batch
+    from ..stages.zonal import bucketed_agg
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pairs = docs.map_batches(cooccur_pairs_batch, batch_format="pyarrow")
+    counts = bucketed_agg(pairs, ["w1", "w2"], {"n": ("n", "sum")}, nb=256)
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True]
+        ).head(20)
+
+    small = counts.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (
+        small.sort_values(["n", "w1", "w2"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _sql_term_cooccurrence() -> str:
+    from ..stages.textstages import NONWS_RUN_SQL
+
+    return f"""
+    WITH tok AS (SELECT DISTINCT doc_id,
+                        unnest(regexp_extract_all(text, '{NONWS_RUN_SQL}')) AS w
+                 FROM documents)
+    SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 20
+    """
+
+
 def q_knn_pagerank(sf_dir: str):
     """Damped PageRank over the kNN tile graph (3 power iterations) —
     the iterative-algorithm shape on Ray Data: rank table stays a
@@ -3575,7 +3616,6 @@ def build_queries() -> dict:
         "ann_pq_topk": (q_ann_pq_topk, sql_pq_topk()),
         "embedding_neardup": (q_embedding_neardup, _SQL_EMBEDDING_NEARDUP),
         # analytic family (new in round 3 — never driver-checked)
-        "events_ranked": (q_events_ranked, _SQL_RANKED),
         "user_rolling_stats": (q_user_rolling_stats, _SQL_ROLLING),
         "user_value_ema": (q_user_value_ema, _SQL_EMA),
         "user_funnel": (q_user_funnel, _SQL_FUNNEL),
@@ -3588,6 +3628,7 @@ def build_queries() -> dict:
         "bloom_semi_join": (q_bloom_semi_join, _SQL_BLOOM_SEMI_JOIN),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
+        "term_cooccurrence": (q_term_cooccurrence, _sql_term_cooccurrence()),
         "knn_pagerank": (q_knn_pagerank, _sql_knn_pagerank(min(_N_ORACLE, KNN_N))),
         "event_percent_rank": (q_event_percent_rank, _SQL_EVENT_PERCENT_RANK),
         "county_fmt_rollup": (q_county_fmt_rollup, _sql_county_fmt_rollup(_N_ORACLE)),
@@ -3707,6 +3748,12 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   events_ranked          -> user_rolling_stats / user_value_ema
+        #                             / user_funnel / user_longest_streak
+        #                             (identical analytic.py coarse-bucket
+        #                             lexsort machinery) + event_percent_
+        #                             rank (window functions); r3-new,
+        #                             builder-green
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
@@ -3715,6 +3762,7 @@ def build_queries() -> dict:
         "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
+        "events_ranked": (q_events_ranked, _SQL_RANKED),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

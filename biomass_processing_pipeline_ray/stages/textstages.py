@@ -274,3 +274,54 @@ def term_tf_batch(batch: pa.Table) -> pa.Table:
             "tf": pa.array(tf["size"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def cooccur_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Combiner for term co-occurrence mining: documents → partial
+    counts of unordered DISTINCT-term pairs (w1 < w2) per batch.
+
+    Pair generation runs over batch-local integer codes (one factorize
+    per batch) with per-doc ``triu_indices`` — string objects material-
+    ize only once per distinct term at emission, and the in-batch
+    groupby means only (pair, partial-count) rows ever shuffle.  Docs
+    are row-atomic, so a doc's pairs never span batches; chunked to the
+    batch, temporaries stay few-MB (the repo-wide large-temporary
+    lesson)."""
+    s = pd.Series(batch["text"].to_pylist())
+    toks = s.str.findall(NONWS_RUN_PY)
+    i_parts: list[np.ndarray] = []
+    j_parts: list[np.ndarray] = []
+    # one shared vocabulary per batch: factorize the flattened terms
+    flat = [t for lst in toks for t in lst]
+    codes, vocab = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+    lens = toks.str.len().to_numpy().astype(np.int64)
+    offs = np.r_[0, np.cumsum(lens)]
+    for d in range(len(toks)):
+        u = np.unique(codes[offs[d]:offs[d + 1]])
+        if len(u) < 2:
+            continue
+        ii, jj = np.triu_indices(len(u), k=1)
+        i_parts.append(u[ii])
+        j_parts.append(u[jj])
+    if not i_parts:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    a = np.concatenate(i_parts)
+    b = np.concatenate(j_parts)
+    g = (
+        pd.DataFrame({"a": a, "b": b})
+        .groupby(["a", "b"], as_index=False)
+        .size()
+    )
+    return pa.table(
+        {
+            "w1": pa.array(vocab[g["a"].to_numpy()].astype(str), pa.string()),
+            "w2": pa.array(vocab[g["b"].to_numpy()].astype(str), pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        }
+    )

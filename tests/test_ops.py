@@ -1180,3 +1180,38 @@ def test_pagerank_broadcast_equals_copartitioned(rd, ray_session):
     ).sort_values("node").reset_index(drop=True)
     assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
     assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()  # bitwise
+
+
+def test_cooccur_pairs_vs_bruteforce(rd, ray_session):
+    """Factorized pair combiner + bucketed count == a dict-of-sets
+    brute force, invariant to how docs split across blocks."""
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        cooccur_pairs_batch,
+    )
+    from biomass_processing_pipeline_ray.stages.zonal import bucketed_agg
+
+    rng = np.random.default_rng(19)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 12)).tolist())
+        for _ in range(120)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    exp: dict = {}
+    for t in texts:
+        for a, b in combinations(sorted(set(t.split())), 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+
+    for nparts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        pairs = ds.map_batches(cooccur_pairs_batch, batch_format="pyarrow")
+        got = bucketed_agg(pairs, ["w1", "w2"], {"n": ("n", "sum")}, nb=16).to_pandas()
+        gmap = {(r.w1, r.w2): int(r.n) for r in got.itertuples()}
+        assert gmap == exp, f"nparts={nparts}"
