@@ -2895,18 +2895,20 @@ def q_tfidf_top_terms(sf_dir: str):
             }
         )
 
-    def join_df(g: pd.DataFrame) -> pd.DataFrame:
+    def join_df(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow out: empty buckets otherwise emit schema-less
+        # pandas blocks (RefBundle schema-warning spam, dedup.py pattern)
         dmap = g[g["side"] == 1].set_index("term")["df"]
         t = g[g["side"] == 0]
         dfv = dmap.reindex(t["term"]).to_numpy(np.int64)
         tfv = t["tf"].to_numpy(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": t["doc_id"].to_numpy(np.int64),
-                "term": t["term"].to_numpy(object),
-                "tf": tfv,
-                "df": dfv,
-                "score": (tfv * n_docs) // dfv,
+                "doc_id": pa.array(t["doc_id"].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(t["term"].astype(str), pa.string()),
+                "tf": pa.array(tfv, pa.int64()),
+                "df": pa.array(dfv, pa.int64()),
+                "score": pa.array((tfv * n_docs) // dfv, pa.int64()),
             }
         )
 
@@ -2924,11 +2926,18 @@ def q_tfidf_top_terms(sf_dir: str):
         )
         return b
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
+    def top1(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
-        return g.groupby("doc_id", as_index=False).head(1)[
-            ["doc_id", "term", "tf", "df", "score"]
-        ]
+        g = g.groupby("doc_id", as_index=False).head(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(g["term"].astype(str), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(g["df"].to_numpy(np.int64), pa.int64()),
+                "score": pa.array(g["score"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
     return (
         scored.map_batches(add_doc_bk, batch_format="pandas")

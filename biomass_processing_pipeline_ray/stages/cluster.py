@@ -146,7 +146,11 @@ def connected_components(
                     ),
                 }
             )
-            return out
+            # metadata-free typed Arrow: pandas-footer schemas are
+            # unhashable and break shuffle-concat schema dedup
+            return pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
 
         state = (
             state.map_batches(bucketed, batch_format="pyarrow")
