@@ -2647,6 +2647,69 @@ KMEANS_K = 8
 KMEANS_ITERS = 4
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (list-column aggregation surface):
+    distributed vector mean via per-batch matrix partial sums
+    (``np.add.at`` over label groups — one combiner row per label per
+    batch carries the WHOLE vector as 64 (label, dim) rows), merged by
+    a bounded grouped sum.  Elements snap to the lattice after the
+    exact float32→float64 widening, so parallel partials equal DuckDB's
+    positional-unnest re-summation bit-for-bit."""
+    ds = _tbl(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy().astype(np.int64)
+        emb = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        emb = snap_binary(emb)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = emb.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    g = _grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"s": "s", "n": "n"},
+        None,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy()
+        n = b["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "label": b["label"],
+                "dim": b["dim"],
+                "centroid": pa.array(s / n, pa.float64()),
+                "n": b["n"],
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_LABEL_CENTROIDS = f"""
+    WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                      CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+                      {sql_snap('CAST(unnest(embedding) AS DOUBLE)')} AS v
+               FROM embeddings)
+    SELECT label, dim, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, dim
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed fixed-round Lloyd k-means over the full embeddings
     table (the at-scale IVF trainer: per-batch combiner partials +
@@ -3652,15 +3715,12 @@ def build_queries() -> dict:
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
         "county_gradient": (q_county_gradient, sql_county_gradient(_N_ORACLE)),
-        "caption_pair_jaccard": (
-            q_caption_pair_jaccard,
-            _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
-        ),
         "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
         "kmeans_embeddings": (
             q_kmeans_embeddings,
             sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
         ),
+        "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
         "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
         "county_overlap": (q_county_overlap, sql_county_overlap()),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
@@ -3757,6 +3817,11 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   caption_pair_jaccard   -> image_dup_clusters (same banded-
+        #                             Hamming pair base) + tfidf_top_
+        #                             terms / term_cooccurrence (same
+        #                             ASCII tokenization); r3-new,
+        #                             builder-green
         #   events_ranked          -> user_rolling_stats / user_value_ema
         #                             / user_funnel / user_longest_streak
         #                             (identical analytic.py coarse-bucket
@@ -3772,6 +3837,10 @@ def build_queries() -> dict:
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
         "events_ranked": (q_events_ranked, _SQL_RANKED),
+        "caption_pair_jaccard": (
+            q_caption_pair_jaccard,
+            _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
+        ),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),

@@ -1215,3 +1215,36 @@ def test_cooccur_pairs_vs_bruteforce(rd, ray_session):
         got = bucketed_agg(pairs, ["w1", "w2"], {"n": ("n", "sum")}, nb=16).to_pandas()
         gmap = {(r.w1, r.w2): int(r.n) for r in got.itertuples()}
         assert gmap == exp, f"nparts={nparts}"
+
+
+def test_label_centroids_partition_invariant(rd, ray_session):
+    """Distributed per-label vector mean is bit-identical across block
+    layouts and equals the single-pass numpy mean of snapped vectors."""
+    from biomass_processing_pipeline_ray.pipelines.queries import q_label_centroids
+
+    outs = []
+    for _ in range(2):
+        outs.append(
+            q_label_centroids("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+
+    import pyarrow.parquet as pq
+
+    from biomass_processing_pipeline_ray.functions.rounding import snap_binary
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["label", "embedding"])
+    lab = t["label"].to_numpy().astype(np.int64)
+    emb = snap_binary(
+        np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    )
+    got = outs[0]
+    for L in np.unique(lab):
+        m = emb[lab == L]
+        exp = m.sum(axis=0) / float(len(m))
+        g = got[got["label"] == L].sort_values("dim")["centroid"].to_numpy()
+        assert np.array_equal(g, exp)  # bitwise: lattice sums are order-free
