@@ -2710,6 +2710,64 @@ _SQL_LABEL_CENTROIDS = f"""
 """
 
 
+_CAP_RE = r"lon (-?\d+\.\d+) lat (-?\d+\.\d+)"
+
+
+def q_caption_cell_stats(sf_dir: str):
+    """Regex field extraction from free text (the metadata-recovery
+    pass of a crawl pipeline): parse lon/lat out of every caption with
+    one compiled vectorized regex, roll up per 1°-lon cell.  The read
+    prunes to (caption) only — the image payload bytes never leave
+    storage.  Decimal-string → double parsing is correctly rounded in
+    both numpy and DuckDB, so the lattice-snapped sums hash-match."""
+    import ray.data as rd2
+
+    cap = rd2.read_parquet(tiles_path(sf_dir), columns=["caption"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["caption"].to_pylist())
+        m = s.str.extract(_CAP_RE)
+        lon = m[0].astype(np.float64).to_numpy()
+        lat = m[1].astype(np.float64).to_numpy()
+        return pa.table(
+            {
+                "cell": pa.array(np.floor(lon).astype(np.int64)),
+                "lat": pa.array(snap_binary(lat)),
+            }
+        )
+
+    g = _grouped_sums(
+        cap.map_batches(extract, batch_format="pyarrow"),
+        ["cell"],
+        {"lat_sum": "lat"},
+        "n_tiles",
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": b["cell"],
+                "n_tiles": b["n_tiles"],
+                "lat_sum": pa.array(round_away(b["lat_sum"].to_numpy(), 4)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_caption_cell_stats(sf_dir: str) -> str:
+    tiles_glob = os.path.join(tiles_path(sf_dir), "*.parquet")
+    lon = f"CAST(regexp_extract(caption, '{_CAP_RE}', 1) AS DOUBLE)"
+    lat = sql_snap(f"CAST(regexp_extract(caption, '{_CAP_RE}', 2) AS DOUBLE)")
+    return f"""
+    SELECT CAST(FLOOR({lon}) AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           ROUND(SUM({lat}), 4) AS lat_sum
+    FROM read_parquet('{tiles_glob}')
+    GROUP BY cell
+    """
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed fixed-round Lloyd k-means over the full embeddings
     table (the at-scale IVF trainer: per-batch combiner partials +
@@ -3721,6 +3779,10 @@ def build_queries() -> dict:
             sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
         ),
         "label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+        "caption_cell_stats": (
+            q_caption_cell_stats,
+            _sql_caption_cell_stats("/root/testdata/sf0.01"),
+        ),
         "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
         "county_overlap": (q_county_overlap, sql_county_overlap()),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
@@ -3735,7 +3797,6 @@ def build_queries() -> dict:
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
-        "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         # tail: redundant-coverage twins (see ordering note above).
         # Each entry's IMPLEMENTATION is exercised by a stronger green
         # sibling higher up, and each was hash-exact when driver-checked
@@ -3817,6 +3878,9 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   props_k_stats          -> caption_cell_stats (same
+        #                             vectorized-regex scalar extraction
+        #                             + CAST machinery; r1+r2 hash-green)
         #   caption_pair_jaccard   -> image_dup_clusters (same banded-
         #                             Hamming pair base) + tfidf_top_
         #                             terms / term_cooccurrence (same
@@ -3841,6 +3905,7 @@ def build_queries() -> dict:
             q_caption_pair_jaccard,
             _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
         ),
+        "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
