@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "county_gradient",
     "county_top3_tiles",
     "type_distinct_users",
+    "user_funnel",
+    "term_cooccurrence",
+    "label_centroids",
 ]
 
 
