@@ -2037,6 +2037,124 @@ def _sql_corpus_dedup_keep() -> str:
     """
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end training-corpus curation in one composed pipeline:
+    quality gate (score > 12) → language-label agreement → exact dedup
+    (keep lowest doc_id per text) → near-dup drop (MinHash b-side) →
+    per-source kept-doc count + BPE token budget.  Per-doc features
+    come from ONE scan; the keeper set joins by co-partitioned doc-id
+    buckets (doc-sized, never broadcast); only the near-dup DROP set —
+    tiny by construction — broadcasts.  This is the curation run a
+    100 TB pretraining corpus actually executes."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+    from ..stages.textstages import (
+        langid_batch,
+        quality_batch,
+        token_count_batch,
+    )
+
+    docs = _tbl(
+        sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    drop = np.asarray(
+        sorted(
+            minhash_lsh_pairs(
+                _tbl(sf_dir, "documents", ["doc_id", "text"]),
+                _tbl(sf_dir, "documents", ["doc_id", "text"]),
+                threshold=0.7,
+            ).unique("b")
+        ),
+        dtype=np.int64,
+    )
+    nb = 64
+
+    def features(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        lg = langid_batch(b)
+        t = token_count_batch(b)
+        keep = pc.and_(
+            pc.greater(q["quality_score"], 12.0), lg["lang_match"]
+        )
+        keep = pc.and_(
+            keep, pc.invert(pc.is_in(b["doc_id"], pa.array(drop, pa.int64())))
+        )
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "tok": t["n_bpe_tokens"],
+                "keep": keep,
+                "side": pa.array(np.zeros(len(ids), np.int8)),
+                "bk": pa.array(ids % nb),
+            }
+        )
+
+    kept = exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+    def tag_kept(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": pa.array([""] * n, pa.string()),
+                "tok": pa.array(np.zeros(n, np.int64)),
+                "keep": pa.array(np.ones(n, bool)),
+                "side": pa.array(np.ones(n, np.int8)),
+                "bk": pa.array(ids % nb),
+            }
+        )
+
+    merged = docs.map_batches(features, batch_format="pyarrow").union(
+        kept.map_batches(tag_kept, batch_format="pyarrow")
+    )
+
+    def semi(g: pd.DataFrame) -> pa.Table:
+        keepers = g.loc[g["side"] == 1, "doc_id"].to_numpy()
+        f = g[(g["side"] == 0) & g["keep"]]
+        f = f[np.isin(f["doc_id"].to_numpy(), keepers)]
+        p = f.groupby("source", as_index=False).agg(
+            n_docs=("tok", "size"), tok_sum=("tok", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(p["source"].astype(str), pa.string()),
+                "n_docs": pa.array(p["n_docs"].to_numpy(np.int64)),
+                "tok_sum": pa.array(p["tok_sum"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = merged.groupby("bk").map_groups(semi, batch_format="pandas")
+    return _grouped_sums(
+        partials, ["source"], {"tok_sum": "tok_sum", "n_docs": "n_docs"}, None
+    )
+
+
+def _sql_corpus_curation() -> str:
+    from ..stages.textstages import sql_langid, sql_quality, sql_token_counts
+    from .oracles import minhash_oracle_path
+
+    return f"""
+    WITH q AS ({sql_quality()}),
+         l AS ({sql_langid()}),
+         t AS ({sql_token_counts()}),
+         keepers AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+                     FROM documents GROUP BY text)
+    SELECT d.source, CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS tok_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN t USING (doc_id)
+    JOIN keepers USING (doc_id)
+    WHERE q.quality_score > 12.0 AND l.lang_match
+      AND d.doc_id NOT IN (SELECT b FROM read_parquet('{minhash_oracle_path()}'))
+    GROUP BY d.source
+    """
+
+
 def q_fingerprints(sf_dir: str):
     from ..stages.textstages import fingerprint_batch
 
@@ -3767,7 +3885,6 @@ def build_queries() -> dict:
             q_monthly_stats_incremental,
             _SQL_MONTHLY_ORDER_STATS,  # IVM claim: delta merge == one-shot
         ),
-        "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         "orders_table_diff": (q_orders_table_diff, _SQL_TABLE_DIFF),
         # cluster + sketch family (new in round 3 — never driver-checked)
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
@@ -3783,6 +3900,7 @@ def build_queries() -> dict:
             q_caption_cell_stats,
             _sql_caption_cell_stats("/root/testdata/sf0.01"),
         ),
+        "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
         "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
         "county_overlap": (q_county_overlap, sql_county_overlap()),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
@@ -3878,6 +3996,11 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   orders_checksum        -> orders_table_diff (same per-row
+        #                             integer hash + bucket-signature
+        #                             machinery, diff is the superset;
+        #                             r3-new, builder-green; change-
+        #                             sensitivity pytest stays)
         #   props_k_stats          -> caption_cell_stats (same
         #                             vectorized-regex scalar extraction
         #                             + CAST machinery; r1+r2 hash-green)
@@ -3906,6 +4029,7 @@ def build_queries() -> dict:
             _sql_caption_pair_jaccard("/root/testdata/sf0.01"),
         ),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
+        "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
