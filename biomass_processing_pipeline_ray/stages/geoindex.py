@@ -129,6 +129,138 @@ def write_spatial_store(ds, out_dir: str, level: int = 8) -> str:
     return out_dir
 
 
+def _refresh_manifest(out_dir: str, touched: set[str]) -> None:
+    """Rewrite the manifest with refreshed zone maps for ``touched``
+    partitions (footer reads only), keeping untouched rows as-is.
+    Atomic via tmp + ``os.replace``."""
+    old = pq.read_table(os.path.join(out_dir, MANIFEST)).to_pandas()
+    keep = old[~old["s2_part"].isin(touched)]
+    dirs = sorted(f"s2_part={p}" for p in touched)
+    rows = _footer_bboxes(dirs, out_dir)
+    manifest = pa.table(
+        {
+            "s2_part": pa.array(
+                list(keep["s2_part"]) + [r[0] for r in rows], pa.string()
+            ),
+            "min_lon": pa.array(
+                list(keep["min_lon"]) + [r[1] for r in rows], pa.float64()
+            ),
+            "min_lat": pa.array(
+                list(keep["min_lat"]) + [r[2] for r in rows], pa.float64()
+            ),
+            "max_lon": pa.array(
+                list(keep["max_lon"]) + [r[3] for r in rows], pa.float64()
+            ),
+            "max_lat": pa.array(
+                list(keep["max_lat"]) + [r[4] for r in rows], pa.float64()
+            ),
+            "files": pa.array(
+                [list(f) for f in keep["files"]] + [r[5] for r in rows],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    tmp = os.path.join(out_dir, f"{MANIFEST}.tmp.{os.getpid()}")
+    pq.write_table(manifest, tmp)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+
+
+def append_to_store(ds, out_dir: str, level: int = 8) -> list[str]:
+    """Append a delta dataset into an EXISTING store: delta rows write
+    to a staging dir partitioned the same way, each staged file moves
+    into its partition under a unique name, and the manifest refreshes
+    zone maps for exactly the touched partitions.  Readers are correct
+    throughout: the manifest swap is atomic, and until it lands they
+    simply don't see the new files (manifest-planned reads never list
+    directories).  Returns the touched partition keys."""
+    import shutil
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "s2_part", _part_col(b["lon"].to_numpy(), b["lat"].to_numpy(), level)
+        )
+
+    stage = f"{out_dir}.delta.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        stage, partition_cols=["s2_part"]
+    )
+    touched: set[str] = set()
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith("s2_part="):
+            continue
+        part_dir = os.path.join(out_dir, entry)
+        os.makedirs(part_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(stage, entry)))):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage, entry, f),
+                    os.path.join(part_dir, f"delta-{os.getpid()}-{i}-{f}"),
+                )
+        touched.add(entry.split("=", 1)[1])
+    shutil.rmtree(stage, ignore_errors=True)
+    # brand-new partitions need manifest rows too; _refresh_manifest
+    # handles both (it drops any old row for a touched key)
+    _refresh_manifest(out_dir, touched)
+    return sorted(touched)
+
+
+def _compact_one(part_dir: str, files: list[str]) -> list[str]:
+    """Merge a partition's files into one, sorted by tile id when
+    present (restores clustering after appends).  New file lands under
+    a unique name before the old ones unlink."""
+    tables = [pq.read_table(os.path.join(part_dir, f)) for f in files]
+    merged = pa.concat_tables(tables, promote_options="default")
+    for idc in ("tile_id", "image_id", "vec_id"):
+        if idc in merged.column_names:
+            merged = merged.sort_by(idc)
+            break
+    out_name = f"compact-{os.getpid()}.parquet"
+    pq.write_table(merged, os.path.join(part_dir, out_name))
+    for f in files:
+        os.remove(os.path.join(part_dir, f))
+    return [out_name]
+
+
+def compact_store(out_dir: str) -> int:
+    """Compact every multi-file partition to a single sorted file and
+    refresh the manifest — the LSM-style maintenance pass that keeps
+    read amplification bounded after many delta appends.  Partitions
+    compact in parallel (``ray.remote`` per partition); zone maps are
+    unchanged by construction but re-derived from the new footers
+    anyway (cheap, and keeps one code path).  Returns the number of
+    partitions compacted."""
+    m = pq.read_table(os.path.join(out_dir, MANIFEST)).to_pandas()
+    todo = [
+        (str(r["s2_part"]), list(r["files"]))
+        for _, r in m.iterrows()
+        if len(r["files"]) > 1
+    ]
+    if not todo:
+        return 0
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(todo) > 1:
+        import ray
+
+        fn = ray.remote(_compact_one)
+        ray.get(
+            [
+                fn.remote(os.path.join(out_dir, f"s2_part={p}"), files)
+                for p, files in todo
+            ]
+        )
+    else:
+        for p, files in todo:
+            _compact_one(os.path.join(out_dir, f"s2_part={p}"), files)
+    _refresh_manifest(out_dir, {p for p, _ in todo})
+    return len(todo)
+
+
 def read_spatial_store(out_dir: str, bbox, columns=None):
     """Dataset over ONLY the partitions whose zone map intersects
     ``bbox = (min_lon, min_lat, max_lon, max_lat)``."""

@@ -1248,3 +1248,69 @@ def test_label_centroids_partition_invariant(rd, ray_session):
         exp = m.sum(axis=0) / float(len(m))
         g = got[got["label"] == L].sort_values("dim")["centroid"].to_numpy()
         assert np.array_equal(g, exp)  # bitwise: lattice sums are order-free
+
+
+def test_store_append_and_compact(rd, ray_session, tmp_path):
+    """Delta append lands in the right partitions (manifest-planned
+    reads see the new rows immediately), and compaction merges every
+    multi-file partition to one sorted file with identical query
+    results."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.stages.geoindex import (
+        MANIFEST,
+        append_to_store,
+        compact_store,
+        read_spatial_store,
+        write_spatial_store,
+    )
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    tbl = pa.table({"tile_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+    store = str(tmp_path / "geostore")
+    write_spatial_store(rd.from_arrow(tbl), store)
+
+    # delta: 300 more tiles, ids continue the universe
+    d_ids = np.arange(n, n + 300, dtype=np.int64)
+    d_lon, d_lat = G.derive_lonlat(d_ids)
+    delta = pa.table(
+        {"tile_id": pa.array(d_ids), "lon": pa.array(d_lon), "lat": pa.array(d_lat)}
+    )
+    touched = append_to_store(rd.from_arrow(delta), store)
+    assert touched  # some partitions were written
+
+    all_lon = np.r_[lon, d_lon]
+    all_lat = np.r_[lat, d_lat]
+    all_ids = np.r_[ids, d_ids]
+    bbox = (G.LON0 + 0.5, G.LAT0 + 0.5, G.LON0 + 2.5, G.LAT0 + 2.5)
+
+    def query():
+        got = read_spatial_store(store, bbox).to_pandas()
+        return set(
+            got[
+                (got.lon >= bbox[0]) & (got.lon <= bbox[2])
+                & (got.lat >= bbox[1]) & (got.lat <= bbox[3])
+            ].tile_id
+        )
+
+    exp = (
+        (all_lon >= bbox[0]) & (all_lon <= bbox[2])
+        & (all_lat >= bbox[1]) & (all_lat <= bbox[3])
+    )
+    before = query()
+    assert before == set(all_ids[exp])  # appended rows are visible
+
+    # appended partitions now hold >1 file; compaction merges them
+    m = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
+    assert (m["files"].str.len() > 1).any()
+    n_compacted = compact_store(store)
+    assert n_compacted > 0
+    m2 = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
+    assert (m2["files"].str.len() == 1).all()
+    assert query() == before  # identical results after compaction
+    assert compact_store(store) == 0  # idempotent: nothing left to do
