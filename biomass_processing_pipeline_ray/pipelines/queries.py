@@ -3419,18 +3419,25 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def tag_li(b: pa.Table) -> pa.Table:
-        n = len(b)
+        # combiner BEFORE the exchange: lineitem pre-aggregates
+        # (rev sum, item count) per order inside its own batch — the
+        # partial a 100 TB plan pushes below every shuffle (~4 items
+        # per order → 4× fewer exchanged rows; lattice sums exact)
         key = b["l_orderkey"].to_numpy()
         rev = snap_binary(
             b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
         )
+        uniq, inv = np.unique(key, return_inverse=True)
+        rev_p = np.bincount(inv, weights=rev, minlength=len(uniq))
+        n_p = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         return pa.table(
             {
-                "key": b["l_orderkey"],
-                "coarse": pa.array(key % N_COARSE),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "rev": pa.array(rev),
-                "cust": pa.array(np.zeros(n, dtype=np.int64)),
+                "key": pa.array(uniq, pa.int64()),
+                "coarse": pa.array(uniq % N_COARSE),
+                "side": pa.array(np.zeros(len(uniq), dtype=np.int8)),
+                "rev": pa.array(rev_p),
+                "n": pa.array(n_p),
+                "cust": pa.array(np.zeros(len(uniq), dtype=np.int64)),
             }
         )
 
@@ -3443,6 +3450,7 @@ def q_revenue_by_nation(sf_dir: str):
                 "coarse": pa.array(key % N_COARSE),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 "rev": pa.array(np.zeros(n)),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
                 "cust": pa.array(b["o_custkey"].to_numpy(), pa.int64()),
             }
         )
@@ -3453,10 +3461,10 @@ def q_revenue_by_nation(sf_dir: str):
 
     def join_bucket(g: pd.DataFrame) -> pa.Table:
         o = g.loc[g["side"] == 1, ["key", "cust"]]
-        l = g.loc[g["side"] == 0, ["key", "rev"]]
+        l = g.loc[g["side"] == 0, ["key", "rev", "n"]]
         m = o.merge(l, on="key", how="inner")
         out = m.groupby("cust", as_index=False).agg(
-            rev=("rev", "sum"), n=("rev", "size")
+            rev=("rev", "sum"), n=("n", "sum")
         )
         return pa.table(
             {
