@@ -3911,7 +3911,6 @@ def build_queries() -> dict:
         "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
         "hex_ring_smooth": (q_hex_ring_smooth, _sql_hex_ring_smooth(_N_ORACLE)),
         "county_overlap": (q_county_overlap, sql_county_overlap()),
-        "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
         "bbox_search_indexed": (q_bbox_search_indexed, _sql_bbox_search(_N_ORACLE)),
@@ -3919,6 +3918,7 @@ def build_queries() -> dict:
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         # relational family
         "orders_customer_join": (q_orders_customer_join, _SQL_ORDERS_CUSTOMER_JOIN),
+        "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         # stream-shaped family
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
@@ -4004,6 +4004,10 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   county_geo_stats       -> county_overlap (same wkb parse +
+        #                             shoelace machinery); validate/fix/
+        #                             centroid kernels pytest-covered
+        #                             (test_geoms); r1+r2 hash-green
         #   orders_checksum        -> orders_table_diff (same per-row
         #                             integer hash + bucket-signature
         #                             machinery, diff is the superset;
@@ -4028,7 +4032,6 @@ def build_queries() -> dict:
         "phash_neardup": (q_phash_neardup, sql_phash_neardup(_N_ORACLE)),
         "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
         "events_top100_sorted": (q_events_top100_sorted, _SQL_EVENTS_TOP100),
-        "top10_parts": (q_top10_parts, _SQL_TOP10_PARTS),
         "monthly_order_stats": (q_monthly_order_stats, _SQL_MONTHLY_ORDER_STATS),
         "county_fmt_pivot": (q_county_fmt_pivot, _sql_county_fmt_pivot(_N_ORACLE)),
         "events_ranked": (q_events_ranked, _SQL_RANKED),
@@ -4038,6 +4041,7 @@ def build_queries() -> dict:
         ),
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
+        "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
