@@ -159,3 +159,63 @@ def test_sliding_window_partial_invariants(seed):
     for w in out["window_id"].unique():
         lo, hi = w * HOP, w * HOP + WIDTH
         assert ((tsi >= lo) & (tsi < hi)).sum() > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_clip_area_matches_candidate_vertex_oracle(seed):
+    """Cross-validation property: Sutherland–Hodgman clipped area ==
+    the independent candidate-vertex + angular-ordering construction
+    (pipelines/oracles.py) on random convex quads × random boxes —
+    the two county_overlap implementations must agree everywhere, not
+    just on the fixture."""
+    import math
+
+    from biomass_processing_pipeline_ray.geo.geoms import (
+        clip_ring_to_box,
+        shoelace_area,
+    )
+    from biomass_processing_pipeline_ray.pipelines.oracles import (
+        _inside_convex,
+        _seg_crossings,
+    )
+
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-1.0, 3.0, 2)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+    rx, ry = rng.uniform(0.2, 1.5, 2)
+    ring = np.c_[c[0] + rx * np.cos(ang), c[1] + ry * np.sin(ang)]
+    ring = np.vstack([ring, ring[:1]])
+    x0, y0 = rng.uniform(-1.0, 2.0, 2)
+    x1 = x0 + rng.uniform(0.2, 2.0)
+    y1 = y0 + rng.uniform(0.2, 2.0)
+
+    out = clip_ring_to_box(ring, x0, y0, x1, y1)
+    a_sh = abs(shoelace_area(out)) if len(out) else 0.0
+
+    cand = []
+    for vx, vy in ring[:-1]:
+        if x0 - 1e-12 <= vx <= x1 + 1e-12 and y0 - 1e-12 <= vy <= y1 + 1e-12:
+            cand.append((min(max(vx, x0), x1), min(max(vy, y0), y1)))
+    for bx, by in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        if _inside_convex(bx, by, ring):
+            cand.append((bx, by))
+    cand.extend(_seg_crossings(ring, x0, y0, x1, y1))
+    uniq = []
+    for p in cand:
+        if not any(abs(p[0] - q[0]) < 1e-9 and abs(p[1] - q[1]) < 1e-9 for q in uniq):
+            uniq.append(p)
+    if len(uniq) < 3:
+        a_or = 0.0
+    else:
+        mx = sum(p[0] for p in uniq) / len(uniq)
+        my = sum(p[1] for p in uniq) / len(uniq)
+        uniq.sort(key=lambda p: math.atan2(p[1] - my, p[0] - mx))
+        terms = [
+            uniq[i][0] * uniq[(i + 1) % len(uniq)][1]
+            - uniq[(i + 1) % len(uniq)][0] * uniq[i][1]
+            for i in range(len(uniq))
+        ]
+        a_or = abs(math.fsum(terms) * 0.5)
+
+    assert abs(a_sh - a_or) < 1e-9
