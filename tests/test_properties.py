@@ -219,3 +219,21 @@ def test_clip_area_matches_candidate_vertex_oracle(seed):
         a_or = abs(math.fsum(terms) * 0.5)
 
     assert abs(a_sh - a_or) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_dhash_stack_bit_identical_to_scalar(seed):
+    """The int-sum grayscale batched dHash is bit-identical to the
+    per-image reference across random shapes (the 3.4× kernel rewrite
+    must never change a single hash bit — hashes feed the dedup gate)."""
+    from biomass_processing_pipeline_ray.image.phash import dhash, dhash_stack
+
+    rng = np.random.default_rng(seed)
+    b = int(rng.integers(1, 7))
+    h = int(rng.integers(8, 80))
+    w = int(rng.integers(8, 80))
+    stack = rng.integers(0, 256, size=(b, h, w, 3), dtype=np.uint8)
+    fast = np.asarray(dhash_stack(stack)).astype(np.int64)
+    slow = np.array([np.int64(dhash(stack[i])) for i in range(b)])
+    assert np.array_equal(fast, slow)
