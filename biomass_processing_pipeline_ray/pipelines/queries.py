@@ -490,6 +490,79 @@ def q_bbox_search_indexed(sf_dir: str):
     )
 
 
+def q_bbox_search_lifecycle(sf_dir: str):
+    """Store LIFECYCLE under the correctness gate: the S2 store builds
+    from 90 % of the universe, the last 10 % arrives as a delta append,
+    compaction merges the multi-file partitions — and the bbox rollup
+    over the resulting store must equal the full-scan SQL over the
+    WHOLE universe.  Proves append visibility and compaction fidelity
+    end-to-end, not just in pytest.  Idempotent per sf via a lifecycle
+    marker (append twice would duplicate rows)."""
+    import pyarrow.compute as pc
+
+    from ..stages.geoindex import (
+        append_to_store,
+        compact_store,
+        read_spatial_store,
+        write_spatial_store,
+    )
+
+    n = universe_n(sf_dir)
+    split = (n * 9) // 10
+    store = os.path.join(TILE_CACHE, f"geostore_lc_n{n}_v1")
+    marker = os.path.join(store, "_LIFECYCLE")
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        return b.append_column(
+            "biomass", pa.array(snap_binary(G.derive_biomass(ids)))
+        )
+
+    def slice_ids(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["tile_id"].to_numpy()
+            return b.filter(pa.array((ids >= lo) & (ids < hi)))
+
+        return f
+
+    if not os.path.exists(marker):
+        base = _range_geo(n).map_batches(
+            slice_ids(0, split), batch_format="pyarrow"
+        ).map_batches(add_cols, batch_format="pyarrow")
+        write_spatial_store(base, store)
+        delta = _range_geo(n).map_batches(
+            slice_ids(split, n), batch_format="pyarrow"
+        ).map_batches(add_cols, batch_format="pyarrow")
+        append_to_store(delta, store)
+        compact_store(store)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+
+    bx0, by0, bx1, by1 = _BBOX_QUERY
+    ds = read_spatial_store(store, _BBOX_QUERY, columns=["lon", "lat", "biomass"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["lon"], bx0), pc.less_equal(b["lon"], bx1)),
+            pc.and_(pc.greater_equal(b["lat"], by0), pc.less_equal(b["lat"], by1)),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "s": pa.array([float(np.sum(b["biomass"].to_numpy()))]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_tiles": pa.array([int(parts["n"].sum())], pa.int64()),
+            "biomass_sum": pa.array(round_away(np.asarray([parts["s"].sum()]), 4)),
+        }
+    )
+
+
 def _sql_bbox_search(n: int) -> str:
     lon, lat, _ = _geo_sql_fragments()
     bm = sql_snap(G.sql_biomass("id"))
@@ -3898,7 +3971,6 @@ def build_queries() -> dict:
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "image_dup_clusters": (q_image_dup_clusters, _sql_image_dup_clusters(_N_ORACLE)),
         "county_gradient": (q_county_gradient, sql_county_gradient(_N_ORACLE)),
-        "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
         "kmeans_embeddings": (
             q_kmeans_embeddings,
             sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
@@ -3914,6 +3986,7 @@ def build_queries() -> dict:
         "county_simplify": (q_county_simplify, sql_county_simplify()),
         "utm_project": (q_utm_project, _sql_utm_project(_N_ORACLE)),
         "bbox_search_indexed": (q_bbox_search_indexed, _sql_bbox_search(_N_ORACLE)),
+        "bbox_search_lifecycle": (q_bbox_search_lifecycle, _sql_bbox_search(_N_ORACLE)),
         "county_clip_stats": (q_county_clip_stats, sql_county_clip_stats(_N_ORACLE)),
         "image_thumbs": (q_image_thumbs, sql_image_thumbs(_N_ORACLE)),
         # relational family
@@ -4004,6 +4077,12 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   approx_distinct_users  -> type_distinct_users (exact twin,
+        #                             same distinct semantics) + heavy_
+        #                             hitter_keys (same bounded-sketch
+        #                             partial pattern); KMV invariants
+        #                             pytest-covered; r3-new, builder-
+        #                             green
         #   county_geo_stats       -> county_overlap (same wkb parse +
         #                             shoelace machinery); validate/fix/
         #                             centroid kernels pytest-covered
@@ -4042,6 +4121,7 @@ def build_queries() -> dict:
         "props_k_stats": (q_props_k_stats, _SQL_PROPS_K_STATS),
         "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
+        "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
