@@ -1314,3 +1314,53 @@ def test_store_append_and_compact(rd, ray_session, tmp_path):
     assert (m2["files"].str.len() == 1).all()
     assert query() == before  # identical results after compaction
     assert compact_store(store) == 0  # idempotent: nothing left to do
+
+
+def test_store_append_creates_new_partitions(rd, ray_session, tmp_path):
+    """A delta that lands OUTSIDE the base's spatial extent must create
+    brand-new partitions with fresh manifest rows, and a bbox query
+    over the new region sees exactly the delta rows."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from biomass_processing_pipeline_ray.stages.geoindex import (
+        MANIFEST,
+        append_to_store,
+        read_spatial_store,
+        write_spatial_store,
+    )
+
+    # base: a tight cluster of points near (0.05, 0.05)
+    n = 500
+    rng = np.random.default_rng(7)
+    tbl = pa.table(
+        {
+            "tile_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(0.0, 0.1, n)),
+            "lat": pa.array(rng.uniform(0.0, 0.1, n)),
+        }
+    )
+    store = str(tmp_path / "store")
+    write_spatial_store(rd.from_arrow(tbl), store)
+    m0 = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
+
+    # delta: far away near (5.05, 5.05) — disjoint S2 cells
+    delta = pa.table(
+        {
+            "tile_id": pa.array(np.arange(n, n + 40, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(5.0, 5.1, 40)),
+            "lat": pa.array(rng.uniform(5.0, 5.1, 40)),
+        }
+    )
+    touched = append_to_store(rd.from_arrow(delta), store)
+    m1 = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
+    new_parts = set(m1["s2_part"]) - set(m0["s2_part"])
+    assert new_parts and set(touched) >= new_parts  # fresh manifest rows
+
+    got = read_spatial_store(store, (4.9, 4.9, 5.2, 5.2)).to_pandas()
+    inside = got[(got.lon >= 4.9) & (got.lon <= 5.2) & (got.lat >= 4.9) & (got.lat <= 5.2)]
+    assert set(inside.tile_id) == set(range(n, n + 40))
+    # and the old region is untouched
+    old = read_spatial_store(store, (-0.1, -0.1, 0.2, 0.2)).to_pandas()
+    assert set(old.tile_id) >= set(range(n))
