@@ -172,7 +172,13 @@ def append_to_store(ds, out_dir: str, level: int = 8) -> list[str]:
     zone maps for exactly the touched partitions.  Readers are correct
     throughout: the manifest swap is atomic, and until it lands they
     simply don't see the new files (manifest-planned reads never list
-    directories).  Returns the touched partition keys."""
+    directories) — a crash mid-append leaves only invisible orphans.
+
+    NOT idempotent by itself (re-running the same delta doubles its
+    rows): callers gate re-runs with their own completion marker (the
+    pattern in ``queries.q_bbox_search_lifecycle``) or derive delta
+    file names from a stable delta id.  Returns the touched partition
+    keys."""
     import shutil
 
     def add_part(b: pa.Table) -> pa.Table:
