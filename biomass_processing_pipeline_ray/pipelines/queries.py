@@ -391,6 +391,96 @@ def q_county_overlap(sf_dir: str):
     return ds.map_batches(overlap, batch_format="pyarrow")
 
 
+def q_county_edge_stats(sf_dir: str):
+    """Boundary-effect QA: each tile's distance (deg) to the nearest
+    edge of its county rect — LEAST of the four edge offsets, same op
+    order as the SQL mirror — rolled up per county (min exact element,
+    lattice-snapped sum).  The metric a re-survey pipeline uses to flag
+    tiles whose footprint may straddle the boundary (reference analog:
+    the parcel-boundary buffer checks, ``geometry_utils_v1.py``)."""
+    ds = _range_geo(universe_n(sf_dir))
+
+    def edge(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx, cy = G.derive_county_xy(lon, lat)
+        x0 = G.LON0 + cx * G.COUNTY_W
+        x1 = G.LON0 + (cx + 1) * G.COUNTY_W
+        y0 = G.LAT0 + cy * G.COUNTY_H
+        y1 = G.LAT0 + (cy + 1) * G.COUNTY_H
+        d = np.minimum(
+            np.minimum(lon - x0, x1 - lon), np.minimum(lat - y0, y1 - lat)
+        )
+        return pa.table(
+            {
+                "county_fips": pa.array(
+                    G.county_fips_from_xy(cx, cy), pa.string()
+                ),
+                "d": pa.array(d),
+                "ds": pa.array(snap_binary(d)),
+            }
+        )
+
+    rows = ds.map_batches(edge, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("county_fips", as_index=False).agg(
+            min_edge=("d", "min"), edge_sum=("ds", "sum"), n_tiles=("d", "size")
+        )
+        g["n_tiles"] = g["n_tiles"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.zonal import combine_partials
+
+    g = combine_partials(
+        rows.map_batches(partial, batch_format="pandas"),
+        ["county_fips"],
+        [
+            Min("min_edge", alias_name="min_edge"),
+            Sum("edge_sum", alias_name="edge_sum"),
+            Sum("n_tiles", alias_name="n_tiles"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n_tiles": b["n_tiles"],
+                "min_edge": b["min_edge"],
+                "edge_sum": pa.array(round_away(b["edge_sum"].to_numpy(), 6)),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_county_edge_stats(n: int) -> str:
+    lon, lat, fips = _geo_sql_fragments()
+    cx = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon} - {G.LON0!r}) / {G.COUNTY_W!r}) "
+        f"AS BIGINT), 0), {G.COUNTY_NX - 1})"
+    )
+    cy = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lat} - {G.LAT0!r}) / {G.COUNTY_H!r}) "
+        f"AS BIGINT), 0), {G.COUNTY_NY - 1})"
+    )
+    x0 = f"({G.LON0!r} + {cx} * {G.COUNTY_W!r})"
+    x1 = f"({G.LON0!r} + ({cx} + 1) * {G.COUNTY_W!r})"
+    y0 = f"({G.LAT0!r} + {cy} * {G.COUNTY_H!r})"
+    y1 = f"({G.LAT0!r} + ({cy} + 1) * {G.COUNTY_H!r})"
+    d = f"LEAST(LEAST({lon} - {x0}, {x1} - {lon}), LEAST({lat} - {y0}, {y1} - {lat}))"
+    return f"""
+    SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           MIN(d) AS min_edge, ROUND(SUM(ds), 6) AS edge_sum
+    FROM (SELECT {fips} AS county_fips, {d} AS d, {sql_snap(d)} AS ds
+          FROM (SELECT range AS id FROM range({n})))
+    GROUP BY county_fips
+    """
+
+
 def q_county_geo_stats(sf_dir: str):
     """Geometry kernels (shoelace area/centroid over WKB) vs the grid
     arithmetic the county layer was constructed from (M1–M3 parity)."""
@@ -3934,7 +4024,7 @@ def build_queries() -> dict:
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "pip_assign_jittered": (q_pip_assign_jittered, sql_pip_jittered(_N_ORACLE)),
         "cell_index": (q_cell_index, sql_cell_index(_N_ORACLE)),
-        "hex_index": (q_hex_index, _sql_hex_index(_N_ORACLE)),
+        "county_edge_stats": (q_county_edge_stats, _sql_county_edge_stats(_N_ORACLE)),
         "knn_idw": (q_knn_idw, _sql_knn_idw(min(_N_ORACLE, KNN_N))),
         "knn_edges": (q_knn_edges, _sql_knn_edges(min(_N_ORACLE, KNN_N))),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
@@ -4077,6 +4167,10 @@ def build_queries() -> dict:
         #   county_fmt_pivot       -> county_fmt_rollup (its level-1 IS
         #                             the same _county_fmt_counts pivot
         #                             partials; r3-new, builder-green)
+        #   hex_index              -> hex_ring_smooth (same geo/hexgrid
+        #                             encode machinery plus the ring
+        #                             join on top; r1+r2 hash-green,
+        #                             bit-exact SQL mirror)
         #   approx_distinct_users  -> type_distinct_users (exact twin,
         #                             same distinct semantics) + heavy_
         #                             hitter_keys (same bounded-sketch
@@ -4122,6 +4216,7 @@ def build_queries() -> dict:
         "orders_checksum": (q_orders_checksum, _SQL_ORDERS_CHECKSUM),
         "county_geo_stats": (q_county_geo_stats, _SQL_COUNTY_GEO_STATS),
         "approx_distinct_users": (q_approx_distinct_users, _SQL_APPROX_DISTINCT_USERS),
+        "hex_index": (q_hex_index, _sql_hex_index(_N_ORACLE)),
         "revenue_by_priority": (q_revenue_by_priority, _SQL_REVENUE_BY_PRIORITY),
         "asof_order_events": (q_asof_order_events, _SQL_ASOF),
         "text_stats": (q_text_stats, sql_text_stats()),
