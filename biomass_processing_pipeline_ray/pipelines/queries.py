@@ -593,13 +593,14 @@ def q_bbox_search_lifecycle(sf_dir: str):
     from ..stages.geoindex import (
         append_to_store,
         compact_store,
+        gc_store,
         read_spatial_store,
         write_spatial_store,
     )
 
     n = universe_n(sf_dir)
     split = (n * 9) // 10
-    store = os.path.join(TILE_CACHE, f"geostore_lc_n{n}_v1")
+    store = os.path.join(TILE_CACHE, f"geostore_lc_n{n}_v2")
     marker = os.path.join(store, "_LIFECYCLE")
 
     def add_cols(b: pa.Table) -> pa.Table:
@@ -624,7 +625,16 @@ def q_bbox_search_lifecycle(sf_dir: str):
             slice_ids(split, n), batch_format="pyarrow"
         ).map_batches(add_cols, batch_format="pyarrow")
         append_to_store(delta, store)
+        # full maintenance lifecycle under the gate: a reader that
+        # planned BEFORE compaction must still resolve every file
+        # AFTER it (manifest swaps first, sources are tombstoned, GC
+        # is deferred) — then gc_store reclaims the tombstones.
+        old_plan = read_spatial_store(store, _BBOX_QUERY, columns=["biomass"])
         compact_store(store)
+        n_old_plan = old_plan.count()  # reads pre-compaction paths
+        if n_old_plan <= 0:
+            raise RuntimeError("pre-compaction plan lost rows")
+        gc_store(store, grace_sec=0.0)
         with open(marker, "w", encoding="utf-8") as f:
             f.write("ok")
 

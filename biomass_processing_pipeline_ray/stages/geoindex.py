@@ -16,7 +16,10 @@ EXACT, not approximate — verified by the full-scan SQL oracle.
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -25,6 +28,26 @@ import pyarrow.parquet as pq
 from ..geo import s2
 
 MANIFEST = "_manifest.parquet"
+TOMBSTONES = "_tombstones.json"
+
+
+def _load_tombstones(out_dir: str) -> dict[str, float]:
+    """Pending-GC files: relative path -> tombstone epoch seconds."""
+    path = os.path.join(out_dir, TOMBSTONES)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {e["path"]: float(e["ts"]) for e in json.load(f)["files"]}
+
+
+def _save_tombstones(out_dir: str, stones: dict[str, float]) -> None:
+    tmp = os.path.join(out_dir, f"{TOMBSTONES}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"files": [{"path": p, "ts": t} for p, t in sorted(stones.items())]},
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, TOMBSTONES))
 
 
 def _part_col(lon: np.ndarray, lat: np.ndarray, level: int) -> pa.Array:
@@ -32,7 +55,9 @@ def _part_col(lon: np.ndarray, lat: np.ndarray, level: int) -> pa.Array:
     return pa.array([f"{int(c):016x}" for c in cells], pa.string())
 
 
-def _footer_bboxes(entries: list[str], root: str) -> list[tuple]:
+def _footer_bboxes(
+    entries: list[str], root: str, exclude: frozenset[str] = frozenset()
+) -> list[tuple]:
     """Zone maps for a batch of partition dirs from parquet FOOTER
     statistics only (the data is read zero extra times — min/max per
     column already sits in each row group's metadata).  Runs as a plain
@@ -42,14 +67,18 @@ def _footer_bboxes(entries: list[str], root: str) -> list[tuple]:
 
     Returns ``(part_key, min_lon, min_lat, max_lon, max_lat, files)``
     per partition; ``files`` (relative names) go into the manifest so
-    bbox reads never list directories either."""
+    bbox reads never list directories either.  ``exclude`` holds
+    relative paths (``s2_part=K/file``) of tombstoned files awaiting GC
+    — live manifests must never re-adopt them."""
     out = []
     for entry in entries:
         part_dir = os.path.join(root, entry)
         lo = [np.inf, np.inf]
         hi = [-np.inf, -np.inf]
         files = sorted(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            f
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and f"{entry}/{f}" not in exclude
         )
         for f in files:
             meta = pq.read_metadata(os.path.join(part_dir, f))
@@ -129,14 +158,22 @@ def write_spatial_store(ds, out_dir: str, level: int = 8) -> str:
     return out_dir
 
 
-def _refresh_manifest(out_dir: str, touched: set[str]) -> None:
+def _refresh_manifest(
+    out_dir: str,
+    touched: set[str],
+    extra_exclude: frozenset[str] = frozenset(),
+) -> None:
     """Rewrite the manifest with refreshed zone maps for ``touched``
     partitions (footer reads only), keeping untouched rows as-is.
-    Atomic via tmp + ``os.replace``."""
+    Atomic via tmp + ``os.replace``.  Tombstoned files (compacted-away
+    sources awaiting GC) are excluded from the re-listing so an append
+    after a compaction never re-adopts them."""
     old = pq.read_table(os.path.join(out_dir, MANIFEST)).to_pandas()
     keep = old[~old["s2_part"].isin(touched)]
     dirs = sorted(f"s2_part={p}" for p in touched)
-    rows = _footer_bboxes(dirs, out_dir)
+    rows = _footer_bboxes(
+        dirs, out_dir, frozenset(_load_tombstones(out_dir)) | extra_exclude
+    )
     manifest = pa.table(
         {
             "s2_part": pa.array(
@@ -211,30 +248,45 @@ def append_to_store(ds, out_dir: str, level: int = 8) -> list[str]:
     return sorted(touched)
 
 
-def _compact_one(part_dir: str, files: list[str]) -> list[str]:
+def _compact_one(part_dir: str, files: list[str]) -> str:
     """Merge a partition's files into one, sorted by tile id when
-    present (restores clustering after appends).  New file lands under
-    a unique name before the old ones unlink."""
+    present (restores clustering after appends).  Writes the merged
+    file under a fresh unique name and returns it — the sources are
+    NOT touched here: they stay readable until the manifest has swapped
+    and GC retires them (readers that planned from the pre-compaction
+    manifest keep working)."""
     tables = [pq.read_table(os.path.join(part_dir, f)) for f in files]
     merged = pa.concat_tables(tables, promote_options="default")
     for idc in ("tile_id", "image_id", "vec_id"):
         if idc in merged.column_names:
             merged = merged.sort_by(idc)
             break
-    out_name = f"compact-{os.getpid()}.parquet"
+    out_name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
     pq.write_table(merged, os.path.join(part_dir, out_name))
-    for f in files:
-        os.remove(os.path.join(part_dir, f))
-    return [out_name]
+    return out_name
 
 
-def compact_store(out_dir: str) -> int:
-    """Compact every multi-file partition to a single sorted file and
-    refresh the manifest — the LSM-style maintenance pass that keeps
-    read amplification bounded after many delta appends.  Partitions
-    compact in parallel (``ray.remote`` per partition); zone maps are
-    unchanged by construction but re-derived from the new footers
-    anyway (cheap, and keeps one code path).  Returns the number of
+def compact_store(out_dir: str, gc_grace_sec: float | None = None) -> int:
+    """Compact every multi-file partition to a single sorted file —
+    the LSM-style maintenance pass that keeps read amplification
+    bounded after many delta appends.  Partitions compact in parallel
+    (``ray.remote`` per partition).
+
+    Lifecycle order (readers never see a half-state):
+
+    1. merged files land under fresh names (sources untouched);
+    2. the manifest swaps atomically to point at ONLY the new files —
+       new plans read compacted data from this instant;
+    3. the replaced sources are TOMBSTONED (recorded in a sidecar, left
+       on disk) so in-flight readers that planned from the
+       pre-compaction manifest still resolve every path;
+    4. :func:`gc_store` unlinks tombstones older than a grace period —
+       call it once no reader can hold a plan older than the grace.
+
+    Pass ``gc_grace_sec`` to run step 4 inline (``0.0`` reclaims
+    immediately — only safe when the caller knows no concurrent reader
+    exists, e.g. single-writer tests).  Maintenance ops (append /
+    compact / gc) are single-writer by contract.  Returns the number of
     partitions compacted."""
     m = pq.read_table(os.path.join(out_dir, MANIFEST)).to_pandas()
     todo = [
@@ -254,17 +306,59 @@ def compact_store(out_dir: str) -> int:
         import ray
 
         fn = ray.remote(_compact_one)
-        ray.get(
+        new_names = ray.get(
             [
                 fn.remote(os.path.join(out_dir, f"s2_part={p}"), files)
                 for p, files in todo
             ]
         )
     else:
-        for p, files in todo:
+        new_names = [
             _compact_one(os.path.join(out_dir, f"s2_part={p}"), files)
-    _refresh_manifest(out_dir, {p for p, _ in todo})
+            for p, files in todo
+        ]
+    # Manifest swap FIRST (sources excluded explicitly so the footer
+    # re-listing adopts only the new compact files), THEN record the
+    # tombstones.  A crash in between leaves never-GC'd orphans on
+    # disk — a space leak, never a dangling manifest reference; old
+    # files stay readable for pre-swap planners until gc_store.
+    del new_names  # names re-derived from the (filtered) dir listing
+    replaced = frozenset(
+        f"s2_part={p}/{f}" for p, files in todo for f in files
+    )
+    _refresh_manifest(out_dir, {p for p, _ in todo}, replaced)
+    stones = _load_tombstones(out_dir)
+    now = time.time()
+    stones.update(dict.fromkeys(replaced, now))
+    _save_tombstones(out_dir, stones)
+    if gc_grace_sec is not None:
+        gc_store(out_dir, grace_sec=gc_grace_sec)
     return len(todo)
+
+
+def gc_store(out_dir: str, grace_sec: float = 0.0) -> int:
+    """Unlink tombstoned (compacted-away) files older than
+    ``grace_sec`` and drop them from the sidecar.  Safe to call any
+    time AFTER every reader that might hold a pre-compaction plan has
+    finished or re-planned; the manifest stopped referencing these
+    files at compaction time.  Returns the number of files removed."""
+    stones = _load_tombstones(out_dir)
+    if not stones:
+        return 0
+    cutoff = time.time() - grace_sec
+    removed = 0
+    keep: dict[str, float] = {}
+    for rel, ts in stones.items():
+        if ts <= cutoff:
+            try:
+                os.remove(os.path.join(out_dir, rel))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+            removed += 1
+        else:
+            keep[rel] = ts
+    _save_tombstones(out_dir, keep)
+    return removed
 
 
 def read_spatial_store(out_dir: str, bbox, columns=None):

@@ -1264,6 +1264,7 @@ def test_store_append_and_compact(rd, ray_session, tmp_path):
         MANIFEST,
         append_to_store,
         compact_store,
+        gc_store,
         read_spatial_store,
         write_spatial_store,
     )
@@ -1308,12 +1309,63 @@ def test_store_append_and_compact(rd, ray_session, tmp_path):
     # appended partitions now hold >1 file; compaction merges them
     m = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
     assert (m["files"].str.len() > 1).any()
+    # a reader that PLANNED before compaction must keep working after
+    # it: the manifest swaps first, replaced sources are tombstoned on
+    # disk until gc_store (the round-3 delete-before-swap race)
+    old_plan = read_spatial_store(store, bbox)
     n_compacted = compact_store(store)
     assert n_compacted > 0
+    old_got = old_plan.to_pandas()  # resolves pre-compaction paths
+    assert set(
+        old_got[
+            (old_got.lon >= bbox[0]) & (old_got.lon <= bbox[2])
+            & (old_got.lat >= bbox[1]) & (old_got.lat <= bbox[3])
+        ].tile_id
+    ) == before
     m2 = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
     assert (m2["files"].str.len() == 1).all()
     assert query() == before  # identical results after compaction
     assert compact_store(store) == 0  # idempotent: nothing left to do
+    # an append BETWEEN compaction and GC must not re-adopt tombstoned
+    # files into the manifest (the dir re-listing excludes the sidecar)
+    from biomass_processing_pipeline_ray.stages.geoindex import _load_tombstones
+
+    stones = set(_load_tombstones(store))
+    assert stones
+    d2_ids = np.arange(n + 300, n + 320, dtype=np.int64)
+    d2_lon, d2_lat = G.derive_lonlat(d2_ids)
+    append_to_store(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "tile_id": pa.array(d2_ids),
+                    "lon": pa.array(d2_lon),
+                    "lat": pa.array(d2_lat),
+                }
+            )
+        ),
+        store,
+    )
+    m3 = pq2.read_table(os.path.join(store, MANIFEST)).to_pandas()
+    manifest_files = {
+        f"s2_part={p}/{f}"
+        for p, files in zip(m3["s2_part"], m3["files"])
+        for f in files
+    }
+    assert not (manifest_files & stones)
+    before = before | set(
+        d2_ids[
+            (d2_lon >= bbox[0]) & (d2_lon <= bbox[2])
+            & (d2_lat >= bbox[1]) & (d2_lat <= bbox[3])
+        ]
+    )
+    assert query() == before  # delta2 visible, tombstones still hidden
+    # tombstones within grace survive GC; aged ones unlink
+    assert gc_store(store, grace_sec=3600.0) == 0
+    n_gc = gc_store(store, grace_sec=0.0)
+    assert n_gc > 0
+    assert gc_store(store, grace_sec=0.0) == 0  # sidecar drained
+    assert query() == before  # post-GC reads unchanged
 
 
 def test_store_append_creates_new_partitions(rd, ray_session, tmp_path):
