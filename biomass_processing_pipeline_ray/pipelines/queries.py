@@ -3099,7 +3099,9 @@ def q_approx_distinct_users(sf_dir: str):
     tolerance check)."""
     ds = _tbl(sf_dir, "events", ["event_type", "user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import AggregateFn
+
+    def partial(df: pd.DataFrame) -> pa.Table:
         df = df[["event_type", "user_id"]].copy()
         df["hv"] = G.derive_key(df["user_id"].to_numpy())
         out = (
@@ -3108,30 +3110,61 @@ def q_approx_distinct_users(sf_dir: str):
             .groupby("event_type", as_index=False)
             .head(KMV_K)
         )
-        return out[["event_type", "hv"]]
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    # group count = distinct event types (each group substantial) — the
-    # bounded-key sketch merge, not the per-key anti-pattern
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        hv = np.unique(g["hv"].to_numpy(np.int64))[:KMV_K]
-        n_kept = np.int64(len(hv))
-        kth = np.int64(hv[-1])
-        if n_kept >= KMV_K:
-            est = np.float64((KMV_K - 1) * G.MOD32) / np.float64(kth)
-        else:
-            est = np.float64(n_kept)
-        return pd.DataFrame(
+        # typed Arrow out (round-3 verdict #4: schema-less empty pandas
+        # blocks trip Ray's RefBundle schema check)
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_kept": [n_kept],
-                "kth": [kth],
-                "est_distinct": [round_away(np.asarray([est]), 4)[0]],
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "hv": pa.array(out["hv"].to_numpy(np.int64), pa.int64()),
             }
         )
 
-    return partials.groupby("event_type").map_groups(merge, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    # sketch merge through the NATIVE aggregate (not map_groups, whose
+    # empty splits emit schema-less padding blocks): state = the ≤K
+    # smallest distinct hashes, merged tree-wise; finalize packs
+    # (n_kept, kth) into one int64 (hv < 2^32 < 2^40, n_kept ≤ K)
+    def _acc(state: np.ndarray, block) -> np.ndarray:
+        hv = (
+            block["hv"].to_numpy()
+            if hasattr(block, "column_names")
+            else block["hv"].to_numpy(np.int64)
+        )
+        return np.unique(np.r_[state, hv.astype(np.int64)])[:KMV_K]
+
+    kmv = AggregateFn(
+        init=lambda _k: np.empty(0, dtype=np.int64),
+        merge=lambda a, b: np.unique(np.r_[a, b])[:KMV_K],
+        accumulate_block=_acc,
+        finalize=lambda s: int((np.int64(len(s)) << np.int64(40)) | s[-1]),
+        name="kmv",
+    )
+    # coalesce below the group count (5 event types) before the sort-
+    # aggregate: splits > groups yield EMPTY output splits whose
+    # schema-less blocks trip Ray's RefBundle check; the partials are
+    # a bounded sketch summary, so 4 blocks is plenty of parallelism
+    merged = partials.repartition(4).groupby("event_type").aggregate(kmv)
+
+    def decode(b: pa.Table) -> pa.Table:
+        enc = b["kmv"].to_numpy().astype(np.int64)
+        n_kept = enc >> np.int64(40)
+        kth = enc & ((np.int64(1) << np.int64(40)) - np.int64(1))
+        est = np.where(
+            n_kept >= KMV_K,
+            np.float64((KMV_K - 1) * G.MOD32) / kth.astype(np.float64),
+            n_kept.astype(np.float64),
+        )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "kth": pa.array(kth, pa.int64()),
+                "est_distinct": pa.array(round_away(est, 4), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(decode, batch_format="pyarrow")
 
 
 _SQL_APPROX_DISTINCT_USERS = f"""
