@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "orders_table_diff",
     "monthly_stats_incremental",
     "county_gradient",
+    "curation_sweep",
+    "embedding_neardup_lsh",
     "county_top3_tiles",
     "type_distinct_users",
     "user_funnel",

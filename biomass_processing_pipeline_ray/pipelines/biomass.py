@@ -78,9 +78,13 @@ class TileGeoStage:
         skip_partitions: frozenset | None = None,
         n_salts: int = 1,
         emit_clip: bool = False,
+        emit_grad: bool = False,
+        emit_thumb: bool = False,
         encode_cells: bool = True,
         stitch_knn: bool = True,
     ):
+        self.emit_grad = emit_grad
+        self.emit_thumb = emit_thumb
         self.pip = PIPJoiner(counties_ref=counties_ref)
         self.knn = (
             KNNStitcher(centroids_ref=centroids_ref, k=k)
@@ -124,7 +128,12 @@ class TileGeoStage:
             batch = batch.filter(
                 pc.invert(pc.is_in(key, pa.array(self.skip_parts)))
             )
-        batch = decode_batch(batch, clip_ctx=self.clip_ctx)
+        batch = decode_batch(
+            batch,
+            clip_ctx=self.clip_ctx,
+            emit_grad=self.emit_grad,
+            emit_thumb=self.emit_thumb,
+        )
         if self.cells is not None:
             batch = self.cells(batch)
         if self.knn is not None:
@@ -173,6 +182,8 @@ def build_assignments(
     n_salts: int = 1,
     fused_read: bool = True,
     emit_clip: bool = False,
+    emit_grad: bool = False,
+    emit_thumb: bool = False,
     encode_cells: bool = True,
     stitch_knn: bool = True,
 ):
@@ -236,6 +247,8 @@ def build_assignments(
         ),
         "n_salts": n_salts,
         "emit_clip": emit_clip,
+        "emit_grad": emit_grad,
+        "emit_thumb": emit_thumb,
         "encode_cells": encode_cells,
         "stitch_knn": stitch_knn,
     }

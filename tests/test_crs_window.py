@@ -174,3 +174,44 @@ def test_fused_decode_clip_equals_standalone(ray_session):
     # headline scalars still present and finite on the same rows
     assert np.isfinite(fused.ndvi.to_numpy()).all()
     assert np.isfinite(fused.biomass.to_numpy()).all()
+
+
+def test_fused_decode_grad_thumb_equals_standalone(ray_session):
+    """decode_batch(emit_grad=True, emit_thumb=True) — the round-4
+    curation-sweep fusion — must emit gradient energy and thumbnail
+    stats bit-identical to the standalone ImageGradientStage /
+    ImageResizeStage kernels, from the same single decode pass."""
+    from biomass_processing_pipeline_ray.sources import tiles as T
+    from biomass_processing_pipeline_ray.stages.decode import decode_batch
+    from biomass_processing_pipeline_ray.stages.multimodal import (
+        ImageGradientStage,
+        ImageResizeStage,
+    )
+
+    tbl = T.gen_tiles_batch(np.arange(300))
+    fused = (
+        decode_batch(tbl, emit_grad=True, emit_thumb=True)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    grad = (
+        ImageGradientStage()(tbl)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    thumb = (
+        ImageResizeStage()(tbl)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert fused.shape_ok.all()
+    assert np.array_equal(fused.grad.to_numpy(), grad.grad.to_numpy())
+    assert np.array_equal(
+        fused.thumb_phash.to_numpy(), thumb.thumb_phash.to_numpy()
+    )
+    assert np.array_equal(
+        fused.thumb_mean.to_numpy(), thumb.thumb_mean.to_numpy()
+    )
