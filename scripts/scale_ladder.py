@@ -1,0 +1,204 @@
+"""5× scale ladder for the heavy non-headline pipelines (round-3
+verdict #6: the 5× re-check covered the headline only).
+
+Builds a deterministic sf0.5 twin of the inputs each ladder query
+reads — NO external data, everything derived from the sf0.1 fixtures:
+
+- tiles: ``tiles_path`` regenerates / reuses the cached deterministic
+  3,000,000-tile fixture (``/tmp/graft_cache/tiles_n3000000_s42_v2``,
+  the same one the headline 5× check used).
+- documents.parquet: 5 replicas of the sf0.1 table.  Replica r>0
+  Caesar-shifts every letter by r (``str.translate``) — an INJECTIVE
+  char map, so shingle equality (and therefore MinHash/Jaccard
+  structure) is preserved exactly WITHIN a replica while cross-replica
+  overlap collapses to punctuation/whitespace.  Work density per row
+  matches sf0.1; total rows are 5×.
+- embeddings.parquet: 5 replicas with offset vec_ids (PQ/ANN cost is
+  corpus-size-driven; duplicate vectors only create score ties, which
+  a throughput ladder doesn't care about).
+
+Runs each ladder query at sf0.1 and at the sf0.5 twin in FRESH 32-cpu
+Ray subprocesses, interleaved (A, B, A, B — the host-noise convention
+from BASELINE.md: sequential levels sample different noise windows),
+takes min-of-2 per level, and reports per-input-row throughput plus
+the per-row 5× degradation ratio (target ≤ ~1.3×).
+
+Usage:
+    python scripts/scale_ladder.py                # full ladder
+    python scripts/scale_ladder.py phash_neardup  # subset
+    python scripts/scale_ladder.py --child <query> <sf_dir>  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LADDER_DIR = "/tmp/ladder/sf0.5"
+REPLICAS = 5
+_ID_OFF = 10_000_000
+
+# query -> (input table kind, rows at sf0.1) ; tiles rows come from
+# universe_n so they're derived, not hardcoded
+LADDER = {
+    "phash_neardup": "tiles",
+    "image_thumbs": "tiles",
+    "curation_sweep": "tiles",
+    "neardup_clusters": "documents",
+    "ann_pq_topk": "embeddings",
+}
+
+
+def _caesar_table(r: int) -> dict[int, int]:
+    import string
+
+    t = {}
+    for alpha in (string.ascii_lowercase, string.ascii_uppercase):
+        for i, ch in enumerate(alpha):
+            t[ord(ch)] = ord(alpha[(i + r) % 26])
+    return t
+
+
+def build_twin(src_dir: str = "/root/testdata/sf0.1") -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(LADDER_DIR, exist_ok=True)
+    marker = os.path.join(LADDER_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return LADDER_DIR
+
+    docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    parts = []
+    for r in range(REPLICAS):
+        ids = pa.compute.add(docs["doc_id"], r * _ID_OFF)
+        if r == 0:
+            texts = docs["text"]
+        else:
+            tab = _caesar_table(r)
+            texts = pa.array(
+                [t.translate(tab) for t in docs["text"].to_pylist()],
+                pa.string(),
+            )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": docs["lang"],
+                    "source": docs["source"],
+                    "n_chars": docs["n_chars"],
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(LADDER_DIR, "documents.parquet")
+    )
+
+    emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    parts = []
+    for r in range(REPLICAS):
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.compute.add(emb["vec_id"], r * _ID_OFF),
+                    "embedding": emb["embedding"],
+                    "label": emb["label"],
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(LADDER_DIR, "embeddings.parquet")
+    )
+    open(marker, "w").write("ok")
+    return LADDER_DIR
+
+
+def _input_rows(kind: str, sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    from biomass_processing_pipeline_ray.pipelines.queries import universe_n
+
+    if kind == "tiles":
+        return universe_n(sf_dir)
+    return pq.read_metadata(os.path.join(sf_dir, f"{kind}.parquet")).num_rows
+
+
+def child(query: str, sf_dir: str) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from biomass_processing_pipeline_ray.pipelines.queries import build_queries
+
+    fn = build_queries()[query][0]
+    res = fn(sf_dir)  # build (and for tiles: ensure the fixture) first
+    t0 = time.time()
+    n_out = res.count() if hasattr(res, "count") and not hasattr(res, "iloc") else len(res)
+    dt = time.time() - t0
+    print(json.dumps({"query": query, "sf_dir": sf_dir, "sec": dt, "rows": int(n_out)}))
+    ray.shutdown()
+
+
+def run_child(query: str, sf_dir: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", query, sf_dir],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"{query}@{sf_dir} failed:\n{out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main(names: list[str]) -> None:
+    build_twin()
+    small = "/root/testdata/sf0.1"
+    results = {}
+    for q in names:
+        kind = LADDER[q]
+        n_small = _input_rows(kind, small)
+        n_big = _input_rows(kind, LADDER_DIR)
+        runs = {small: [], LADDER_DIR: []}
+        for trial in range(2):  # interleaved A,B,A,B
+            for sf in (small, LADDER_DIR):
+                r = run_child(q, sf)
+                runs[sf].append(r["sec"])
+                print(f"  {q} @ {os.path.basename(sf)} trial{trial}: "
+                      f"{r['sec']:.1f}s rows_out={r['rows']}", flush=True)
+        t_small = min(runs[small])
+        t_big = min(runs[LADDER_DIR])
+        ratio = (t_big / t_small) / (n_big / n_small)
+        results[q] = {
+            "rows_small": n_small,
+            "rows_big": n_big,
+            "sec_small": round(t_small, 2),
+            "sec_big": round(t_big, 2),
+            "rows_per_sec_small": round(n_small / t_small, 1),
+            "rows_per_sec_big": round(n_big / t_big, 1),
+            "per_row_degradation_5x": round(ratio, 3),
+        }
+        print(json.dumps({q: results[q]}), flush=True)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1:] or list(LADDER))
