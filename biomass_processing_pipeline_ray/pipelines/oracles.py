@@ -1443,3 +1443,62 @@ def sql_pq_topk() -> str:
         'SELECT query_id, vec_id, "rank", pq_score '
         f"FROM read_parquet('{pq_oracle_path()}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL-throttle oracle: sequential per-key scan with plain Python state —
+# the literal "keyed ValueState" reference implementation (one dict of
+# last-kept timestamps), vs the engine's bucketed searchsorted-jump walk
+# in stages/analytic.ttl_throttle.
+# ---------------------------------------------------------------------------
+
+
+def ttl_oracle_path(ttl_us: int) -> str:
+    return os.path.join(ORACLE_DIR, f"ttl_throttle_sf001_t{ttl_us}.parquet")
+
+
+def ensure_ttl_oracle(ttl_us: int) -> str:
+    path = ttl_oracle_path(ttl_us)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    ts_us = ev["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    rows = sorted(
+        zip(
+            ev["user_id"].to_pylist(),
+            ev["event_type"].to_pylist(),
+            ts_us,
+            ev["event_id"].to_pylist(),
+        )
+    )
+    last: dict[tuple[int, str], int] = {}
+    kept = []
+    for uid, typ, t, eid in rows:
+        key = (uid, typ)
+        prev = last.get(key)
+        if prev is None or t >= prev + ttl_us:
+            last[key] = t
+            kept.append((eid, uid, typ, t))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in kept], pa.int64()),
+            "user_id": pa.array([r[1] for r in kept], pa.int64()),
+            "event_type": pa.array([r[2] for r in kept], pa.string()),
+            "ts_us": pa.array([r[3] for r in kept], pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_ttl_throttle(ttl_us: int) -> str:
+    return (
+        "SELECT event_id, user_id, event_type, ts_us "
+        f"FROM read_parquet('{ttl_oracle_path(ttl_us)}')"
+    )

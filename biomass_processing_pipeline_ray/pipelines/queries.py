@@ -2635,6 +2635,22 @@ _SQL_EMBEDDING_NEARDUP = """
 """
 
 
+_TTL_US = 48 * 3600 * 1_000_000  # 48 h throttle window
+
+
+def q_events_ttl_throttle(sf_dir: str):
+    """Streaming TTL-throttle dedup (keyed sequential state — see
+    ``stages/analytic.ttl_throttle``): keep an event iff it is ≥48 h
+    after the last KEPT event of its ``(user_id, event_type)`` stream.
+    Oracle: an independent sequential scan holding the literal keyed
+    ValueState dict (``oracles.ensure_ttl_oracle``) — integer µs
+    timestamps on both sides, no float surface."""
+    from ..stages.analytic import ttl_throttle
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return ttl_throttle(ds, ttl_us=_TTL_US)
+
+
 _LSH_COPY_OFFSET = 1_000_000
 
 
@@ -4206,6 +4222,7 @@ def ensure_generated_oracles() -> None:
         ensure_simhash_oracle,
         ensure_simplify_oracle,
         ensure_thumb_oracle,
+        ensure_ttl_oracle,
     )
 
     ensure_px_oracle(_N_ORACLE)
@@ -4224,6 +4241,7 @@ def ensure_generated_oracles() -> None:
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
     ensure_overlap_oracle()
+    ensure_ttl_oracle(_TTL_US)
 
 
 def build_queries() -> dict:
@@ -4250,6 +4268,7 @@ def build_queries() -> dict:
         sql_phash_neardup,
         sql_pip_jittered,
         sql_simhash_pairs,
+        sql_ttl_throttle,
         sql_zonal_px,
     )
 
@@ -4284,6 +4303,7 @@ def build_queries() -> dict:
             q_embedding_neardup_lsh,
             _SQL_EMBEDDING_NEARDUP_LSH,
         ),
+        "events_ttl_throttle": (q_events_ttl_throttle, sql_ttl_throttle(_TTL_US)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
@@ -4332,11 +4352,11 @@ def build_queries() -> dict:
         "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
         "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
         "bbox_search_lifecycle": (q_bbox_search_lifecycle, _sql_bbox_search(_N_ORACLE)),
+        # -- tail: r3 driver-green rows in CORRECTNESS_r03.json -------
         "kmeans_embeddings": (
             q_kmeans_embeddings,
             sql_kmeans_assign(KMEANS_K, KMEANS_ITERS),
         ),
-        # -- tail: r3 driver-green rows in CORRECTNESS_r03.json -------
         "pip_assign_jittered": (q_pip_assign_jittered, sql_pip_jittered(_N_ORACLE)),
         "cell_index": (q_cell_index, sql_cell_index(_N_ORACLE)),
         "county_edge_stats": (q_county_edge_stats, _sql_county_edge_stats(_N_ORACLE)),

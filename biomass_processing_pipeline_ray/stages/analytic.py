@@ -345,6 +345,78 @@ def longest_streak(ds, val_col: str = "event_type", n_coarse: int = 256):
 
 
 # ---------------------------------------------------------------------------
+# streaming TTL-throttle dedup (keyed sequential state — the Flink
+# keyed-ValueState-with-TTL shape, Ray-native)
+# ---------------------------------------------------------------------------
+
+
+def ttl_throttle(ds, ttl_us: int, n_coarse: int = 256):
+    """Streaming TTL dedup: scan each ``(user_id, event_type)`` stream
+    in (ts, event_id) order and KEEP an event iff its ts is at least
+    ``ttl_us`` after the last KEPT event of that key (the key's first
+    event is always kept).  This is the rate-limit / alert-throttle /
+    dedup-window primitive — unlike sessionization (consecutive-gap
+    predicate), the keep decision depends on the last KEPT row, a
+    genuinely sequential chain that plain window functions cannot
+    express (streaming engines hold it as keyed TTL state).
+
+    Ray-native shape: ONE coarse-bucket shuffle co-partitions keys;
+    inside a bucket one lexsort orders every contained stream, then
+    the chain walks only the KEPT rows (``searchsorted`` jump from
+    each kept row to the next eligible ts) — O(kept · log n) per key,
+    never a per-input-row Python loop, and state is one scalar per
+    key.  At 10¹² rows the buckets stream through the same
+    ``groupby().map_groups`` path as every analytic here."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        # deterministic type codes: np.unique is value-ordered, so the
+        # composite key is independent of row arrival order
+        codes = np.unique(g["event_type"].to_numpy(), return_inverse=True)[1]
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, codes, uid))
+        uid, ts, eid, typ = uid[order], ts[order], eid[order], typ[order]
+        key = uid * np.int64(len(np.unique(codes)) + 1) + codes[order]
+        starts, sizes, _ = _group_offsets(key)
+        keep = np.zeros(len(uid), dtype=bool)
+        for s, sz in zip(starts, sizes):
+            t = ts[s : s + sz]
+            i = 0
+            while i < sz:
+                keep[s + i] = True
+                i = int(np.searchsorted(t, t[i] + ttl_us, side="left"))
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[k], pa.int64()),
+                "user_id": pa.array(uid[k], pa.int64()),
+                "event_type": pa.array(typ[k], pa.string()),
+                "ts_us": pa.array(ts[k], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles (element selection — no float interpolation)
 # ---------------------------------------------------------------------------
 

@@ -1416,3 +1416,41 @@ def test_store_append_creates_new_partitions(rd, ray_session, tmp_path):
     # and the old region is untouched
     old = read_spatial_store(store, (-0.1, -0.1, 0.2, 0.2)).to_pandas()
     assert set(old.tile_id) >= set(range(n))
+
+
+def test_ttl_throttle_matches_sequential_state(rd, ray_session):
+    """The bucketed searchsorted-jump walk must equal a literal
+    sequential keyed-ValueState scan on random keyed streams,
+    including ties and exactly-TTL gaps (>= keeps)."""
+    from biomass_processing_pipeline_ray.stages.analytic import ttl_throttle
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ttl = 50
+    uid = rng.integers(0, 37, n)
+    typ = rng.choice(["a", "b", "c"], n)
+    # coarse ts grid with many ties and exact-TTL collisions
+    ts_us = rng.integers(0, 600, n) * (ttl // 2)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(typ, pa.string()),
+        }
+    )
+    got = (
+        ttl_throttle(rd.from_arrow(tbl), ttl_us=ttl)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # sequential reference: dict of last-kept per key
+    order = sorted(zip(uid.tolist(), typ.tolist(), ts_us.tolist(), range(n)))
+    last, kept = {}, []
+    for u, t, s, e in order:
+        prev = last.get((u, t))
+        if prev is None or s >= prev + ttl:
+            last[(u, t)] = s
+            kept.append(e)
+    assert got.event_id.tolist() == sorted(kept)
