@@ -287,6 +287,10 @@ def minhash_lsh_pairs(
 def _explode_bands(
     batch: pa.Table, id_col: str, hash_col: str, n_coarse: int
 ) -> pa.Table:
+    # band_key itself is NOT shuffled: it is re-derived in-group from
+    # (rhash, band) — the exchange carries one int16 instead of an
+    # int64 per exploded row (the sort all-to-all over 4n rows is the
+    # dominant cost of the whole operator at 3M tiles)
     u = batch[hash_col].to_numpy().astype(np.uint64)
     n = len(u)
     ids = batch[id_col]
@@ -300,7 +304,9 @@ def _explode_bands(
     return pa.table(
         {
             "coarse": pa.array(key_all % n_coarse),
-            "band_key": pa.array(key_all),
+            "band": pa.array(
+                np.repeat(np.arange(4, dtype=np.int16), n), pa.int16()
+            ),
             "rid": id_rep,
             "rhash": pa.array(hash_rep),
         }
@@ -319,6 +325,207 @@ def adaptive_n_coarse(n_rows: int | None) -> int:
     return int(np.clip(n_rows // 2048, 1024, 1 << 15))
 
 
+def _coarse_pairs(g: pd.DataFrame, max_hamming: int) -> pa.Table:
+    from ..image.phash import hamming_i64
+
+    # output is a TYPED Arrow table (not pandas): most coarse groups
+    # produce ZERO pairs, and empty pandas blocks with object/string
+    # columns trip Ray's sampling size-estimator ("cannot call
+    # vectorize on size 0 inputs" warning spam)
+    #
+    # Candidate generation is pure-numpy over factorized int codes:
+    # a pandas self-merge on band_key materializes t² object-dtype
+    # rows for a hot band value (measured 25 s straggler tasks at
+    # 600k tiles — one degenerate band value with thousands of
+    # members), while the id strings are only needed for the few
+    # Hamming survivors.  Small band runs pair via one vectorized
+    # arange/repeat construction; hot runs (> _HOT_RUN rows) pair in
+    # bounded row blocks so temporaries stay cache-sized under
+    # full-machine concurrency (see BASELINE host lesson).
+    id_type = (
+        pa.string() if g["rid"].dtype == object else pa.from_numpy_dtype(g["rid"].dtype)
+    )
+    g = g.drop_duplicates(["band", "rid"])
+    codes, uniq = pd.factorize(g["rid"], sort=True)
+    h = g["rhash"].to_numpy(np.int64)
+    # re-derive the full band key (band idx ‖ 16-bit band value) from
+    # the hash — the exchange only carried the int16 band index
+    bnd = g["band"].to_numpy(np.int64)
+    bk = (
+        ((h.astype(np.uint64) >> (np.uint64(16) * bnd.astype(np.uint64)))
+         & np.uint64(0xFFFF)).astype(np.int64)
+        | (bnd << 16)
+    )
+    order = np.argsort(bk, kind="stable")
+    bk_s, code_s, h_s = bk[order], codes[order], h[order]
+    n = len(bk_s)
+    starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
+    ends = np.r_[starts[1:], n]
+    runlen = ends - starts
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+
+    def emit(ii: np.ndarray, jj: np.ndarray) -> None:
+        hd = hamming_i64(h_s[ii], h_s[jj])
+        keep = hd <= max_hamming
+        if not keep.any():
+            return
+        ii, jj, hd = ii[keep], jj[keep], hd[keep]
+        # CANONICAL-BAND emission (round 4): a qualifying pair matches
+        # in every band of its (non-empty, by pigeonhole) match set;
+        # emit it only from the LOWEST matching band — decidable
+        # locally from the xor of the two full hashes — so the global
+        # output is unique BY CONSTRUCTION and the downstream
+        # cross-group dedup shuffle disappears (it cost more than the
+        # main exchange at 3M tiles: ~80 s over 244k pair rows spread
+        # across ~1.5k near-empty blocks).
+        band_of = (bk_s[ii] >> 16).astype(np.int64)
+        xr = (h_s[ii] ^ h_s[jj]).astype(np.uint64)
+        first = np.full(len(ii), 4, dtype=np.int64)
+        for b in range(3, -1, -1):
+            m = ((xr >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+            first[m] = b
+        keep2 = first == band_of
+        if keep2.any():
+            ca, cb = code_s[ii[keep2]], code_s[jj[keep2]]
+            lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(hd[keep2])
+
+    _PAIR_CHUNK = 1 << 18  # ≤ 256k pair indices ≈ 4 MB per array:
+    # fresh multi-MB temporaries in 32 concurrent workers collapse
+    # into page-fault storms on this host class (measured 12–18 s
+    # straggler tasks from ~1M-pair groups emitted in one shot;
+    # see the BASELINE host lesson) — all pair generation below is
+    # chunked to stay cache-sized
+
+    def triangle_runs(rows: np.ndarray, row_ends: np.ndarray,
+                      gather: np.ndarray | None = None) -> None:
+        # all (i, j) with i < j inside each run: element at sorted
+        # position x pairs with the next c[x] positions of its own
+        # run; emitted in bounded chunks of the flat pair space.
+        # ``gather`` maps local positions to global ones (hot-run
+        # sub-banding path).
+        c = row_ends - 1 - rows
+        csum = np.concatenate([[0], np.cumsum(c)])
+        total = int(csum[-1])
+        for p0 in range(0, total, _PAIR_CHUNK):
+            p1 = min(p0 + _PAIR_CHUNK, total)
+            a = int(np.searchsorted(csum, p0, side="right")) - 1
+            b = int(np.searchsorted(csum, p1, side="left"))
+            rr, cc, cs = rows[a:b], c[a:b], csum[a:b]
+            ii = np.repeat(rr, cc)
+            jj = np.arange(csum[a], csum[b]) - np.repeat(cs, cc) + ii + 1
+            lo = p0 - int(csum[a])
+            ii, jj = ii[lo:lo + (p1 - p0)], jj[lo:lo + (p1 - p0)]
+            if gather is None:
+                emit(ii, jj)
+            else:
+                emit(gather[ii], gather[jj])
+
+    def blockwise_all_pairs(idx: np.ndarray) -> None:
+        # chunked all-pairs over explicit global indices (one run)
+        t = len(idx)
+        if t > 1:
+            triangle_runs(
+                np.arange(t), np.full(t, t, dtype=np.int64), gather=idx
+            )
+
+    _HOT_RUN = 64  # round 4: was 512; the vectorized cross-run
+    # refinement below makes a low threshold affordable, and runs
+    # of 64..512 were the quadratic bulk at 3M tiles
+    small = runlen <= _HOT_RUN
+    if small.any():
+        triangle_runs(
+            np.flatnonzero(np.repeat(small, runlen)),
+            np.repeat(ends[small], runlen[small]),
+        )
+    # hot band runs (a degenerate or merely POPULATED band value
+    # turns all-pairs into O(t²) — at 3M tiles the 64..512-length
+    # runs alone held ~780M of 1.1B candidate pairs, 3.4× per-row
+    # degradation vs 600k).  LSH refinement: re-band each hot run
+    # by the six 8-bit sub-bands OUTSIDE its hot 16-bit band; ≤
+    # max_hamming (≤ 5) differing bits cannot touch all six, so
+    # every qualifying pair matches at least one sub-band exactly
+    # and expected bucket size drops ~256×.  Duplicate discoveries
+    # across sub-bands collapse in the final drop_duplicates.
+    # The refinement is VECTORIZED ACROSS RUNS (round 4): one
+    # (run, sub-band) lexsort per sb over all hot rows of the
+    # group, not a Python loop per run — the loop-per-run version
+    # capped the threshold at 512 to amortize its dispatch, which
+    # is exactly what let mid-sized runs keep their quadratic
+    # cost.  Still-degenerate sub-runs (near-exact duplicate
+    # mega-clusters, where the OUTPUT itself is O(t²)) fall back
+    # to bounded blockwise all-pairs, and must do so in EVERY
+    # sub-band where they occur — a qualifying pair is only
+    # guaranteed to match SOME sub-band.
+    if (~small).any():
+        if max_hamming >= 6:
+            # the sub-band guarantee needs ≤ 5 differing bits over
+            # the six outside sub-bands; beyond that, pay all-pairs
+            for r in np.flatnonzero(~small):
+                blockwise_all_pairs(np.arange(int(starts[r]), int(ends[r])))
+        else:
+            hot_pos = np.flatnonzero(np.repeat(~small, runlen))
+            run_of = np.repeat(
+                np.arange(len(runlen), dtype=np.int64), runlen
+            )[hot_pos]
+            hot_band_of = (bk_s[hot_pos] >> 16).astype(np.int64)
+            hh = h_s[hot_pos].astype(np.uint64)
+            for sb in range(8):
+                m = hot_band_of != (sb // 2)
+                if not m.any():
+                    continue
+                sub = ((hh[m] >> np.uint64(8 * sb)) & np.uint64(0xFF)).astype(
+                    np.int64
+                )
+                rid2 = run_of[m]
+                idxg = hot_pos[m]
+                o2 = np.lexsort((sub, rid2))
+                key2 = rid2[o2] * np.int64(256) + sub[o2]
+                idx2 = idxg[o2]
+                st2 = np.flatnonzero(np.r_[True, key2[1:] != key2[:-1]])
+                en2 = np.r_[st2[1:], len(key2)]
+                ln2 = en2 - st2
+                sm2 = ln2 <= _HOT_RUN
+                if sm2.any():
+                    triangle_runs(
+                        np.flatnonzero(np.repeat(sm2, ln2)),
+                        np.repeat(en2[sm2], ln2[sm2]),
+                        gather=idx2,
+                    )
+                for r2 in np.flatnonzero(~sm2):
+                    blockwise_all_pairs(idx2[st2[r2]:en2[r2]])
+
+    if not out_a:
+        return pa.table(
+            {
+                "a": pa.array([], id_type),
+                "b": pa.array([], id_type),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    ).drop_duplicates(["a", "b"])
+    uniq_arr = np.asarray(uniq)
+    return pa.table(
+        {
+            "a": pa.array(uniq_arr[out["a"].to_numpy()], id_type),
+            "b": pa.array(uniq_arr[out["b"].to_numpy()], id_type),
+            "hamming": pa.array(out["hamming"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+
 def banded_hamming_pairs(
     ds, id_col: str, hash_col: str, max_hamming: int = 3, n_coarse: int | None = 1024
 ):
@@ -333,179 +540,16 @@ def banded_hamming_pairs(
         batch_format="pyarrow",
     )
 
-    def coarse_pairs(g: pd.DataFrame) -> pa.Table:
-        # output is a TYPED Arrow table (not pandas): most coarse groups
-        # produce ZERO pairs, and empty pandas blocks with object/string
-        # columns trip Ray's sampling size-estimator ("cannot call
-        # vectorize on size 0 inputs" warning spam)
-        #
-        # Candidate generation is pure-numpy over factorized int codes:
-        # a pandas self-merge on band_key materializes t² object-dtype
-        # rows for a hot band value (measured 25 s straggler tasks at
-        # 600k tiles — one degenerate band value with thousands of
-        # members), while the id strings are only needed for the few
-        # Hamming survivors.  Small band runs pair via one vectorized
-        # arange/repeat construction; hot runs (> _HOT_RUN rows) pair in
-        # bounded row blocks so temporaries stay cache-sized under
-        # full-machine concurrency (see BASELINE host lesson).
-        id_type = (
-            pa.string() if g["rid"].dtype == object else pa.from_numpy_dtype(g["rid"].dtype)
-        )
-        g = g.drop_duplicates(["band_key", "rid"])
-        codes, uniq = pd.factorize(g["rid"], sort=True)
-        bk = g["band_key"].to_numpy(np.int64)
-        h = g["rhash"].to_numpy(np.int64)
-        order = np.argsort(bk, kind="stable")
-        bk_s, code_s, h_s = bk[order], codes[order], h[order]
-        n = len(bk_s)
-        starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
-        ends = np.r_[starts[1:], n]
-        runlen = ends - starts
+    from functools import partial
 
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_h: list[np.ndarray] = []
-
-        def emit(ii: np.ndarray, jj: np.ndarray) -> None:
-            hd = hamming_i64(h_s[ii], h_s[jj])
-            keep = hd <= max_hamming
-            if keep.any():
-                ca, cb = code_s[ii[keep]], code_s[jj[keep]]
-                lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
-                out_a.append(lo)
-                out_b.append(hi)
-                out_h.append(hd[keep])
-
-        _PAIR_CHUNK = 1 << 18  # ≤ 256k pair indices ≈ 4 MB per array:
-        # fresh multi-MB temporaries in 32 concurrent workers collapse
-        # into page-fault storms on this host class (measured 12–18 s
-        # straggler tasks from ~1M-pair groups emitted in one shot;
-        # see the BASELINE host lesson) — all pair generation below is
-        # chunked to stay cache-sized
-
-        def triangle_runs(rows: np.ndarray, row_ends: np.ndarray,
-                          gather: np.ndarray | None = None) -> None:
-            # all (i, j) with i < j inside each run: element at sorted
-            # position x pairs with the next c[x] positions of its own
-            # run; emitted in bounded chunks of the flat pair space.
-            # ``gather`` maps local positions to global ones (hot-run
-            # sub-banding path).
-            c = row_ends - 1 - rows
-            csum = np.concatenate([[0], np.cumsum(c)])
-            total = int(csum[-1])
-            for p0 in range(0, total, _PAIR_CHUNK):
-                p1 = min(p0 + _PAIR_CHUNK, total)
-                a = int(np.searchsorted(csum, p0, side="right")) - 1
-                b = int(np.searchsorted(csum, p1, side="left"))
-                rr, cc, cs = rows[a:b], c[a:b], csum[a:b]
-                ii = np.repeat(rr, cc)
-                jj = np.arange(csum[a], csum[b]) - np.repeat(cs, cc) + ii + 1
-                lo = p0 - int(csum[a])
-                ii, jj = ii[lo:lo + (p1 - p0)], jj[lo:lo + (p1 - p0)]
-                if gather is None:
-                    emit(ii, jj)
-                else:
-                    emit(gather[ii], gather[jj])
-
-        def blockwise_all_pairs(idx: np.ndarray) -> None:
-            # chunked all-pairs over explicit global indices (one run)
-            t = len(idx)
-            if t > 1:
-                triangle_runs(
-                    np.arange(t), np.full(t, t, dtype=np.int64), gather=idx
-                )
-
-        _HOT_RUN = 512
-        small = runlen <= _HOT_RUN
-        if small.any():
-            triangle_runs(
-                np.flatnonzero(np.repeat(small, runlen)),
-                np.repeat(ends[small], runlen[small]),
-            )
-        for r in np.flatnonzero(~small):
-            # hot band run (a degenerate band value with thousands of
-            # members turns all-pairs into O(t²) — measured 12+ s
-            # straggler tasks at 600k tiles).  LSH refinement: re-band
-            # the run by the six 8-bit sub-bands OUTSIDE the hot 16-bit
-            # band; ≤ max_hamming (≤ 7) differing bits cannot touch all
-            # six, so every qualifying pair matches at least one
-            # sub-band and expected bucket size drops ~256×.  Duplicate
-            # discoveries across sub-bands collapse in the final
-            # drop_duplicates.  Still-degenerate sub-runs (near-exact
-            # duplicates) fall back to bounded blockwise all-pairs.
-            s, e = int(starts[r]), int(ends[r])
-            if max_hamming >= 6:
-                # the sub-band guarantee needs ≤ 5 differing bits over
-                # the six outside sub-bands; beyond that, pay all-pairs
-                blockwise_all_pairs(np.arange(s, e))
-                continue
-            hot_band = int(bk_s[s]) >> 16
-            run_idx = np.arange(s, e)
-            hh = h_s[s:e].astype(np.uint64)
-            for sb in range(8):
-                if sb // 2 == hot_band:
-                    continue
-                sub = ((hh >> np.uint64(8 * sb)) & np.uint64(0xFF)).astype(np.int64)
-                o2 = np.argsort(sub, kind="stable")
-                sub_s = sub[o2]
-                idx2 = run_idx[o2]
-                st2 = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])
-                en2 = np.r_[st2[1:], len(sub_s)]
-                ln2 = en2 - st2
-                sm2 = ln2 <= _HOT_RUN
-                # chunked triangle over LOCAL positions, mapped back
-                # through idx2
-                if sm2.any():
-                    triangle_runs(
-                        np.flatnonzero(np.repeat(sm2, ln2)),
-                        np.repeat(en2[sm2], ln2[sm2]),
-                        gather=idx2,
-                    )
-                # still-hot sub-runs must be paired in EVERY sub-band
-                # where they occur — a qualifying pair is only
-                # guaranteed to match SOME sub-band, and skipping one
-                # could skip exactly the band that finds it.  Duplicate
-                # discoveries collapse in the final drop_duplicates;
-                # the pathological 6× revisit only occurs for
-                # near-identical mega-clusters, where the output itself
-                # is O(t²) and dominates regardless.
-                for r2 in np.flatnonzero(~sm2):
-                    blockwise_all_pairs(idx2[st2[r2]:en2[r2]])
-
-        if not out_a:
-            return pa.table(
-                {
-                    "a": pa.array([], id_type),
-                    "b": pa.array([], id_type),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        out = pd.DataFrame(
-            {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            }
-        ).drop_duplicates(["a", "b"])
-        uniq_arr = np.asarray(uniq)
-        return pa.table(
-            {
-                "a": pa.array(uniq_arr[out["a"].to_numpy()], id_type),
-                "b": pa.array(uniq_arr[out["b"].to_numpy()], id_type),
-                "hamming": pa.array(out["hamming"].to_numpy(), pa.int64()),
-            }
-        )
-
-    pairs = exploded.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
-
-    # global dedup: the same pair can surface from bands in different
-    # coarse groups.  hamming is identical for every copy of a pair, so
-    # Min is a pure dedup — a vectorized aggregate, not per-group Python
-    # (coalesced: one mostly-empty pair block per coarse group otherwise
-    # feeds the sort-aggregate's fixed per-block cost)
-    from .zonal import bucketed_agg
-
-    return bucketed_agg(pairs, ["a", "b"], {"hamming": ("hamming", "min")})
+    # no global dedup stage: canonical-band emission inside
+    # ``_coarse_pairs`` makes every pair surface from exactly ONE
+    # coarse group (the one holding its lowest matching band), so the
+    # union of group outputs is already the unique pair set — one
+    # shuffle total for the whole operator.
+    return exploded.groupby("coarse").map_groups(
+        partial(_coarse_pairs, max_hamming=max_hamming), batch_format="pandas"
+    )
 
 
 # -- simhash -----------------------------------------------------------------
