@@ -2731,13 +2731,15 @@ def q_neardup_clusters(sf_dir: str):
     doc with its cluster representative (component-min doc_id) and
     cluster size.  Keep-one-per-cluster / drop-oversized-cluster
     filters compose directly on this frame."""
-    from ..stages.cluster import connected_components, with_cluster_sizes
+    from ..stages.cluster import connected_components_auto, with_cluster_sizes
     from ..stages.dedup import minhash_lsh_pairs
 
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     docs2 = _tbl(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs, docs2, threshold=0.7)
-    labels = connected_components(pairs)
+    # auto-dispatch: bounded pair graphs label on the driver (zero
+    # propagation shuffles), big ones take the co-partitioned rounds
+    labels = connected_components_auto(pairs)
     out = with_cluster_sizes(labels)
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -2805,12 +2807,12 @@ def q_image_dup_clusters(sf_dir: str):
     copy, ``sources/tiles.py:plant_donor``) make multi-node components
     the EXPECTED case, exercising >1 propagation round."""
     from ..sources.tiles import read_tiles
-    from ..stages.cluster import connected_components, with_cluster_sizes
+    from ..stages.cluster import connected_components_auto, with_cluster_sizes
     from ..stages.dedup import phash_neardup_pairs
 
     ds = read_tiles(tiles_path(sf_dir), columns=["image_id", "phash"])
     pairs = phash_neardup_pairs(ds, max_hamming=3, n_rows=universe_n(sf_dir))
-    labels = connected_components(
+    labels = connected_components_auto(
         pairs.map_batches(_pairs_to_int_ids, batch_format="pyarrow")
     )
     out = with_cluster_sizes(labels)

@@ -198,3 +198,68 @@ def with_cluster_sizes(labels, n_buckets: int | None = None):
         .groupby("bl")
         .map_groups(sizes, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# broadcast fast path (round 4) — same pattern as graph.pagerank_broadcast:
+# the PAIR graph of a near-dup job is a tiny, bounded side product of the
+# corpus (edges ≈ planted dups, ~0.1% of rows), so below a cap it is
+# cheaper to pull the edge list once and label it vectorized on the
+# driver than to pay one bucket shuffle per propagation round.  The
+# co-partitioned rounds above remain the 10⁹-edge design.
+# ---------------------------------------------------------------------------
+
+CC_BROADCAST_EDGE_CAP = 4_000_000
+
+
+def _min_label_components(ua: np.ndarray, ub: np.ndarray):
+    """Vectorized min-label propagation with pointer jumping over an
+    in-memory edge list: O(E) per pass, O(log diameter) passes.
+    Labels are component-minimum NODE IDS (nodes sorted ascending, so
+    min index == min id).  Returns (nodes, labels)."""
+    nodes, inv = np.unique(np.concatenate([ua, ub]), return_inverse=True)
+    ea, eb = inv[: len(ua)], inv[len(ua):]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ea, lbl[eb])
+        np.minimum.at(new, eb, lbl[ea])
+        while True:  # pointer jumping: chase labels to their fixpoint
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, lbl):
+            return nodes, nodes[lbl]
+        lbl = new
+
+
+def connected_components_broadcast(pairs, a: str = "a", b: str = "b"):
+    """Driver-side components for a BOUNDED pair set — bit-identical
+    output contract to :func:`connected_components` (pytest-enforced):
+    (node, lbl=component-min node id), nodes appearing in pairs only."""
+    import ray.data as rd
+
+    df = pairs.select_columns([a, b]).to_pandas()
+    nodes, lbl = _min_label_components(
+        df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)
+    )
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()), "lbl": pa.array(lbl, pa.int64())})
+    )
+
+
+def connected_components_auto(
+    pairs,
+    a: str = "a",
+    b: str = "b",
+    edge_cap: int = CC_BROADCAST_EDGE_CAP,
+    **kw,
+):
+    """Dispatch on the materialized edge count: ≤ ``edge_cap`` edges →
+    driver-side vectorized labeling (zero propagation shuffles); above
+    it → the co-partitioned min-label rounds."""
+    pairs = pairs.materialize()
+    if pairs.count() <= edge_cap:
+        return connected_components_broadcast(pairs, a, b)
+    return connected_components(pairs, a, b, **kw)

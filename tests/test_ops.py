@@ -1454,3 +1454,36 @@ def test_ttl_throttle_matches_sequential_state(rd, ray_session):
             last[(u, t)] = s
             kept.append(e)
     assert got.event_id.tolist() == sorted(kept)
+
+
+def test_cc_broadcast_matches_distributed(rd, ray_session):
+    """connected_components_broadcast must be bit-identical to the
+    co-partitioned min-label rounds on random sparse pair graphs,
+    including chains (diameter stress) and singleton pairs."""
+    from biomass_processing_pipeline_ray.stages.cluster import (
+        connected_components,
+        connected_components_auto,
+        connected_components_broadcast,
+    )
+
+    rng = np.random.default_rng(7)
+    ua = rng.integers(0, 3000, 2500)
+    ub = rng.integers(0, 3000, 2500)
+    # add a long chain (worst-case diameter for propagation)
+    chain = np.arange(5000, 5400)
+    ua = np.concatenate([ua, chain[:-1]])
+    ub = np.concatenate([ub, chain[1:]])
+    pairs = pa.table({"a": pa.array(ua, pa.int64()), "b": pa.array(ub, pa.int64())})
+
+    def canon(ds):
+        return (
+            ds.to_pandas().sort_values("node").reset_index(drop=True)
+        )
+
+    dist = canon(connected_components(rd.from_arrow(pairs)))
+    bc = canon(connected_components_broadcast(rd.from_arrow(pairs)))
+    auto = canon(connected_components_auto(rd.from_arrow(pairs)))
+    assert dist.equals(bc)
+    assert dist.equals(auto)
+    # sanity: the chain is one component labeled by its min node
+    assert (bc[bc.node.isin(chain)].lbl == 5000).all()
