@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "county_gradient",
     "curation_sweep",
     "embedding_neardup_lsh",
+    "events_ttl_throttle",
+    "shard_packing",
+    "stratified_quota_sample",
     "county_top3_tiles",
     "type_distinct_users",
     "user_funnel",

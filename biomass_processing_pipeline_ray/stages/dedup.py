@@ -434,9 +434,12 @@ def _coarse_pairs(g: pd.DataFrame, max_hamming: int) -> pa.Table:
                 np.arange(t), np.full(t, t, dtype=np.int64), gather=idx
             )
 
-    _HOT_RUN = 64  # round 4: was 512; the vectorized cross-run
-    # refinement below makes a low threshold affordable, and runs
-    # of 64..512 were the quadratic bulk at 3M tiles
+    _HOT_RUN = 16  # round 4: 512 -> 64 -> 16.  The vectorized
+    # cross-run refinement makes a low threshold affordable; at 3M
+    # tiles the AVERAGE 16-bit band run is ~45 rows (3M/65536 per
+    # band), so a threshold of 64 still left the quadratic bulk
+    # (C(45,2) ~ 990 candidates/run) on the plain triangle path.
+    # Break-even vs the lexsort refinement (~8 ops/row) is r ~ 17.
     small = runlen <= _HOT_RUN
     if small.any():
         triangle_runs(
@@ -539,6 +542,18 @@ def banded_hamming_pairs(
         lambda b: _explode_bands(b, id_col, hash_col, n_coarse),
         batch_format="pyarrow",
     )
+    # COALESCE before the sort exchange: the exploded dataset inherits
+    # the read's block count (one per input file — 733 blocks of
+    # ~600 KB at 3M tiles), and Ray's sort creates #blocks output
+    # partitions, i.e. #blocks² shuffle fragments of ~1 KB.  At 3M
+    # tiles the operator spent 69 s coordinating ~540k tiny objects
+    # while total compute was ~5 s/core.  A no-shuffle repartition to
+    # a CPU-scaled block count (≈8 MB blocks) collapses the fragment
+    # matrix; n_coarse already scales group sizes independently.
+    import ray
+
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    exploded = exploded.repartition(max(2 * ncpus, 16), shuffle=False)
 
     from functools import partial
 
