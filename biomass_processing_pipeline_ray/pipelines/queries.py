@@ -2718,6 +2718,75 @@ _SQL_EMBEDDING_NEARDUP_LSH = f"""
 """
 
 
+_SHARD_BUDGET = 4096  # tokens per shard
+_SAMPLE_PCT = 20
+
+
+def q_shard_packing(sf_dir: str):
+    """Token-shard packing (training-data export layout): documents in
+    doc_id order are laid end to end and cut every ``_SHARD_BUDGET``
+    whitespace tokens; per-shard stats come back.  Exact distributed
+    prefix sum — see ``stages/sampling.shard_packing``."""
+    from ..stages.sampling import shard_packing
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return shard_packing(ds, budget=_SHARD_BUDGET)
+
+
+_SQL_SHARD_PACKING = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT)
+               AS ntok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ntok,
+             COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM tok
+    )
+    SELECT CAST(start_off // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM c GROUP BY 1
+"""
+
+
+def q_stratified_quota_sample(sf_dir: str):
+    """Deterministic per-source 20 % quota sample — smallest
+    (knuth-hash(doc_id), doc_id) per stratum — selected WITHOUT a data
+    shuffle via the bounded-histogram threshold machinery in
+    ``stages/sampling.stratified_sample``."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(ds, frac_pct=_SAMPLE_PCT)
+
+
+_SQL_STRATIFIED_QUOTA_SAMPLE = f"""
+    WITH k AS (
+      SELECT source, doc_id,
+             (doc_id * 2654435761) % 4294967296 AS skey
+      FROM documents
+    ), n AS (
+      SELECT source,
+             GREATEST(1, COUNT(*) * {_SAMPLE_PCT} // 100) AS keep
+      FROM k GROUP BY source
+    ), r AS (
+      SELECT source, doc_id, skey,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY skey, doc_id) AS rn
+      FROM k
+    )
+    SELECT r.source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(skey AS BIGINT) AS skey
+    FROM r JOIN n USING (source) WHERE rn <= keep
+"""
+
+
 # ---------------------------------------------------------------------------
 # cluster + sketch family (round 3): pair edges -> components, KMV
 # distinct sketch, caption agreement over image near-dup pairs
@@ -4280,8 +4349,8 @@ def build_queries() -> dict:
     # window holds every entry WITHOUT a driver-green CORRECTNESS
     # row from round 3 — positions 1-7 were never driver-sampled in
     # any round (judge-verified hash-equal locally in r3), then the
-    # two new round-4 queries, then the 33 entries driver-green in
-    # r1/r2 that rotated out of the r3 window, then 8 r3-green
+    # five new round-4 queries, then the 33 entries driver-green in
+    # r1/r2 that rotated out of the r3 window, then 5 r3-green
     # representatives (the flagship + the heaviest machinery) so the
     # headline paths stay continuously attested.  The tail
     # (positions 51+) is exactly the remaining r3 driver-green
@@ -4306,6 +4375,8 @@ def build_queries() -> dict:
             _SQL_EMBEDDING_NEARDUP_LSH,
         ),
         "events_ttl_throttle": (q_events_ttl_throttle, sql_ttl_throttle(_TTL_US)),
+        "shard_packing": (q_shard_packing, _SQL_SHARD_PACKING),
+        "stratified_quota_sample": (q_stratified_quota_sample, _SQL_STRATIFIED_QUOTA_SAMPLE),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

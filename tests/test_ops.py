@@ -1487,3 +1487,103 @@ def test_cc_broadcast_matches_distributed(rd, ray_session):
     assert dist.equals(auto)
     # sanity: the chain is one component labeled by its min node
     assert (bc[bc.node.isin(chain)].lbl == 5000).all()
+
+
+def test_shard_packing_matches_sequential(rd, ray_session):
+    """Distributed prefix-sum shard assignment must equal a literal
+    sequential walk (concatenate docs in id order, cut every BUDGET
+    tokens), including shards spanning many id-range buckets and
+    zero-token documents."""
+    from biomass_processing_pipeline_ray.stages.sampling import shard_packing
+
+    rng = np.random.default_rng(7)
+    n, budget = 3000, 97
+    # sparse, shuffled-on-disk ids; some empty texts
+    ids = np.sort(rng.choice(np.arange(0, 20000), n, replace=False))
+    ntok = rng.integers(0, 40, n)
+    texts = [" ".join(["w"] * k) for k in ntok]
+    perm = rng.permutation(n)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids[perm], pa.int64()),
+            "text": pa.array([texts[i] for i in perm], pa.string()),
+        }
+    )
+    got = (
+        shard_packing(rd.from_arrow(tbl), budget=budget)
+        .to_pandas()
+        .sort_values("shard_id")
+        .reset_index(drop=True)
+    )
+    # sequential reference
+    import collections
+
+    acc = 0
+    ref = collections.defaultdict(lambda: [0, 0, np.iinfo(np.int64).max, -1])
+    for i, k in zip(ids, ntok):
+        s = acc // budget
+        r = ref[s]
+        r[0] += 1
+        r[1] += int(k)
+        r[2] = min(r[2], int(i))
+        r[3] = max(r[3], int(i))
+        acc += int(k)
+    exp = pd.DataFrame(
+        [
+            {"shard_id": s, "n_docs": v[0], "tokens": v[1],
+             "min_doc": v[2], "max_doc": v[3]}
+            for s, v in sorted(ref.items())
+        ]
+    )
+    assert got[["shard_id", "n_docs", "tokens", "min_doc", "max_doc"]].astype(
+        np.int64
+    ).values.tolist() == exp.values.tolist()
+
+
+def test_stratified_quota_sample_exact_quota(rd, ray_session):
+    """The histogram-threshold selection must pick EXACTLY the
+    max(1, floor(n_s * f)) smallest (skey, id) rows per stratum —
+    equal to a literal per-stratum sort — including single-row strata
+    and strata whose boundary bin holds multiple rows."""
+    from biomass_processing_pipeline_ray.stages.sampling import (
+        skey_u32,
+        stratified_sample,
+    )
+
+    rng = np.random.default_rng(13)
+    sizes = {"big": 1700, "mid": 230, "tiny": 4, "one": 1}
+    rows_s, rows_i = [], []
+    next_id = 0
+    for s, k in sizes.items():
+        ids = rng.choice(np.arange(next_id, next_id + 10 * k), k, replace=False)
+        next_id += 10 * k
+        rows_s += [s] * k
+        rows_i += ids.tolist()
+    perm = rng.permutation(len(rows_s))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(rows_i, np.int64)[perm]),
+            "source": pa.array(np.asarray(rows_s, object)[perm].astype(str)),
+        }
+    )
+    got = (
+        stratified_sample(rd.from_arrow(tbl), frac_pct=20)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["skey"] = skey_u32(df["doc_id"].to_numpy()).astype(np.int64)
+    expect = []
+    for s, g in df.groupby("source"):
+        keep = max(1, len(g) * 20 // 100)
+        expect.append(g.sort_values(["skey", "doc_id"]).head(keep))
+    exp = (
+        pd.concat(expect)[["source", "doc_id", "skey"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.groupby("source").size().to_dict() == {
+        "big": 340, "mid": 46, "tiny": 1, "one": 1
+    }
+    assert got[["source", "doc_id", "skey"]].equals(exp)
