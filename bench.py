@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_ttl_throttle",
     "shard_packing",
     "stratified_quota_sample",
+    "cell_pyramid",
     "county_top3_tiles",
     "type_distinct_users",
     "user_funnel",
@@ -154,12 +155,20 @@ def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "num_cpus": num_cpus,
     }
     if not headline_only:
+        import gc
+
         registry = build_queries()
         for name in BENCH_QUERIES:
             fn = registry[name][0]
             t0 = time.time()
             _consume(fn(sf_dir))
             out["queries"][name] = round(time.time() - t0, 3)
+            # Ray Data execution plans hold ObjectRefs in reference
+            # cycles; without an explicit collect the object store
+            # keeps prior queries' blocks alive and late-ordered
+            # entries pay spill churn (measured 2-4x inflation on the
+            # tail of the list vs the same queries run solo).
+            gc.collect()
     ray.shutdown()
     return out
 

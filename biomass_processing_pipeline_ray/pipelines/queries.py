@@ -2755,6 +2755,93 @@ _SQL_SHARD_PACKING = f"""
 """
 
 
+_PYRAMID_LEVELS = (13, 12, 11, 10)
+
+
+def q_cell_pyramid(sf_dir: str):
+    """Multi-resolution overview pyramid (raster-pyramid analog of the
+    reference's multi-scale tile grids, ``coordinate_utils_v3.py``):
+    every tile's level-13 S2 cell rolls up to its level-12/11/10
+    ancestors — (level, cell) → tile count + lattice-exact biomass sum.
+    Ancestor ids derive in-batch by pure integer math
+    (``geo/s2.parent``: clear the low bits, set the sentinel), the
+    4-level explode happens inside ``map_batches`` so only (level,
+    cell, partial) rows reach the ONE high-cardinality-safe bucketed
+    aggregate.  Oracle: the independent recursive-Hilbert S2 parquet
+    with the same (unsigned) arithmetic in SQL."""
+    from ..functions.rounding import round_away
+    from ..geo import s2 as S2
+    from ..stages.cells import CellEncoder
+    from ..stages.zonal import bucketed_agg
+
+    ds = _range_geo(universe_n(sf_dir))
+
+    def explode_levels(b: pa.Table) -> pa.Table:
+        cells = b["s2_cell"].to_numpy().astype(np.uint64)
+        bm = snap_binary(G.derive_biomass(b["tile_id"].to_numpy()))
+        lv, oc, ob = [], [], []
+        for lvl in _PYRAMID_LEVELS:
+            pc = cells if lvl == _PYRAMID_LEVELS[0] else S2.parent(cells, lvl)
+            lv.append(np.full(len(cells), lvl, np.int64))
+            oc.append(pc)
+            ob.append(bm)
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(lv)),
+                "cell": pa.array(np.concatenate(oc), pa.uint64()),
+                "biomass": pa.array(np.concatenate(ob)),
+            }
+        )
+
+    exploded = ds.map_batches(CellEncoder(), batch_format="pyarrow").map_batches(
+        explode_levels, batch_format="pyarrow"
+    )
+    agg = bucketed_agg(
+        exploded,
+        ["level", "cell"],
+        {"n_tiles": ("biomass", "size"), "biomass_sum": ("biomass", "sum")},
+        nb=1024,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "level": b["level"],
+                "cell": b["cell"],
+                "n_tiles": b["n_tiles"],
+                "biomass_sum": pa.array(
+                    round_away(b["biomass_sum"].to_numpy(), 4)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_cell_pyramid(n: int) -> str:
+    from .oracles import cell_oracle_path
+
+    bm = sql_snap(G.sql_biomass("tile_id"))
+    arms = ["SELECT CAST(13 AS BIGINT) AS level, s2_cell AS cell, biomass FROM base"]
+    for lvl in _PYRAMID_LEVELS[1:]:
+        lsb = 1 << (2 * (30 - lvl))
+        arms.append(
+            f"SELECT CAST({lvl} AS BIGINT), "
+            f"s2_cell - (s2_cell % {2 * lsb}) + {lsb}, biomass FROM base"
+        )
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH base AS (
+      SELECT s2_cell, {bm} AS biomass
+      FROM read_parquet('{cell_oracle_path(n)}')
+    )
+    SELECT level, cell, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           ROUND(SUM(biomass), 4) AS biomass_sum
+    FROM ({union})
+    GROUP BY level, cell
+    """
+
+
 def q_stratified_quota_sample(sf_dir: str):
     """Deterministic per-source 20 % quota sample — smallest
     (knuth-hash(doc_id), doc_id) per stratum — selected WITHOUT a data
@@ -4377,6 +4464,7 @@ def build_queries() -> dict:
         "events_ttl_throttle": (q_events_ttl_throttle, sql_ttl_throttle(_TTL_US)),
         "shard_packing": (q_shard_packing, _SQL_SHARD_PACKING),
         "stratified_quota_sample": (q_stratified_quota_sample, _SQL_STRATIFIED_QUOTA_SAMPLE),
+        "cell_pyramid": (q_cell_pyramid, _sql_cell_pyramid(_N_ORACLE)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
