@@ -52,6 +52,10 @@ LADDER = {
     "curation_sweep": "tiles",
     "neardup_clusters": "documents",
     "ann_pq_topk": "embeddings",
+    # round-4 additions: the 4-level explode + high-cardinality agg
+    # (payload-free), and the distributed prefix sum over documents
+    "cell_pyramid": "tiles",
+    "shard_packing": "documents",
 }
 
 

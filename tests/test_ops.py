@@ -1587,3 +1587,43 @@ def test_stratified_quota_sample_exact_quota(rd, ray_session):
         "big": 340, "mid": 46, "tiny": 1, "one": 1
     }
     assert got[["source", "doc_id", "skey"]].equals(exp)
+
+
+def test_curation_sweep_checkpointed_resume(ray_session, tiles_small, tmp_path):
+    """The checkpointed fused-decode sweep must (a) resume to a
+    bit-identical frame, (b) recompute only invalidated sub-partitions
+    to the same result, and (c) agree with the headline checkpointed
+    pipeline on the shared biomass/tile-count columns."""
+    from biomass_processing_pipeline_ray.pipelines.biomass import (
+        biomass_zonal_checkpointed,
+    )
+    from biomass_processing_pipeline_ray.pipelines.sweep import (
+        curation_sweep_checkpointed,
+    )
+
+    out = str(tmp_path / "sweep")
+    full = curation_sweep_checkpointed(tiles_small, out, n_tiles=1000)
+    assert len(full) == 64
+    assert int(full.tile_count.sum()) == 1000
+    assert (full.px_total >= full.px_in).all()
+    assert (full.grad_sum > 0).all()
+
+    again = curation_sweep_checkpointed(tiles_small, out, n_tiles=1000)
+    assert full.equals(again)
+
+    import glob
+    import os
+
+    victims = sorted(glob.glob(os.path.join(out, "_lineage", "*.json")))[:3]
+    for v in victims:
+        os.remove(v)
+    third = curation_sweep_checkpointed(tiles_small, out, n_tiles=1000)
+    assert full.equals(third)
+
+    z = biomass_zonal_checkpointed(
+        tiles_small, str(tmp_path / "zonal"), n_tiles=1000
+    )
+    m = full.merge(z, on="county_fips", suffixes=("_s", "_z"))
+    assert (m.tile_count_s == m.tile_count_z).all()
+    # sweep snaps + rounds(4); headline summary is unrounded
+    assert np.allclose(m.biomass_sum_s, m.biomass_sum_z, atol=5e-5)
