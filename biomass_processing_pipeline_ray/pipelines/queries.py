@@ -46,6 +46,7 @@ from ..geo.geoms import ACRES_PER_M2, M_PER_DEG
 
 TILES_PER_SF = 6_000_000  # sf0.001 → 6k tiles, sf0.01 → 60k, sf0.1 → 600k
 KNN_N = 4_000             # kNN query universe (SQL oracle is an O(n²) join)
+TFIDF_BCAST_CAP = 2_000_000  # vocab sizes ≤ cap broadcast the df map
 ANN_NQ = 8                # number of ANN query vectors
 ANN_SAMPLE = 512          # IVF k-means training-sample size (hashed sample)
 ORACLE_SF = 0.01          # scale the static oracle SQL is written for
@@ -3681,7 +3682,53 @@ def q_tfidf_top_terms(sf_dir: str):
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()  # bounded driver scalar (COUNT(*) twin)
     tf = docs.map_batches(term_tf_batch, batch_format="pyarrow").materialize()
-    df = bucketed_agg(tf, ["term"], {"df": ("tf", "size")}, nb=256)
+    df = bucketed_agg(tf, ["term"], {"df": ("tf", "size")}, nb=256).materialize()
+
+    # BROADCAST fast path (auto-dispatched, the pagerank_auto pattern):
+    # the (term, df) vocabulary is already materialized for the join —
+    # when it is bounded (≤ cap) ship it once via ray.put and fuse
+    # scoring + per-document argmax into ONE whole-block map over the
+    # tf table: 1 shuffle total (the df aggregate) instead of 3.
+    # ``term_tf_batch`` emits each document's terms inside a single
+    # output block, so whole-block batches (batch_size=None) keep
+    # documents row-atomic and the in-batch argmax is exact.  Larger
+    # vocabularies fall through to the co-partitioned union join (the
+    # 10⁹-term path — vocabulary never reaches the driver there).
+    if df.count() <= TFIDF_BCAST_CAP:
+        import ray as _ray
+
+        dmap = df.to_pandas().set_index("term")["df"].astype(np.int64)
+        dref = _ray.put(dmap)
+
+        def score_top1(b: pd.DataFrame) -> pa.Table:
+            d = _ray.get(dref)
+            dfv = d.reindex(b["term"]).to_numpy(np.int64)
+            tfv = b["tf"].to_numpy(np.int64)
+            g = pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(np.int64),
+                    "term": b["term"].astype(str),
+                    "tf": tfv,
+                    "df": dfv,
+                    "score": (tfv * n_docs) // dfv,
+                }
+            ).sort_values(
+                ["doc_id", "score", "term"], ascending=[True, False, True]
+            )
+            g = g.groupby("doc_id", as_index=False).head(1)
+            return pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+                    "term": pa.array(g["term"], pa.string()),
+                    "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+                    "df": pa.array(g["df"].to_numpy(np.int64), pa.int64()),
+                    "score": pa.array(g["score"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        return tf.map_batches(
+            score_top1, batch_format="pandas", batch_size=None
+        )
 
     nbj = 256
 

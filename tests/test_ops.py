@@ -1627,3 +1627,26 @@ def test_curation_sweep_checkpointed_resume(ray_session, tiles_small, tmp_path):
     assert (m.tile_count_s == m.tile_count_z).all()
     # sweep snaps + rounds(4); headline summary is unrounded
     assert np.allclose(m.biomass_sum_s, m.biomass_sum_z, atol=5e-5)
+
+
+def test_tfidf_broadcast_equals_copartitioned(ray_session, monkeypatch):
+    """The broadcast-vocabulary fast path must be bit-identical to the
+    co-partitioned union-join path (which stays the 10⁹-term design)."""
+    import biomass_processing_pipeline_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = (
+        Q.q_tfidf_top_terms(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(Q, "TFIDF_BCAST_CAP", 0)
+    slow = (
+        Q.q_tfidf_top_terms(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+    assert len(fast) == 500
