@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "shard_packing",
     "stratified_quota_sample",
     "cell_pyramid",
+    "quality_topfrac",
     "county_top3_tiles",
     "type_distinct_users",
     "user_funnel",

@@ -266,3 +266,157 @@ def shard_packing(ds, budget: int, id_col: str = "doc_id",
         },
         nb=256,
     )
+
+
+# -- exact global top-f% selection without a shuffle --------------------------
+
+_SEL_BITS = 12  # 4096-way histogram per refinement round
+
+
+def orderable_u64(x: np.ndarray) -> np.ndarray:
+    """IEEE-754 order-preserving uint64 key: k(a) < k(b) ⇔ a < b for
+    all finite float64 (the standard sign-flip trick)."""
+    b = np.ascontiguousarray(x, dtype=np.float64).view(np.uint64)
+    flip = np.where(
+        (b >> np.uint64(63)) == 1, ~np.uint64(0), np.uint64(1) << np.uint64(63)
+    )
+    return b ^ flip
+
+
+def top_frac_by_score(ds, frac_pct: int = 20, id_col: str = "doc_id",
+                      score_col: str = "score", descending: bool = True,
+                      collect_cap: int = 65536):
+    """Keep exactly max(1, ⌊n·f⌋) rows with the best (score, id) — the
+    global quality-filter / hard-example-selection primitive — WITHOUT
+    sorting or shuffling the data.
+
+    ``ds`` must carry ``id_col`` (int64, unique) and ``score_col``
+    (float64).  Selection order is (score DESC|ASC, id ASC), exactly.
+
+    Shape: scores map to order-preserving uint64 keys and recursive
+    8-bit-prefix histograms over the virtual 128-bit key (score-key ‖
+    id) locate the threshold bucket — bounded 256-count partials per
+    round, ≤ 16 rounds worst case (typically 1–2), each one narrow
+    scan of a materialized (id, key, score) sidecar.  Because the id
+    half of the virtual key is unique, refinement ALWAYS reaches a
+    prefix holding ≤ ``collect_cap`` rows — even when millions of rows
+    tie on the exact same score — so the boundary collection is
+    bounded by construction.  One tiny collection resolves the exact
+    k-th (key, id) pair; one filter pass emits the winners.  A global
+    sort/top-k shuffle would move f of the corpus; this moves bounded
+    histograms plus one boundary bucket.
+    """
+    from .zonal import bucketed_agg
+
+    def keyed_batch(b: pa.Table) -> pa.Table:
+        sc = b[score_col].to_numpy().astype(np.float64)
+        k = orderable_u64(sc)
+        if descending:
+            k = ~k
+        return pa.table(
+            {
+                "id": b[id_col],
+                "k": pa.array(k, pa.uint64()),
+                "score": pa.array(sc),
+            }
+        )
+
+    keyed = ds.map_batches(keyed_batch, batch_format="pyarrow").materialize()
+    n = keyed.count()
+    keep = max(1, n * frac_pct // 100)
+
+    _RB = 8  # bits per refinement round; 128 = 16 rounds, no straddle
+
+    def _prefix_parts(pfx_int: int, bits: int):
+        kb = min(bits, 64)
+        ib = bits - kb
+        pk = np.uint64(pfx_int >> ib) if kb else None
+        pi = np.uint64(pfx_int & ((1 << ib) - 1)) if ib else None
+        return kb, ib, pk, pi
+
+    def _match(k: np.ndarray, idu: np.ndarray, kb, ib, pk, pi) -> np.ndarray:
+        m = np.ones(len(k), dtype=bool)
+        if kb:
+            m &= (k >> np.uint64(64 - kb)) == pk if kb < 64 else (k == pk)
+        if ib:
+            m &= (idu >> np.uint64(64 - ib)) == pi
+        return m
+
+    pfx_int = 0
+    bits = 0
+    keep_rem = keep
+    while True:
+        kb, ib, pk, pi = _prefix_parts(pfx_int, bits)
+        lo = 128 - bits - _RB  # this round's bucket bit offset
+
+        def hist_partial(b: pa.Table, kb=kb, ib=ib, pk=pk, pi=pi, lo=lo) -> pa.Table:
+            k = b["k"].to_numpy()
+            idu = b["id"].to_numpy().astype(np.uint64)
+            m = _match(k, idu, kb, ib, pk, pi)
+            src = (
+                (k[m] >> np.uint64(lo - 64))
+                if lo >= 64
+                else (idu[m] >> np.uint64(lo))
+            )
+            bk = (src & np.uint64((1 << _RB) - 1)).astype(np.int64)
+            cnt = np.bincount(bk, minlength=1 << _RB)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "bucket": pa.array(nz.astype(np.int64)),
+                    "cnt": pa.array(cnt[nz].astype(np.int64)),
+                }
+            )
+
+        hist = bucketed_agg(
+            keyed.map_batches(hist_partial, batch_format="pyarrow"),
+            ["bucket"],
+            {"cnt": ("cnt", "sum")},
+            nb=16,
+        ).to_pandas().sort_values("bucket")
+        cum = hist["cnt"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, keep_rem, side="left"))
+        b_star = int(hist["bucket"].iloc[i])
+        before = int(cum[i - 1]) if i else 0
+        in_boundary = int(hist["cnt"].iloc[i])
+        keep_rem -= before
+        pfx_int = (pfx_int << _RB) | b_star
+        bits += _RB
+        if in_boundary <= collect_cap or bits >= 128:
+            break
+
+    kb, ib, pk, pi = _prefix_parts(pfx_int, bits)
+
+    def boundary_rows(b: pa.Table, kb=kb, ib=ib, pk=pk, pi=pi) -> pa.Table:
+        k = b["k"].to_numpy()
+        idu = b["id"].to_numpy().astype(np.uint64)
+        m = _match(k, idu, kb, ib, pk, pi)
+        return pa.table(
+            {
+                "id": b["id"].filter(pa.array(m)),
+                "k": pa.array(k[m], pa.uint64()),
+            }
+        )
+
+    edge = (
+        keyed.map_batches(boundary_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["k", "id"])
+    )
+    # column-wise extraction: a row-wise .iloc[i] would coerce the
+    # mixed uint64/int64 row to float64 and round the 64-bit key
+    k_star = edge["k"].to_numpy()[keep_rem - 1]
+    id_star = int(edge["id"].to_numpy()[keep_rem - 1])
+
+    def final_filter(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy()
+        ids = b["id"].to_numpy()
+        m = (k < k_star) | ((k == k_star) & (ids <= id_star))
+        return pa.table(
+            {
+                id_col: b["id"].filter(pa.array(m)),
+                score_col: b["score"].filter(pa.array(m)),
+            }
+        )
+
+    return keyed.map_batches(final_filter, batch_format="pyarrow")

@@ -127,3 +127,61 @@ def test_generic_checkpointed_write_resume(ray_session, tmp_path):
     assert os.path.exists(
         os.path.join(out_dir, "event_type=view", "part-1.parquet")
     )
+
+
+SWEEP_CHILD = """
+import ray, os
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from biomass_processing_pipeline_ray.pipelines.sweep import curation_sweep_checkpointed
+curation_sweep_checkpointed(os.environ["TILES"], os.environ["OUT"],
+                            n_tiles=int(os.environ["NT"]), concurrency=(1, 1))
+ray.shutdown()
+"""
+
+
+def test_sweep_kill_mid_run_then_resume(ray_session, tiles_small, tmp_path):
+    """Hard-kill the checkpointed curation sweep mid-run; the resumed
+    frame must equal an uninterrupted run bit-for-bit (FIXTURES.md §5
+    contract, applied to the fused-decode job)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pandas as pd
+
+    from biomass_processing_pipeline_ray.pipelines.sweep import (
+        curation_sweep_checkpointed,
+    )
+
+    out_full = str(tmp_path / "sweep_full")
+    full = curation_sweep_checkpointed(tiles_small, out_full, n_tiles=1000)
+
+    out_kill = str(tmp_path / "sweep_killed")
+    lineage_dir = os.path.join(out_kill, "_lineage")
+    env = dict(
+        os.environ,
+        TILES=tiles_small,
+        OUT=out_kill,
+        NT="1000",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", SWEEP_CHILD], env=env, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.isdir(lineage_dir) and len(os.listdir(lineage_dir)) >= 3:
+            break
+        time.sleep(0.2)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+
+    resumed = curation_sweep_checkpointed(tiles_small, out_kill, n_tiles=1000)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), resumed.reset_index(drop=True)
+    )

@@ -1650,3 +1650,45 @@ def test_tfidf_broadcast_equals_copartitioned(ray_session, monkeypatch):
     )
     assert fast.equals(slow)
     assert len(fast) == 500
+
+
+def test_top_frac_by_score_exact(rd, ray_session):
+    """Histogram-threshold selection must equal a literal global sort
+    by (score DESC, id ASC) — including heavy score TIES (the boundary
+    key spans many rows) and a tiny collect_cap that forces several
+    12-bit refinement rounds."""
+    from biomass_processing_pipeline_ray.stages.sampling import (
+        top_frac_by_score,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    ids = rng.permutation(n).astype(np.int64)
+    # clustered scores with heavy ties: ~40 distinct values
+    scores = np.round(rng.normal(15.0, 2.0, n), 1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    for cap in (65536, 64):  # 64 forces deep recursion through ties
+        got = (
+            top_frac_by_score(
+                rd.from_arrow(tbl), frac_pct=20, id_col="doc_id",
+                score_col="score", collect_cap=cap,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        order = np.lexsort((ids, -scores))  # score desc, id asc
+        keep = max(1, n * 20 // 100)
+        exp = (
+            pd.DataFrame({"doc_id": ids[order[:keep]],
+                          "score": scores[order[:keep]]})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == keep
+        assert got.equals(exp), f"cap={cap}"
