@@ -1502,3 +1502,89 @@ def sql_ttl_throttle(ttl_us: int) -> str:
         "SELECT event_id, user_id, event_type, ts_us "
         f"FROM read_parquet('{ttl_oracle_path(ttl_us)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ oracle: sequential single-pass reference of the cell-partitioned
+# PQ-code store — same coarse quantizer + codebooks (algorithm constants,
+# the ensure_ivf_oracle / ensure_pq_oracle precedent), but assignment,
+# probing, ADC scoring and top-k run in ONE numpy pass, checking the
+# engine's encode→write-partitioned→probed-read→in-batch-ADC plumbing.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_oracle_path(nlist: int = 16, nprobe: int = 4, m: int = 8,
+                      ks: int = 16, k: int = 10) -> str:
+    return os.path.join(
+        ORACLE_DIR, f"ivfpq_sf001_nl{nlist}_np{nprobe}_m{m}_ks{ks}_k{k}.parquet"
+    )
+
+
+def ensure_ivfpq_oracle(nlist: int = 16, nprobe: int = 4, m: int = 8,
+                        ks: int = 16, k: int = 10) -> str:
+    path = ivfpq_oracle_path(nlist, nprobe, m, ks, k)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+    from ..stages.ann import (
+        _normalize,
+        kmeans_centroids,
+        pq_adc_scores,
+        pq_adc_tables,
+        pq_encode,
+        pq_train,
+    )
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    skey = G.derive_key(ids)
+    sample = emb[np.argsort(skey, kind="stable")[:512]]
+    qids = ids[:8]
+    qmat = _normalize(emb[:8].copy())
+    cents = kmeans_centroids(sample, nlist)
+    books = pq_train(sample, m=m, ks=ks)
+    embn = _normalize(emb)
+    cell = np.argmax(embn @ cents.T, axis=1)
+    probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
+    keep = np.isin(cell, probed)
+    kids = ids[keep]
+    codes = pq_encode(embn[keep], books)
+    scores = pq_adc_scores(pq_adc_tables(qmat, books), codes)
+    rows = []
+    for qi in range(len(qids)):
+        s = scores[qi]
+        mask = kids != qids[qi]
+        cand_ids, cand_s = kids[mask], s[mask]
+        sel = np.lexsort((cand_ids, -cand_s))[:k]
+        for rank, idx in enumerate(sel, 1):
+            rows.append(
+                (int(qids[qi]), int(cand_ids[idx]), rank,
+                 float(round_away(cand_s[idx], 6)))
+            )
+    tbl = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "pq_score": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_ivfpq_topk() -> str:
+    return (
+        'SELECT query_id, vec_id, "rank", pq_score '
+        f"FROM read_parquet('{ivfpq_oracle_path()}')"
+    )

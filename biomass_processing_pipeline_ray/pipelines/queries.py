@@ -2620,6 +2620,45 @@ def q_ann_ivf_indexed(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_ann_ivfpq_indexed(sf_dir: str):
+    """IVF-PQ store: top-k against a MATERIALIZED coarse-cell-
+    partitioned index holding only (vec_id, m=8 int8 PQ codes) — 64
+    float32 → 8 bytes per vector (32×), the 10⁹-vector memory design:
+    raw vectors never enter the index, queries read ONLY probed
+    partitions' code columns and ADC-score in-batch.  Same centroids,
+    codebooks and probe set as the sequential single-pass oracle
+    (``oracles.ensure_ivfpq_oracle``) — hash-exact."""
+    import ray
+
+    from ..stages.ann import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+        kmeans_centroids,
+        pq_train,
+    )
+
+    qref = _query_vectors(sf_dir)
+    queries = ray.get(qref)
+    sample = np.asarray(queries["sample"], dtype=np.float64)
+    cents = kmeans_centroids(sample, 16)
+    books = pq_train(sample, m=8, ks=16)
+    idx = os.path.join(
+        TILE_CACHE,
+        f"ivfpq_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16_m8_v1",
+    )
+    build_ivfpq_index(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), idx, cents, books
+    )
+    out = ivfpq_topk_from_index(idx, qref, nprobe=4, k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pq_score"] = round_away(b["pq_score"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "pq_score"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def q_embedding_neardup(sf_dir: str):
     from ..stages.ann import embedding_neardup_pairs
 
@@ -4455,6 +4494,7 @@ def ensure_generated_oracles() -> None:
         ensure_clip_oracle,
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
+        ensure_ivfpq_oracle,
         ensure_pq_oracle,
         ensure_kmeans_oracle,
         ensure_knn_idw_oracle,
@@ -4482,6 +4522,7 @@ def ensure_generated_oracles() -> None:
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
     ensure_ivf_oracle()
+    ensure_ivfpq_oracle()
     ensure_pq_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
@@ -4504,6 +4545,7 @@ def build_queries() -> dict:
         sql_county_simplify,
         sql_fingerprints,
         sql_ivf_topk,
+        sql_ivfpq_topk,
         sql_pq_topk,
         sql_kmeans_assign,
         sql_knn_idw_full,
@@ -4553,6 +4595,7 @@ def build_queries() -> dict:
         "stratified_quota_sample": (q_stratified_quota_sample, _SQL_STRATIFIED_QUOTA_SAMPLE),
         "cell_pyramid": (q_cell_pyramid, _sql_cell_pyramid(_N_ORACLE)),
         "quality_topfrac": (q_quality_topfrac, _sql_quality_topfrac()),
+        "ann_ivfpq_indexed": (q_ann_ivfpq_indexed, sql_ivfpq_topk()),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

@@ -498,3 +498,156 @@ def pq_topk(ds, queries_ref, m: int = 8, ks: int = 16, k: int = 10):
         return g
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# -- IVF-PQ: coarse-cell-partitioned PQ-code store -----------------------------
+
+
+class IVFPQEncode:
+    """map_batches: coarse cell + PQ codes per vector — the write-side
+    kernel of the IVF-PQ store (raw floats never reach the index)."""
+
+    def __init__(self, state_ref=None):
+        import ray
+
+        cents, books = ray.get(state_ref)
+        self.cents = np.asarray(cents, dtype=np.float64)
+        self.books = books
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = embedding_matrix(batch)
+        embn = _normalize(emb)
+        cell = np.argmax(embn @ self.cents.T, axis=1).astype(np.int64)
+        codes = pq_encode(embn, self.books)
+        out = {
+            "vec_id": pa.array(ids, pa.int64()),
+            "ivf_cell": pa.array(cell),
+        }
+        for mi in range(codes.shape[1]):
+            out[f"c{mi}"] = pa.array(codes[:, mi].astype(np.int8), pa.int8())
+        return pa.table(out)
+
+
+def build_ivfpq_index(ds, out_dir: str, centroids: np.ndarray,
+                      books: np.ndarray) -> str:
+    """Materialize the IVF-PQ index: (vec_id, 8 code bytes) parquet
+    partitioned by coarse cell, centroids + codebooks stored beside.
+    The 10⁹-vector memory point: 64 float32 → m int8 per vector (32×),
+    probed-partitions-only reads, ADC scoring over codes — raw vectors
+    are never stored in (or read from) the index at all."""
+    import os
+
+    import ray
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    state_ref = ray.put(
+        (np.asarray(centroids, dtype=np.float64), np.asarray(books))
+    )
+    encoded = ds.map_batches(
+        IVFPQEncode,
+        fn_constructor_kwargs={"state_ref": state_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    encoded.write_parquet(tmp, partition_cols=["ivf_cell"])
+    np.save(os.path.join(tmp, "centroids.npy"), np.asarray(centroids))
+    np.save(os.path.join(tmp, "books.npy"), np.asarray(books))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+class _ADCTopK:
+    """Actor: ADC partial top-k over stored PQ codes (no decode)."""
+
+    def __init__(self, state_ref=None, m: int = 8, k: int = 10):
+        import ray
+
+        books, qids, qmat = ray.get(state_ref)
+        self.m = m
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.tables = pq_adc_tables(qmat, books)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        codes = np.stack(
+            [
+                batch[f"c{mi}"].to_numpy().astype(np.int64)
+                for mi in range(self.m)
+            ],
+            axis=1,
+        )
+        scores = pq_adc_scores(self.tables, codes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = scores[qi]
+            mask = ids != self.qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            sel = np.lexsort((cand_ids, -cand_s))[: self.k]
+            out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+            out_v.append(cand_ids[sel])
+            out_s.append(cand_s[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "pq_score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ivfpq_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4,
+                          k: int = 10):
+    """Query the IVF-PQ store: probe cells from the stored centroids,
+    read ONLY those partitions' code columns, ADC-score in-batch,
+    k-rows-per-query-per-batch shuffle, tiny exact final top-k."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "books.npy"))
+    m = books.shape[0]
+    queries = ray.get(queries_ref)
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
+    paths = []
+    for c in probed:
+        cell_dir = os.path.join(index_dir, f"ivf_cell={int(c)}")
+        if os.path.isdir(cell_dir):
+            paths.extend(
+                os.path.join(cell_dir, f)
+                for f in sorted(os.listdir(cell_dir))
+                if f.endswith(".parquet")
+            )
+    cols = ["vec_id"] + [f"c{mi}" for mi in range(m)]
+    ds = rd.read_parquet(paths, columns=cols)
+    state_ref = ray.put(
+        (books, np.asarray(queries["qid"], dtype=np.int64), qmat)
+    )
+    partial = ds.map_batches(
+        _ADCTopK,
+        fn_constructor_kwargs={"state_ref": state_ref, "m": m, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pq_score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -1692,3 +1692,46 @@ def test_top_frac_by_score_exact(rd, ray_session):
         )
         assert len(got) == keep
         assert got.equals(exp), f"cap={cap}"
+
+
+def test_ivfpq_index_full_probe_equals_pq(ray_session, tmp_path):
+    """Probing ALL cells of the IVF-PQ code store must reproduce the
+    in-memory PQ ADC top-k exactly (same codebooks ⇒ same codes ⇒ same
+    scores), proving the encode→write-partitioned→probed-read→ADC
+    plumbing loses nothing."""
+    import ray
+
+    import biomass_processing_pipeline_ray.pipelines.queries as Q
+    from biomass_processing_pipeline_ray.stages.ann import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+        kmeans_centroids,
+        pq_topk,
+        pq_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qref = Q._query_vectors(sf)
+    queries = ray.get(qref)
+    sample = np.asarray(queries["sample"], dtype=np.float64)
+    cents = kmeans_centroids(sample, 8)
+    books = pq_train(sample, m=8, ks=16)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        Q._tbl(sf, "embeddings", ["vec_id", "embedding"]), idx, cents, books
+    )
+    from_index = (
+        ivfpq_topk_from_index(idx, qref, nprobe=8, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    in_memory = (
+        pq_topk(Q._tbl(sf, "embeddings", ["vec_id", "embedding"]), qref,
+                m=8, ks=16, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "vec_id", "rank", "pq_score"]
+    assert from_index[cols].equals(in_memory[cols])
