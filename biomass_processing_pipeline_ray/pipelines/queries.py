@@ -4565,10 +4565,10 @@ def build_queries() -> dict:
     # window holds every entry WITHOUT a driver-green CORRECTNESS
     # row from round 3 — positions 1-7 were never driver-sampled in
     # any round (judge-verified hash-equal locally in r3), then the
-    # six new round-4 queries, then the 33 entries driver-green in
-    # r1/r2 that rotated out of the r3 window, then 4 r3-green
-    # representatives (the flagship + the heaviest machinery) so the
-    # headline paths stay continuously attested.  The tail
+    # eight new round-4 queries, then the 33 entries driver-green in
+    # r1/r2 that rotated out of the r3 window, then 2 r3-green
+    # representatives (the flagship zonal_biomass_px + knn_idw_sharded)
+    # so the headline paths stay continuously attested.  The tail
     # (positions 51+) is exactly the remaining r3 driver-green
     # entries (see CORRECTNESS_r03.json) — so r1∪r2∪r3∪r4 gives
     # every registered query a driver-green row.
