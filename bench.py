@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "stratified_quota_sample",
     "cell_pyramid",
     "quality_topfrac",
+    "quality_topfrac_by_source",
     "ann_ivfpq_indexed",
     "county_top3_tiles",
     "type_distinct_users",

@@ -2835,6 +2835,53 @@ def _sql_quality_topfrac() -> str:
     """
 
 
+def q_quality_topfrac_by_source(sf_dir: str):
+    """Per-source quality quota: keep exactly the best 20 % of EVERY
+    source by (quality_score DESC, doc_id) — the per-stratum form of
+    ``quality_topfrac``, still zero data shuffle: each refinement
+    round is one narrow scan advancing ALL unfinished sources'
+    128-bit-key histograms at once (``grouped_top_frac_by_score``)."""
+    from ..stages.sampling import grouped_top_frac_by_score
+    from ..stages.textstages import quality_batch
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text", "n_chars", "source"])
+
+    def score_only(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        return pa.table(
+            {
+                "doc_id": q["doc_id"],
+                "source": b["source"],
+                "quality_score": q["quality_score"],
+            }
+        )
+
+    scored = ds.map_batches(score_only, batch_format="pyarrow")
+    return grouped_top_frac_by_score(
+        scored, stratum="source", frac_pct=20, id_col="doc_id",
+        score_col="quality_score", descending=True,
+    )
+
+
+def _sql_quality_topfrac_by_source() -> str:
+    from ..stages.textstages import sql_quality
+
+    return f"""
+    WITH q AS (
+      SELECT v.doc_id, d.source, v.quality_score
+      FROM ({sql_quality()}) v JOIN documents d USING (doc_id)
+    ),
+    n AS (SELECT source, GREATEST(1, COUNT(*) * 20 // 100) AS keep
+          FROM q GROUP BY source),
+    r AS (SELECT source, doc_id, quality_score,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY quality_score DESC, doc_id) AS rn
+          FROM q)
+    SELECT r.source, doc_id, quality_score
+    FROM r JOIN n USING (source) WHERE rn <= keep
+    """
+
+
 _PYRAMID_LEVELS = (13, 12, 11, 10)
 
 
@@ -4595,6 +4642,10 @@ def build_queries() -> dict:
         "stratified_quota_sample": (q_stratified_quota_sample, _SQL_STRATIFIED_QUOTA_SAMPLE),
         "cell_pyramid": (q_cell_pyramid, _sql_cell_pyramid(_N_ORACLE)),
         "quality_topfrac": (q_quality_topfrac, _sql_quality_topfrac()),
+        "quality_topfrac_by_source": (
+            q_quality_topfrac_by_source,
+            _sql_quality_topfrac_by_source(),
+        ),
         "ann_ivfpq_indexed": (q_ann_ivfpq_indexed, sql_ivfpq_topk()),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),

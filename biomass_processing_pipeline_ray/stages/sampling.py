@@ -420,3 +420,187 @@ def top_frac_by_score(ds, frac_pct: int = 20, id_col: str = "doc_id",
         )
 
     return keyed.map_batches(final_filter, batch_format="pyarrow")
+
+
+def grouped_top_frac_by_score(ds, stratum: str = "source",
+                              frac_pct: int = 20, id_col: str = "doc_id",
+                              score_col: str = "score",
+                              descending: bool = True,
+                              collect_cap: int = 65536):
+    """Per-stratum exact top-f%-by-(score, id) — ``top_frac_by_score``
+    with one independent threshold per stratum, still ZERO data
+    shuffle.  Every refinement round is ONE narrow scan that advances
+    ALL unfinished strata at once (per-stratum 256-count histograms of
+    the virtual 128-bit key); strata finish at different depths, one
+    collection pass resolves every boundary, one filter emits all
+    winners.  The per-source quality-quota primitive of corpus
+    curation: keep the best f% of every source, exactly."""
+    from .zonal import bucketed_agg
+
+    def keyed_batch(b: pa.Table) -> pa.Table:
+        sc = b[score_col].to_numpy().astype(np.float64)
+        k = orderable_u64(sc)
+        if descending:
+            k = ~k
+        return pa.table(
+            {
+                "s": pa.array(
+                    np.asarray(b[stratum].to_pylist(), dtype=object).astype(str),
+                    pa.string(),
+                ),
+                "id": b[id_col],
+                "k": pa.array(k, pa.uint64()),
+                "score": pa.array(sc),
+            }
+        )
+
+    keyed = ds.map_batches(keyed_batch, batch_format="pyarrow").materialize()
+    sizes = bucketed_agg(
+        keyed.map_batches(
+            lambda b: pa.table(
+                {
+                    "s": b["s"],
+                    "one": pa.array(np.ones(len(b), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["s"],
+        {"n": ("one", "sum")},
+        nb=16,
+    ).to_pandas()
+
+    _RB = 8
+
+    def _parts(pfx_int: int, bits: int):
+        kb = min(bits, 64)
+        ib = bits - kb
+        pk = np.uint64(pfx_int >> ib) if kb else None
+        pi = np.uint64(pfx_int & ((1 << ib) - 1)) if ib else None
+        return kb, ib, pk, pi
+
+    def _match(k, idu, kb, ib, pk, pi):
+        m = np.ones(len(k), dtype=bool)
+        if kb:
+            m &= (k >> np.uint64(64 - kb)) == pk if kb < 64 else (k == pk)
+        if ib:
+            m &= (idu >> np.uint64(64 - ib)) == pi
+        return m
+
+    # per-stratum state: [pfx_int, bits, keep_rem]
+    state = {
+        str(r["s"]): [0, 0, max(1, int(r["n"]) * frac_pct // 100)]
+        for _, r in sizes.iterrows()
+    }
+    active = set(state)
+    while active:
+        snap = {
+            s: (*_parts(state[s][0], state[s][1]),
+                128 - state[s][1] - _RB)
+            for s in active
+        }
+
+        def hist_partial(b: pa.Table, snap=snap) -> pa.Table:
+            ss = np.asarray(b["s"].to_pylist(), dtype=object)
+            k = b["k"].to_numpy()
+            idu = b["id"].to_numpy().astype(np.uint64)
+            out_s, out_b, out_c = [], [], []
+            for s, (kb, ib, pk, pi, lo) in snap.items():
+                in_s = ss == s
+                if not in_s.any():
+                    continue
+                ks, ids = k[in_s], idu[in_s]
+                m = _match(ks, ids, kb, ib, pk, pi)
+                src = (
+                    (ks[m] >> np.uint64(lo - 64))
+                    if lo >= 64
+                    else (ids[m] >> np.uint64(lo))
+                )
+                bk = (src & np.uint64((1 << _RB) - 1)).astype(np.int64)
+                cnt = np.bincount(bk, minlength=1 << _RB)
+                nz = np.flatnonzero(cnt)
+                out_s.append(np.full(len(nz), s, dtype=object))
+                out_b.append(nz.astype(np.int64))
+                out_c.append(cnt[nz].astype(np.int64))
+            if not out_s:
+                return pa.table(
+                    {
+                        "s": pa.array([], pa.string()),
+                        "bucket": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "s": pa.array(
+                        np.concatenate(out_s).astype(str), pa.string()
+                    ),
+                    "bucket": pa.array(np.concatenate(out_b)),
+                    "cnt": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+        hist = bucketed_agg(
+            keyed.map_batches(hist_partial, batch_format="pyarrow"),
+            ["s", "bucket"],
+            {"cnt": ("cnt", "sum")},
+            nb=16,
+        ).to_pandas()
+        for s in list(active):
+            g = hist[hist["s"] == s].sort_values("bucket")
+            cum = g["cnt"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, state[s][2], side="left"))
+            b_star = int(g["bucket"].iloc[i])
+            before = int(cum[i - 1]) if i else 0
+            in_boundary = int(g["cnt"].iloc[i])
+            state[s][2] -= before
+            state[s][0] = (state[s][0] << _RB) | b_star
+            state[s][1] += _RB
+            if in_boundary <= collect_cap or state[s][1] >= 128:
+                active.discard(s)
+
+    final_parts = {s: _parts(st[0], st[1]) for s, st in state.items()}
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        ss = np.asarray(b["s"].to_pylist(), dtype=object)
+        k = b["k"].to_numpy()
+        idu = b["id"].to_numpy().astype(np.uint64)
+        m = np.zeros(len(k), dtype=bool)
+        for s, (kb, ib, pk, pi) in final_parts.items():
+            in_s = ss == s
+            if in_s.any():
+                sub = _match(k, idu, kb, ib, pk, pi)
+                m |= in_s & sub
+        return pa.table(
+            {
+                "s": pa.array(ss[m].astype(str), pa.string()),
+                "id": b["id"].filter(pa.array(m)),
+                "k": pa.array(k[m], pa.uint64()),
+            }
+        )
+
+    edge = keyed.map_batches(boundary_rows, batch_format="pyarrow").to_pandas()
+    thresh = {}
+    for s, st in state.items():
+        g = edge[edge["s"] == s].sort_values(["k", "id"])
+        thresh[s] = (
+            g["k"].to_numpy()[st[2] - 1],
+            int(g["id"].to_numpy()[st[2] - 1]),
+        )
+
+    def final_filter(b: pa.Table) -> pa.Table:
+        ss = np.asarray(b["s"].to_pylist(), dtype=object)
+        k = b["k"].to_numpy()
+        ids = b["id"].to_numpy()
+        m = np.zeros(len(k), dtype=bool)
+        for s, (ks, is_) in thresh.items():
+            m |= (ss == s) & ((k < ks) | ((k == ks) & (ids <= is_)))
+        return pa.table(
+            {
+                stratum: pa.array(ss[m].astype(str), pa.string()),
+                id_col: b["id"].filter(pa.array(m)),
+                score_col: b["score"].filter(pa.array(m)),
+            }
+        )
+
+    return keyed.map_batches(final_filter, batch_format="pyarrow")

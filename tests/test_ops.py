@@ -1735,3 +1735,55 @@ def test_ivfpq_index_full_probe_equals_pq(ray_session, tmp_path):
     )
     cols = ["query_id", "vec_id", "rank", "pq_score"]
     assert from_index[cols].equals(in_memory[cols])
+
+
+def test_grouped_top_frac_by_score_exact(rd, ray_session):
+    """Per-stratum histogram-threshold selection must equal literal
+    per-stratum sorts — uneven stratum sizes, heavy score ties, and a
+    tiny collect_cap forcing strata to finish at different depths."""
+    from biomass_processing_pipeline_ray.stages.sampling import (
+        grouped_top_frac_by_score,
+    )
+
+    rng = np.random.default_rng(31)
+    sizes = {"a": 6000, "b": 900, "c": 3, "d": 1}
+    rows = []
+    next_id = 0
+    for s, k in sizes.items():
+        ids = rng.choice(np.arange(next_id, next_id + 10 * k), k, replace=False)
+        next_id += 10 * k
+        sc = np.round(rng.normal(10.0, 1.5, k), 1)  # heavy ties
+        for i, v in zip(ids, sc):
+            rows.append((s, int(i), float(v)))
+    rng.shuffle(rows)
+    tbl = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    df = tbl.to_pandas()
+    for cap in (65536, 32):
+        got = (
+            grouped_top_frac_by_score(
+                rd.from_arrow(tbl), stratum="source", frac_pct=20,
+                id_col="doc_id", score_col="score", collect_cap=cap,
+            )
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp_parts = []
+        for s, g in df.groupby("source"):
+            keep = max(1, len(g) * 20 // 100)
+            exp_parts.append(
+                g.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(keep)
+            )
+        exp = (
+            pd.concat(exp_parts)[["source", "doc_id", "score"]]
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), f"cap={cap}"
