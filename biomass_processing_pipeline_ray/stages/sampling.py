@@ -61,9 +61,11 @@ def stratified_sample(ds, stratum: str = "source", id_col: str = "doc_id",
     Pass 3: filter — bin < b*, or bin == b* and (skey, id) ≤ threshold.
 
     At extreme per-stratum skew the boundary bin itself can be large;
-    the fix is recursing with a narrower bin width over that bin only
-    (same machinery), noted here rather than implemented — 4096 bins
-    keep the driver state ≤ a few MB up to ~10^7 rows per stratum.
+    the recursive fix is implemented in ``grouped_top_frac_by_score``
+    below (8-bit rounds over the virtual 128-bit key, guaranteed to
+    terminate via the unique id half) — this single-level variant keeps
+    the simpler 3-pass shape, adequate while 4096 bins hold the
+    boundary ≤ ~n_s/4096 rows.
     """
     from .zonal import bucketed_agg
 
