@@ -56,6 +56,10 @@ LADDER = {
     # (payload-free), and the distributed prefix sum over documents
     "cell_pyramid": "tiles",
     "shard_packing": "documents",
+    # histogram-threshold selection: rounds are corpus-size-independent
+    # (bounded 256-count partials), scans linear
+    "quality_topfrac": "documents",
+    "quality_topfrac_by_source": "documents",
 }
 
 
@@ -145,9 +149,16 @@ def child(query: str, sf_dir: str) -> None:
     )
     from biomass_processing_pipeline_ray.pipelines.queries import build_queries
 
+    from biomass_processing_pipeline_ray.pipelines.queries import tiles_path
+
+    tiles_path(sf_dir)  # fixture generation/caching excluded from timing
     fn = build_queries()[query][0]
-    res = fn(sf_dir)  # build (and for tiles: ensure the fixture) first
+    # time BUILD + CONSUME together: several pipelines run eager phases
+    # inside fn() itself (connected-components rounds, PQ training,
+    # prefix-sum and histogram-threshold passes) — timing only the
+    # final consume under-measures them
     t0 = time.time()
+    res = fn(sf_dir)
     n_out = res.count() if hasattr(res, "count") and not hasattr(res, "iloc") else len(res)
     dt = time.time() - t0
     print(json.dumps({"query": query, "sf_dir": sf_dir, "sec": dt, "rows": int(n_out)}))
