@@ -1588,3 +1588,89 @@ def sql_ivfpq_topk() -> str:
         'SELECT query_id, vec_id, "rank", pq_score '
         f"FROM read_parquet('{ivfpq_oracle_path()}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# PSNR pair-verification oracle: candidate pairs re-derived with a
+# SEQUENTIAL dict-of-buckets band walk (vs the engine's coarse-group
+# shuffle exchange), pixels re-decoded by the sequential reference path
+# (ground-truth make_pixels -> codec round-trip, same as the px oracle),
+# and the MSE numerator computed as an exact integer so the registered
+# SQL's "PSNR >= 40 dB" predicate (mse_num * 1e4 <= 65025 * n_px) is
+# integer arithmetic on both sides.  North-rule bound: BASELINE.json
+# input_hint "decoded-pixel allclose (PSNR>=40dB for lossy)".
+# ---------------------------------------------------------------------------
+
+
+def psnr_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"psnr_pairs_n{n}_v1.parquet")
+
+
+def ensure_psnr_oracle(n: int, max_hamming: int = 3) -> str:
+    path = psnr_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..image import codecs
+    from ..sources import tiles as T
+
+    t = pq.read_table(ensure_px_oracle(n), columns=["tile_id", "phash"])
+    tid = t["tile_id"].to_numpy()
+    ph = t["phash"].to_numpy().astype(np.uint64)
+    cand: set[tuple[int, int]] = set()
+    for b in range(4):
+        buckets: dict[int, list[int]] = {}
+        band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for idx, v in enumerate(band):
+            buckets.setdefault(int(v), []).append(idx)
+        for lst in buckets.values():
+            for x in range(len(lst)):
+                for y in range(x + 1, len(lst)):
+                    cand.add((lst[x], lst[y]))
+    pairs = []
+    for i, j in cand:
+        hd = int(bin(int(ph[i]) ^ int(ph[j])).count("1"))
+        if hd <= max_hamming:
+            pairs.append((int(tid[i]), int(tid[j]), hd))
+    pairs.sort()
+    dec_cache: dict[int, np.ndarray] = {}
+
+    def dec_of(i: int) -> np.ndarray:
+        if i not in dec_cache:
+            w, h, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+            fmt = T.FMTS[int(fidx[0])]
+            dec_cache[i] = codecs.decode(
+                codecs.encode(T.make_pixels(i), fmt), fmt, int(h[0]), int(w[0])
+            )
+        return dec_cache[i]
+
+    rows = []
+    for i, j, hd in pairs:
+        da, db = dec_of(i), dec_of(j)
+        if da.shape != db.shape:
+            rows.append((i, j, hd, 0, 0))
+            continue
+        d = da.astype(np.int64).ravel() - db.astype(np.int64).ravel()
+        rows.append((i, j, hd, int(d.size), int(np.dot(d, d))))
+    tbl = pa.table(
+        {
+            "a": pa.array([f"img{r[0]:012d}" for r in rows], pa.string()),
+            "b": pa.array([f"img{r[1]:012d}" for r in rows], pa.string()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+            "n_px": pa.array([r[3] for r in rows], pa.int64()),
+            "mse_num": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_psnr_pairs(n: int) -> str:
+    return f"""
+    SELECT a, b, hamming, n_px, mse_num,
+           CAST(CASE WHEN n_px > 0 AND mse_num * 10000 <= 65025 * n_px
+                THEN 1 ELSE 0 END AS BIGINT) AS dup40
+    FROM read_parquet('{psnr_oracle_path(n)}')
+    """

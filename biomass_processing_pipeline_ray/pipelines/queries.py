@@ -847,6 +847,28 @@ def q_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(ds, max_hamming=3, n_rows=universe_n(sf_dir))
 
 
+def q_psnr_verify_pairs(sf_dir: str):
+    """Decode-verify every phash near-dup candidate pair with an exact
+    integer MSE and the integer-arithmetic "PSNR >= 40 dB" predicate —
+    the north rule's per-row pixel-fidelity invariant (BASELINE.json
+    input_hint) as a first-class operator.  Candidate membership
+    broadcasts once; only member tiles are decoded; decoded pixels
+    cross ONE pair-bucket exchange (see stages/psnrverify.py).
+    Hash-checked against the sequential band-walk + reference-decode
+    oracle (oracles.ensure_psnr_oracle)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.dedup import phash_neardup_pairs
+    from ..stages.psnrverify import psnr_verify_pairs
+
+    path = tiles_path(sf_dir)
+    n = universe_n(sf_dir)
+    pairs = phash_neardup_pairs(
+        read_tiles(path, columns=["image_id", "phash"]), max_hamming=3, n_rows=n
+    )
+    tiles = read_tiles(path, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return psnr_verify_pairs(tiles, pairs)
+
+
 def _tiles_with_county(sf_dir: str, columns: list[str]):
     """Real tile parquet (pruned) → georef → PIP county assignment."""
     from ..sources.tiles import read_tiles
@@ -4550,6 +4572,7 @@ def ensure_generated_oracles() -> None:
         ensure_ngram_oracle,
         ensure_grad_oracle,
         ensure_pip_jittered_oracle,
+        ensure_psnr_oracle,
         ensure_px_oracle,
         ensure_simhash_oracle,
         ensure_simplify_oracle,
@@ -4575,6 +4598,7 @@ def ensure_generated_oracles() -> None:
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
     ensure_overlap_oracle()
     ensure_ttl_oracle(_TTL_US)
+    ensure_psnr_oracle(_N_ORACLE)
 
 
 def build_queries() -> dict:
@@ -4601,6 +4625,7 @@ def build_queries() -> dict:
         sql_ngram_jaccard_pairs,
         sql_phash_neardup,
         sql_pip_jittered,
+        sql_psnr_pairs,
         sql_simhash_pairs,
         sql_ttl_throttle,
         sql_zonal_px,
@@ -4647,6 +4672,7 @@ def build_queries() -> dict:
             _sql_quality_topfrac_by_source(),
         ),
         "ann_ivfpq_indexed": (q_ann_ivfpq_indexed, sql_ivfpq_topk()),
+        "psnr_verify_pairs": (q_psnr_verify_pairs, sql_psnr_pairs(_N_ORACLE)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

@@ -1787,3 +1787,69 @@ def test_grouped_top_frac_by_score_exact(rd, ray_session):
             .reset_index(drop=True)
         )
         assert got.equals(exp), f"cap={cap}"
+
+
+def test_psnr_verify_pairs_vs_bruteforce(rd, ray_session, tiles_small):
+    """psnr_verify_pairs == all-pairs sequential decode oracle: same
+    pair set (banding is complete for Hamming<=3 by pigeonhole), same
+    exact integer MSE, and the integer PSNR>=40dB predicate; planted
+    exact copies come back bit-identical (mse_num == 0, dup40 == 1)."""
+    from biomass_processing_pipeline_ray.image import codecs, phash as PH
+    from biomass_processing_pipeline_ray.sources.tiles import (
+        FMTS,
+        make_pixels,
+        read_tiles,
+        tile_dims,
+    )
+    from biomass_processing_pipeline_ray.stages.dedup import phash_neardup_pairs
+    from biomass_processing_pipeline_ray.stages.psnrverify import psnr_verify_pairs
+
+    n = 1000
+    pairs = phash_neardup_pairs(
+        read_tiles(tiles_small, columns=["image_id", "phash"]), 3, n_rows=n
+    )
+    tiles = read_tiles(tiles_small, columns=["image_id", "bytes", "w", "h", "fmt"])
+    got = (
+        psnr_verify_pairs(tiles, pairs)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    dec = {}
+    ph = np.empty(n, np.uint64)
+    for i in range(n):
+        w, h, f = tile_dims(np.asarray([i], dtype=np.int64))
+        fmt = FMTS[int(f[0])]
+        d = codecs.decode(
+            codecs.encode(make_pixels(i), fmt), fmt, int(h[0]), int(w[0])
+        )
+        dec[i] = d
+        ph[i] = np.uint64(np.int64(PH.dhash(d)).astype(np.uint64))
+    xr = ph[:, None] ^ ph[None, :]
+    hm = (
+        np.unpackbits(xr.view(np.uint8).reshape(n, n, 8), axis=2)
+        .sum(axis=2)
+        .astype(np.int64)
+    )
+    ii, jj = np.nonzero(np.triu(hm <= 3, k=1))
+    rows = []
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        da, db = dec[i], dec[j]
+        if da.shape != db.shape:
+            rows.append((f"img{i:012d}", f"img{j:012d}", int(hm[i, j]), 0, 0, 0))
+            continue
+        d = da.astype(np.int64).ravel() - db.astype(np.int64).ravel()
+        mse_num, n_px = int(np.dot(d, d)), int(d.size)
+        dup40 = int(mse_num * 10_000 <= 65025 * n_px)
+        rows.append((f"img{i:012d}", f"img{j:012d}", int(hm[i, j]), n_px, mse_num, dup40))
+    exp = (
+        pd.DataFrame(rows, columns=["a", "b", "hamming", "n_px", "mse_num", "dup40"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # fixture sanity: planted exact copies exist and verify bit-identical
+    exact = got[got["mse_num"] == 0]
+    assert len(exact) >= 5 and (exact["dup40"] == 1).all()
+    assert (got.loc[got["n_px"] > 0, "hamming"] <= 3).all()
