@@ -2991,6 +2991,54 @@ def _sql_cell_pyramid(n: int) -> str:
     """
 
 
+def _sql_s2_par(expr: str, lvl: int) -> str:
+    """DuckDB twin of geo/s2.parent: clear sub-level bits, set sentinel."""
+    lsb = 1 << (2 * (30 - lvl))
+    return f"({expr} - ({expr} % {2 * lsb}) + {lsb})"
+
+
+def q_cell_compact(sf_dir: str):
+    """Minimal S2 covering of the occupied cells (CellUnion normalize):
+    complete sibling quads merge bottom-up 11→8, boundary cells stay
+    fine, interior collapses coarse — the covering primitive every
+    spatial filter pushes down to.  ONE exchange keyed by the level-8
+    ancestor (stages/cells.compact_cells); oracle is the fixed-depth
+    SQL cascade over the independent recursive-Hilbert cell parquet."""
+    from ..stages.cells import compact_cells
+
+    return compact_cells(_range_geo(universe_n(sf_dir)))
+
+
+def _sql_cell_compact(n: int, from_level: int = 11, min_level: int = 8) -> str:
+    from .oracles import cell_oracle_path
+
+    ctes = [
+        f"c{from_level} AS (SELECT {_sql_s2_par('s2_cell', from_level)} AS cell,\n"
+        f"  CAST(COUNT(*) AS BIGINT) AS n\n"
+        f"  FROM read_parquet('{cell_oracle_path(n)}') GROUP BY 1)"
+    ]
+    selects = []
+    for lvl in range(from_level, min_level, -1):
+        pl = lvl - 1
+        ctes.append(
+            f"a{pl} AS (SELECT {_sql_s2_par('cell', pl)} AS p,"
+            f" CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS k FROM c{lvl} GROUP BY 1)"
+        )
+        ctes.append(
+            f"k{lvl} AS (SELECT cell, n FROM c{lvl} WHERE {_sql_s2_par('cell', pl)}"
+            f" IN (SELECT p FROM a{pl} WHERE k < 4))"
+        )
+        ctes.append(f"c{pl} AS (SELECT p AS cell, n FROM a{pl} WHERE k = 4)")
+        selects.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS level, cell, n AS n_tiles FROM k{lvl}"
+        )
+    selects.append(
+        f"SELECT CAST({min_level} AS BIGINT) AS level, cell, n AS n_tiles"
+        f" FROM c{min_level}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def q_stratified_quota_sample(sf_dir: str):
     """Deterministic per-source 20 % quota sample — smallest
     (knuth-hash(doc_id), doc_id) per stratum — selected WITHOUT a data
@@ -4673,6 +4721,7 @@ def build_queries() -> dict:
         ),
         "ann_ivfpq_indexed": (q_ann_ivfpq_indexed, sql_ivfpq_topk()),
         "psnr_verify_pairs": (q_psnr_verify_pairs, sql_psnr_pairs(_N_ORACLE)),
+        "cell_compact": (q_cell_compact, _sql_cell_compact(_N_ORACLE)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

@@ -1853,3 +1853,58 @@ def test_psnr_verify_pairs_vs_bruteforce(rd, ray_session, tiles_small):
     exact = got[got["mse_num"] == 0]
     assert len(exact) >= 5 and (exact["dup40"] == 1).all()
     assert (got.loc[got["n_px"] > 0, "hamming"] <= 3).all()
+
+
+def test_compact_cells_minimal_covering(rd, ray_session):
+    """compact_cells == sequential bottom-up CellUnion normalize on
+    random points; output is a minimal covering (no complete sibling
+    quad survives), disjoint, and conserves tile counts."""
+    from biomass_processing_pipeline_ray.geo import s2
+    from biomass_processing_pipeline_ray.stages.cells import compact_cells
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    lon = rng.uniform(-100.0, -99.0, n)
+    lat = rng.uniform(40.0, 41.0, n)
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat})).repartition(8)
+    got = (
+        compact_cells(ds, from_level=11, min_level=8)
+        .to_pandas()
+        .sort_values(["level", "cell"])
+        .reset_index(drop=True)
+    )
+
+    # sequential reference
+    c11 = s2.latlng_to_cell(lon, lat, 11)
+    uniq, cnt = np.unique(c11, return_counts=True)
+    cur_c, cur_n = uniq, cnt.astype(np.int64)
+    rows = []
+    for lvl in range(11, 8, -1):
+        par = s2.parent(cur_c, lvl - 1)
+        up, idx = np.unique(par, return_inverse=True)
+        k = np.bincount(idx)
+        complete = set(up[k == 4].tolist())
+        keep = np.array([p not in complete for p in par])
+        for c, m in zip(cur_c[keep], cur_n[keep]):
+            rows.append((lvl, int(c), int(m)))
+        merged_n = np.zeros(len(up), dtype=np.int64)
+        np.add.at(merged_n, idx, cur_n)
+        sel = k == 4
+        cur_c, cur_n = up[sel], merged_n[sel]
+    for c, m in zip(cur_c, cur_n):
+        rows.append((8, int(c), int(m)))
+    exp = (
+        pd.DataFrame(rows, columns=["level", "cell", "n_tiles"])
+        .astype({"cell": np.uint64})
+        .sort_values(["level", "cell"])
+        .reset_index(drop=True)
+    )
+    assert got.astype({"cell": np.uint64}).equals(exp)
+    assert got["n_tiles"].sum() == n  # covering conserves every tile
+    # minimality: no 4 surviving same-level siblings share a parent
+    for lvl in (11, 10, 9):
+        cc = got.loc[got["level"] == lvl, "cell"].to_numpy(np.uint64)
+        if len(cc):
+            _, k = np.unique(s2.parent(cc, lvl - 1), return_counts=True)
+            assert k.max() < 4
+    assert (got["level"] == 8).any()  # the dense fixture does compact
