@@ -1774,6 +1774,47 @@ _SQL_SESSIONS = """
 """
 
 
+def q_event_max_concurrency(sf_dir: str):
+    """Peak simultaneous user sessions (sweep-line over session
+    intervals) — the global-ordered-prefix-sum primitive as a two-pass
+    distributed scan (stages/windows.max_concurrency): per-time-bucket
+    local scans report one summary row each, driver combines #buckets
+    offsets.  Same gap rule as ``user_sessions``."""
+    from ..stages.windows import max_concurrency, session_intervals
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return max_concurrency(session_intervals(ev))
+
+
+_SQL_MAX_CONCURRENCY = """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events)),
+    s AS (SELECT user_id, ts_us,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM b),
+    iv AS (SELECT MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+           FROM s GROUP BY user_id, sess),
+    d AS (SELECT s_us AS ts_us, 1 AS delta FROM iv
+          UNION ALL SELECT e_us, -1 FROM iv),
+    r AS (SELECT ts_us,
+                 SUM(delta) OVER (ORDER BY ts_us, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+          FROM d),
+    m AS (SELECT MAX(conc) AS mc FROM r)
+    SELECT CAST(m.mc AS BIGINT) AS max_concurrency,
+           CAST(MIN(r.ts_us) AS BIGINT) AS at_ts_us
+    FROM r, m WHERE r.conc = m.mc GROUP BY m.mc
+"""
+
+
 def q_asof_order_events(sf_dir: str):
     """As-of join: latest order of the event's user at/before event time
     (inner: events with no prior order are dropped on both sides)."""
@@ -4722,6 +4763,7 @@ def build_queries() -> dict:
         "ann_ivfpq_indexed": (q_ann_ivfpq_indexed, sql_ivfpq_topk()),
         "psnr_verify_pairs": (q_psnr_verify_pairs, sql_psnr_pairs(_N_ORACLE)),
         "cell_compact": (q_cell_compact, _sql_cell_compact(_N_ORACLE)),
+        "event_max_concurrency": (q_event_max_concurrency, _SQL_MAX_CONCURRENCY),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

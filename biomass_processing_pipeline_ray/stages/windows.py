@@ -462,3 +462,125 @@ def asof_join_events_orders(events_ds, orders_ds, n_coarse: int = 128):
         ("event_id", "user_id", "last_orderkey", "last_totalprice"),
         n_coarse,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line max concurrency: how many sessions are active at once, and
+# when the peak is first reached.  The missing primitive here is a
+# GLOBAL ordered prefix sum, which no groupby can express; the
+# distributed shape is the classic two-pass scan:
+#
+#   pass 1 (ONE exchange): +1/-1 interval endpoints co-partition by a
+#     fixed time-range bucket; each bucket sorts locally and reports
+#     (bucket, total, local_max, ts_at_local_max) — one summary row per
+#     bucket, never per event;
+#   pass 2 (driver, bounded by #buckets): exclusive prefix offsets over
+#     the bucket totals turn each local max into a global candidate;
+#     the peak is the max candidate, earliest bucket first.
+#
+# Endpoint tie rule: at equal timestamps starts count before ends
+# (closed intervals — a session is active at its last event).  At 10^12
+# events the per-bucket state is the bucket's endpoints and the driver
+# state is #buckets summaries, so nothing scales with the corpus.
+# Reference analogue: the reference's multi-VM concurrency accounting
+# (processing_config_v3.py worker budgeting) — here as a queryable
+# operator.
+# ---------------------------------------------------------------------------
+
+CONC_BUCKET_US = 3_600_000_000  # 1 h time-range partition
+
+
+def session_intervals(ds, gap_us: int = SESSION_GAP_US, n_coarse: int = 256):
+    """(start_us, end_us) per user session — same gap rule (and the
+    same (ts, event_id) ordering) as ``sessionize``."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        is_new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            is_new[1:] = (
+                (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            ).astype(np.int64)
+        sid = np.cumsum(is_new)  # global (within bucket) session id
+        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid", as_index=False).agg(
+            start_us=("ts", "min"), end_us=("ts", "max")
+        )
+        return pa.table(
+            {
+                "start_us": pa.array(out["start_us"].to_numpy(), pa.int64()),
+                "end_us": pa.array(out["end_us"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def max_concurrency(intervals, bucket_us: int = CONC_BUCKET_US) -> pd.DataFrame:
+    """Peak simultaneous intervals: one row (max_concurrency, at_ts_us)."""
+
+    def deltas(b: pa.Table) -> pa.Table:
+        s = b["start_us"].to_numpy()
+        e = b["end_us"].to_numpy()
+        ts = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        return pa.table(
+            {
+                "ts_us": pa.array(ts),
+                "delta": pa.array(d),
+                "tbucket": pa.array(ts // bucket_us),
+            }
+        )
+
+    def local_scan(g: pd.DataFrame) -> pa.Table:
+        # starts before ends at equal ts: sort by (ts, -delta)
+        g = g.sort_values(["ts_us", "delta"], ascending=[True, False],
+                          kind="mergesort")
+        pr = np.cumsum(g["delta"].to_numpy())
+        k = int(np.argmax(pr))  # earliest position of the local max
+        return pa.table(
+            {
+                "tbucket": pa.array([int(g["tbucket"].iloc[0])], pa.int64()),
+                "total": pa.array([int(pr[-1])], pa.int64()),
+                "local_max": pa.array([int(pr[k])], pa.int64()),
+                "ts_at_max": pa.array([int(g["ts_us"].iloc[k])], pa.int64()),
+            }
+        )
+
+    summaries = (
+        intervals.map_batches(deltas, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(local_scan, batch_format="pandas")
+        .to_pandas()  # bounded: ONE row per time bucket
+        .sort_values("tbucket")
+        .reset_index(drop=True)
+    )
+    totals = summaries["total"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    cand = offsets + summaries["local_max"].to_numpy()
+    mc = int(cand.max())
+    first = int(np.flatnonzero(cand == mc)[0])
+    return pd.DataFrame(
+        {
+            "max_concurrency": np.asarray([mc], np.int64),
+            "at_ts_us": np.asarray([int(summaries["ts_at_max"].iloc[first])], np.int64),
+        }
+    )

@@ -1908,3 +1908,32 @@ def test_compact_cells_minimal_covering(rd, ray_session):
             _, k = np.unique(s2.parent(cc, lvl - 1), return_counts=True)
             assert k.max() < 4
     assert (got["level"] == 8).any()  # the dense fixture does compact
+
+
+def test_max_concurrency_vs_bruteforce(rd, ray_session):
+    """Distributed two-pass scan == sequential sweep-line on random
+    intervals that deliberately straddle time-bucket boundaries."""
+    from biomass_processing_pipeline_ray.stages.windows import max_concurrency
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    bucket_us = 10_000  # tiny buckets so intervals cross many of them
+    start = rng.integers(0, 500_000, n)
+    dur = rng.integers(0, 80_000, n)  # includes zero-length intervals
+    end = start + dur
+    ds = rd.from_arrow(
+        pa.table({"start_us": pa.array(start, pa.int64()),
+                  "end_us": pa.array(end, pa.int64())})
+    ).repartition(16)
+    got = max_concurrency(ds, bucket_us=bucket_us)
+
+    # sequential sweep: starts before ends at equal ts
+    ts = np.concatenate([start, end])
+    dl = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+    o = np.lexsort((-dl, ts))
+    pr = np.cumsum(dl[o])
+    mc = int(pr.max())
+    at = int(ts[o][int(np.argmax(pr))])
+    assert got["max_concurrency"].iloc[0] == mc
+    assert got["at_ts_us"].iloc[0] == at
+    assert mc > 1  # fixture sanity: real overlap happened
