@@ -209,6 +209,114 @@ def _sql_zonal_core(n: int) -> str:
     """
 
 
+_CORR_QX = 1048576.0  # value quantum 2^-20
+_CORR_QY = 4096.0     # biomass quantum 2^-12
+
+
+def q_county_corr(sf_dir: str):
+    """Per-county Pearson correlation (value vs biomass) from EXACT
+    integer moments: both variables quantize to fixed-point int64 so
+    the five moment sums are overflow-free exact integers through sf10
+    (grouping-invariant — no float-summation order problem at all);
+    the final r converts the identical integers to double on both
+    sides with the identical expression order, so equality is bitwise
+    before the 6-dp rounding.  Partial moments combine per batch; the
+    exchange carries one row per (county, batch)."""
+    from ..stages.zonal import bucketed_agg
+
+    ds = _pip(_range_geo(universe_n(sf_dir)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        x = round_away(G.derive_value(ids) * _CORR_QX, 0).astype(np.int64)
+        y = round_away(G.derive_biomass(ids) * _CORR_QY, 0).astype(np.int64)
+        fips = np.asarray(b["county_fips"].to_pylist(), dtype=object).astype(str)
+        uniq, inv = np.unique(fips, return_inverse=True)
+        m = len(uniq)
+
+        def isum(v: np.ndarray) -> np.ndarray:
+            acc = np.zeros(m, dtype=np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+
+        return pa.table(
+            {
+                "county_fips": pa.array(uniq, pa.string()),
+                "pn": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+                "px": pa.array(isum(x)),
+                "py": pa.array(isum(y)),
+                "pxy": pa.array(isum(x * y)),
+                "pxx": pa.array(isum(x * x)),
+                "pyy": pa.array(isum(y * y)),
+            }
+        )
+
+    g = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["county_fips"],
+        {
+            "n_tiles": ("pn", "sum"),
+            "sx": ("px", "sum"),
+            "sy": ("py", "sum"),
+            "sxy": ("pxy", "sum"),
+            "sxx": ("pxx", "sum"),
+            "syy": ("pyy", "sum"),
+        },
+        nb=64,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nn = b["n_tiles"].to_numpy().astype(np.float64)
+        sx = b["sx"].to_numpy().astype(np.float64)
+        sy = b["sy"].to_numpy().astype(np.float64)
+        sxy = b["sxy"].to_numpy().astype(np.float64)
+        sxx = b["sxx"].to_numpy().astype(np.float64)
+        syy = b["syy"].to_numpy().astype(np.float64)
+        num = nn * sxy - sx * sy
+        den2 = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+        keep = den2 > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = round_away(num / np.sqrt(den2), 6)
+        return pa.table(
+            {
+                "county_fips": pa.array(
+                    np.asarray(b["county_fips"].to_pylist(), dtype=object)[keep],
+                    pa.string(),
+                ),
+                "n_tiles": pa.array(b["n_tiles"].to_numpy()[keep], pa.int64()),
+                "corr_xy": pa.array(r[keep], pa.float64()),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_county_corr(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    xv = G.sql_value("id")
+    bm = G.sql_biomass("id")
+    nd = 'CAST(n_tiles AS DOUBLE)'
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips,
+             CAST(ROUND({xv} * {_CORR_QX:.1f}, 0) AS BIGINT) AS x,
+             CAST(ROUND({bm} * {_CORR_QY:.1f}, 0) AS BIGINT) AS y
+      FROM (SELECT range AS id FROM range({n}))),
+    m AS (
+      SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM q GROUP BY county_fips)
+    SELECT county_fips, n_tiles,
+           ROUND(({nd}*sxy - sx*sy)
+                 / sqrt(({nd}*sxx - sx*sx) * ({nd}*syy - sy*sy)), 6) AS corr_xy
+    FROM m
+    WHERE ({nd}*sxx - sx*sx) * ({nd}*syy - sy*sy) > 0
+    """
+
+
 def q_pip_assign(sf_dir: str):
     """Per-tile PIP join output rows (reference J1 parity surface)."""
     ds = _pip(_range_geo(universe_n(sf_dir)))
@@ -4764,6 +4872,7 @@ def build_queries() -> dict:
         "psnr_verify_pairs": (q_psnr_verify_pairs, sql_psnr_pairs(_N_ORACLE)),
         "cell_compact": (q_cell_compact, _sql_cell_compact(_N_ORACLE)),
         "event_max_concurrency": (q_event_max_concurrency, _SQL_MAX_CONCURRENCY),
+        "county_corr": (q_county_corr, _sql_county_corr(_N_ORACLE)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

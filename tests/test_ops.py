@@ -1937,3 +1937,37 @@ def test_max_concurrency_vs_bruteforce(rd, ray_session):
     assert got["max_concurrency"].iloc[0] == mc
     assert got["at_ts_us"].iloc[0] == at
     assert mc > 1  # fixture sanity: real overlap happened
+
+
+def test_county_corr_matches_numpy_corrcoef(ray_session):
+    """Integer-moment grouped Pearson r == np.corrcoef per county on
+    the quantized variables (6-dp agreement; the engine path is
+    bit-deterministic, corrcoef is the independent formulation)."""
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        _CORR_QX,
+        _CORR_QY,
+        q_county_corr,
+    )
+
+    got = q_county_corr("/root/testdata/sf0.001").to_pandas()
+    got = got.sort_values("county_fips").reset_index(drop=True)
+
+    ids = np.arange(6000, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    cx, cy = G.derive_county_xy(lon, lat)
+    fips = G.county_fips_from_xy(cx, cy)
+    x = round_away(G.derive_value(ids) * _CORR_QX, 0)
+    y = round_away(G.derive_biomass(ids) * _CORR_QY, 0)
+    rows = []
+    for f in np.unique(fips):
+        m = fips == f
+        if x[m].std() == 0 or y[m].std() == 0:
+            continue
+        rows.append((str(f), int(m.sum()), float(np.corrcoef(x[m], y[m])[0, 1])))
+    exp = pd.DataFrame(rows, columns=["county_fips", "n_tiles", "corr_xy"])
+    assert list(got["county_fips"]) == list(exp["county_fips"])
+    assert (got["n_tiles"].to_numpy() == exp["n_tiles"].to_numpy()).all()
+    assert np.allclose(got["corr_xy"], exp["corr_xy"], atol=1e-6)
+    assert (got["corr_xy"].abs() <= 1.0).all()
