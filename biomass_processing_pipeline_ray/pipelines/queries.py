@@ -1043,6 +1043,38 @@ def q_county_fmt_hist(sf_dir: str):
     return _county_fmt_counts(sf_dir)
 
 
+def q_county_fmt_cube(sf_dir: str):
+    """GROUP BY CUBE(county, fmt): all four grouping sets.  The scale
+    shape: ONE shuffle computes the finest (county, fmt) grid; every
+    coarser grouping set re-aggregates that bounded grid (counties ×
+    formats rows — driver-side pandas on partials, the same bounded-
+    partial pattern as the centroid merges), so the corpus is read and
+    exchanged exactly once regardless of how many sets the cube has."""
+    finest = _county_fmt_counts(sf_dir).to_pandas()
+    by_c = finest.groupby("county_fips", as_index=False)["n"].sum()
+    by_c["fmt"] = "ALL"
+    by_f = finest.groupby("fmt", as_index=False)["n"].sum()
+    by_f["county_fips"] = "ALL"
+    total = pd.DataFrame(
+        {"county_fips": ["ALL"], "fmt": ["ALL"], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat(
+        [finest, by_c, by_f, total], ignore_index=True
+    )[["county_fips", "fmt", "n"]]
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def _sql_county_fmt_cube(n: int) -> str:
+    return f"""
+    SELECT COALESCE(county_fips, 'ALL') AS county_fips,
+           COALESCE(fmt, 'ALL') AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {_sql_tiles_with_county(n)}
+    GROUP BY CUBE(county_fips, fmt)
+    """
+
+
 def _sql_county_fmt_hist(n: int) -> str:
     return f"""
     SELECT county_fips, fmt, CAST(COUNT(*) AS BIGINT) AS n
@@ -4178,6 +4210,54 @@ def _sql_tfidf_top_terms() -> str:
     """
 
 
+_BM25_TERMS = ("spark", "query", "window", "vector", "stream", "merge")
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-50 documents by BM25 for a fixed query-term set — retrieval
+    scoring with EXACT integer ranking: each (doc, term) contribution
+    is one fixed-order double expression quantized to micro-units, so
+    the per-doc sum is order-free (stages/textstages.bm25_topk).  The
+    corpus vocabulary is never aggregated — only |Q| document
+    frequencies and two global scalars leave the data."""
+    from ..stages.textstages import bm25_topk
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=50)
+
+
+def _sql_bm25_topk() -> str:
+    from ..stages.textstages import NONWS_RUN_SQL
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    contrib = (
+        "LN((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)"
+        " / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)"
+        " * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))"
+        " / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)"
+        " + 0.75 * (CAST(dl.dl AS DOUBLE)"
+        " / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE))))))"
+        " * 1000000.0"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(text, '{NONWS_RUN_SQL}')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+                 CAST((SELECT SUM(dl) FROM dl) AS BIGINT) AS tot),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    c AS (SELECT tf.doc_id,
+                 CAST(ROUND({contrib}, 0) AS BIGINT) AS q
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+    SELECT doc_id, CAST(SUM(q) AS BIGINT) AS score
+    FROM c GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
 def q_term_cooccurrence(sf_dir: str):
     """Term co-occurrence mining (phrase/topic discovery over a corpus):
     top-20 unordered distinct-term pairs by document co-occurrence.
@@ -4873,6 +4953,8 @@ def build_queries() -> dict:
         "cell_compact": (q_cell_compact, _sql_cell_compact(_N_ORACLE)),
         "event_max_concurrency": (q_event_max_concurrency, _SQL_MAX_CONCURRENCY),
         "county_corr": (q_county_corr, _sql_county_corr(_N_ORACLE)),
+        "county_fmt_cube": (q_county_fmt_cube, _sql_county_fmt_cube(_N_ORACLE)),
+        "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),

@@ -325,3 +325,125 @@ def cooccur_pairs_batch(batch: pa.Table) -> pa.Table:
             "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson–Spärck Jones, the Okapi formula with
+# the always-positive +1 idf).  Determinism contract: every per-(doc,
+# term) contribution is ONE fixed-order double expression — identical in
+# the engine and the DuckDB oracle — quantized to integer micro-units
+# (ROUND(c * 1e6)), so the per-document SUM is an order-free integer and
+# ranking is exact.  ln() parity holds because both sides call the host
+# libm (math.log / DuckDB std::log) on bit-identical inputs — the same
+# contract the Shannon-entropy query established.
+#
+# Scale shape: the QUERY terms are the filter — tokenization emits only
+# query-term hits (<= |Q| rows per doc) plus one sentinel row per doc
+# carrying its length; document frequency over |Q| terms and the global
+# (N, total_dl) scalars are bounded driver values; scoring is one map
+# with the broadcast idf table; the per-doc sum is one bucketed
+# aggregate and the finish is partial-top-k.  The corpus vocabulary is
+# never aggregated, shipped, or joined.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_hits_batch(batch: pa.Table, terms: tuple[str, ...]) -> pa.Table:
+    """(doc_id, dl, term, tf) for query-term hits, plus one sentinel
+    row (term='', tf=0) per document carrying its token length."""
+    s = pd.Series(batch["text"].to_pylist())
+    ids = np.asarray(batch["doc_id"].to_numpy(), dtype=np.int64)
+    toks = s.str.findall(NONWS_RUN_PY)
+    dl = toks.str.len().to_numpy().astype(np.int64)
+    qset = set(terms)
+    out_id = list(ids)
+    out_dl = list(dl)
+    out_term = [""] * len(ids)
+    out_tf = [0] * len(ids)
+    for j, lst in enumerate(toks):
+        cnt: dict[str, int] = {}
+        for t in lst:
+            if t in qset:
+                cnt[t] = cnt.get(t, 0) + 1
+        for t, c in cnt.items():
+            out_id.append(ids[j])
+            out_dl.append(dl[j])
+            out_term.append(t)
+            out_tf.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        }
+    )
+
+
+def bm25_topk(docs, terms: tuple[str, ...], k: int = 50):
+    """Top-k documents by BM25 over the fixed query-term set."""
+    import math
+    from functools import partial as _partial
+
+    import ray
+
+    from .zonal import bucketed_agg
+    from .relational import topk as _topk
+
+    hits = docs.map_batches(
+        _partial(bm25_hits_batch, terms=terms), batch_format="pyarrow"
+    ).materialize()
+
+    # global scalars from the sentinel rows (one bounded partial/batch)
+    def scal(b: pa.Table) -> pa.Table:
+        sent = b.filter(pa.compute.equal(b["term"], ""))
+        return pa.table(
+            {
+                "n": pa.array([len(sent)], pa.int64()),
+                "tot": pa.array([int(sent["dl"].to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    sc = hits.map_batches(scal, batch_format="pyarrow").to_pandas()
+    n_docs = int(sc["n"].sum())
+    tot_dl = int(sc["tot"].sum())
+    avgdl = float(tot_dl) / float(n_docs)
+
+    # df over |Q| terms (tiny partial aggregate)
+    def dfp(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.not_equal(b["term"], ""))
+        u, c = np.unique(np.asarray(t["term"].to_pylist(), dtype=object), return_counts=True)
+        return pa.table(
+            {"term": pa.array(u.astype(str), pa.string()),
+             "df": pa.array(c.astype(np.int64))}
+        )
+
+    dfs = hits.map_batches(dfp, batch_format="pyarrow").to_pandas()
+    dfs = dfs.groupby("term", as_index=False)["df"].sum()
+    idf = {
+        t: math.log(
+            (float(n_docs) - float(d) + 0.5) / (float(d) + 0.5) + 1.0
+        )
+        for t, d in zip(dfs["term"], dfs["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    def score(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.greater(b["tf"], 0))
+        terms_col = t["term"].to_pylist()
+        tf = t["tf"].to_numpy().astype(np.float64)
+        dl_d = t["dl"].to_numpy().astype(np.float64)
+        im = ray.get(idf_ref)
+        iv = np.asarray([im[x] for x in terms_col], dtype=np.float64)
+        denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl_d / avgdl))
+        c = (iv * ((tf * (BM25_K1 + 1.0)) / denom)) * 1000000.0
+        from ..functions.rounding import round_away
+
+        q = round_away(c, 0).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "q": pa.array(q)})
+
+    scored = hits.map_batches(score, batch_format="pyarrow")
+    per_doc = bucketed_agg(scored, ["doc_id"], {"score": ("q", "sum")}, nb=256)
+    return _topk(per_doc, "score", k, descending=True, tie_col="doc_id")

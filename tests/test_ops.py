@@ -1971,3 +1971,48 @@ def test_county_corr_matches_numpy_corrcoef(ray_session):
     assert (got["n_tiles"].to_numpy() == exp["n_tiles"].to_numpy()).all()
     assert np.allclose(got["corr_xy"], exp["corr_xy"], atol=1e-6)
     assert (got["corr_xy"].abs() <= 1.0).all()
+
+
+def test_bm25_topk_vs_sequential(rd, ray_session):
+    """bm25_topk == sequential Okapi BM25 on a small synthetic corpus
+    (same quantization), including tie-break by doc_id."""
+    import math
+
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "noise"]
+    n = 400
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 40)).tolist())
+        for _ in range(n)
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    terms = ("alpha", "gamma")
+    got = bm25_topk(rd.from_arrow(tbl).repartition(8), terms, k=25)
+
+    dls = np.asarray([len(t.split()) for t in texts], dtype=np.int64)
+    avgdl = float(dls.sum()) / float(n)
+    dfv = {t: sum(1 for x in texts if t in x.split()) for t in terms}
+    idf = {t: math.log((float(n) - float(d) + 0.5) / (float(d) + 0.5) + 1.0)
+           for t, d in dfv.items()}
+    scores = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        tok = t.split()
+        for qt in terms:
+            tf = float(tok.count(qt))
+            if tf == 0:
+                continue
+            den = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dls[i] / avgdl))
+            c = (idf[qt] * ((tf * (BM25_K1 + 1.0)) / den)) * 1000000.0
+            scores[i] += int(round_away(np.asarray([c]), 0)[0])
+    order = np.lexsort((np.arange(n), -scores))[:25]
+    order = order[scores[order] > 0] if (scores > 0).sum() >= 25 else order
+    assert list(got["doc_id"]) == [int(i) for i in order]
+    assert list(got["score"]) == [int(scores[i]) for i in order]
