@@ -4914,13 +4914,14 @@ def build_queries() -> dict:
     # window holds every entry WITHOUT a driver-green CORRECTNESS
     # row from round 3 — positions 1-7 were never driver-sampled in
     # any round (judge-verified hash-equal locally in r3), then the
-    # eight new round-4 queries, then the 33 entries driver-green in
-    # r1/r2 that rotated out of the r3 window, then 2 r3-green
-    # representatives (the flagship zonal_biomass_px + knn_idw_sharded)
-    # so the headline paths stay continuously attested.  The tail
-    # (positions 51+) is exactly the remaining r3 driver-green
-    # entries (see CORRECTNESS_r03.json) — so r1∪r2∪r3∪r4 gives
-    # every registered query a driver-green row.
+    # queries new in round 4 (9 early + the later session adds:
+    # psnr_verify_pairs, cell_compact, event_max_concurrency,
+    # county_corr, county_fmt_cube, bm25_topk), then 7 r3-green
+    # representatives (flagship zonal_biomass_px + the heaviest
+    # machinery) so the headline paths stay continuously attested,
+    # then r1/r2-green entries filling to 50.  The tail (positions
+    # 51+) holds only entries with an existing driver-green row —
+    # so r1∪r2∪r3∪r4 gives every registered query one.
     return {
         # -- never driver-sampled before round 4 ------------------------
         "tiles_hash_sample": (q_tiles_hash_sample, _sql_tiles_hash_sample(_N_ORACLE)),
@@ -4955,6 +4956,14 @@ def build_queries() -> dict:
         "county_corr": (q_county_corr, _sql_county_corr(_N_ORACLE)),
         "county_fmt_cube": (q_county_fmt_cube, _sql_county_fmt_cube(_N_ORACLE)),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+        # -- r3-green representatives: flagship + heaviest machinery --
+        "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
+        "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
+        "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),
+        "ann_pq_topk": (q_ann_pq_topk, sql_pq_topk()),
+        "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
+        "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
+        "bbox_search_lifecycle": (q_bbox_search_lifecycle, _sql_bbox_search(_N_ORACLE)),
         # -- driver-green in r1/r2, rotated out of the r3 window ------
         "fingerprints": (q_fingerprints, sql_fingerprints()),
         "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
@@ -4995,14 +5004,6 @@ def build_queries() -> dict:
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs()),
         "hourly_event_stats": (q_hourly_event_stats, _SQL_HOURLY),
         "anti_join_customers": (q_anti_join_customers, _SQL_ANTI_JOIN),
-        # -- r3-green representatives: flagship + heaviest machinery --
-        "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
-        "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
-        "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),
-        "ann_pq_topk": (q_ann_pq_topk, sql_pq_topk()),
-        "neardup_clusters": (q_neardup_clusters, _sql_neardup_clusters()),
-        "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
-        "bbox_search_lifecycle": (q_bbox_search_lifecycle, _sql_bbox_search(_N_ORACLE)),
         # -- tail: r3 driver-green rows in CORRECTNESS_r03.json -------
         "kmeans_embeddings": (
             q_kmeans_embeddings,
