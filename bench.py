@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "user_funnel",
     "term_cooccurrence",
     "label_centroids",
+    "psnr_verify_pairs",
+    "cell_compact",
+    "event_max_concurrency",
+    "county_corr",
+    "bm25_topk",
 ]
 
 
