@@ -4368,6 +4368,58 @@ def _sql_knn_pagerank(n: int, iters: int = 3) -> str:
     return sql
 
 
+def q_knn_triangles(sf_dir: str):
+    """Per-tile triangle counts over the undirected closure of the kNN
+    graph — the distributed triangle-counting shape (degree-oriented
+    node-iterator, stages/graph.triangle_counts): orientation bounds
+    every out-adjacency by O(√m) no matter how skewed the raw degrees,
+    wedges are emitted in bounded chunks, and the closing edge test is
+    one co-partitioned pair-bucket exchange.  Triangle density over the
+    stitch graph is a per-tile redundancy signal (how many neighbor
+    pairs are themselves neighbors — reference's edge-stitch analog of
+    clustering coefficient numerators)."""
+    from ..stages.graph import triangle_counts
+
+    edges = q_knn_edges(sf_dir)
+
+    def e(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["tile_id"], "dst": b["neighbor_id"]})
+
+    tri = triangle_counts(edges.map_batches(e, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"tile_id": b["node"], "n_triangles": b["n_triangles"]}
+        )
+
+    return tri.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_knn_triangles(n: int) -> str:
+    lon, lat, _ = _geo_sql_fragments()
+    return f"""
+    WITH t AS (SELECT id, {lon} AS lon, {lat} AS lat
+               FROM (SELECT range AS id FROM range({n}))),
+    p AS (SELECT a.id AS qid, b.id AS nid,
+                 (b.lon - a.lon) * (b.lon - a.lon)
+               + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+          FROM t a JOIN t b ON a.id <> b.id),
+    rr AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+           FROM p),
+    e AS (SELECT qid AS src, nid AS dst FROM rr WHERE rn <= 8),
+    ue AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM e WHERE src <> dst),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ue e1
+            JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT node AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    """
+
+
 def q_event_percent_rank(sf_dir: str):
     """Exact windowed PERCENT_RANK over event values per type — the
     distributed window-function shape: ranking spreads over VALUE
@@ -4916,7 +4968,8 @@ def build_queries() -> dict:
     # any round (judge-verified hash-equal locally in r3), then the
     # queries new in round 4 (9 early + the later session adds:
     # psnr_verify_pairs, cell_compact, event_max_concurrency,
-    # county_corr, county_fmt_cube, bm25_topk), then 7 r3-green
+    # county_corr, county_fmt_cube, bm25_topk, knn_triangles,
+    # ...), then 7 r3-green
     # representatives (flagship zonal_biomass_px + the heaviest
     # machinery) so the headline paths stay continuously attested,
     # then r1/r2-green entries filling to 50.  The tail (positions
@@ -4956,6 +5009,10 @@ def build_queries() -> dict:
         "county_corr": (q_county_corr, _sql_county_corr(_N_ORACLE)),
         "county_fmt_cube": (q_county_fmt_cube, _sql_county_fmt_cube(_N_ORACLE)),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+        "knn_triangles": (
+            q_knn_triangles,
+            _sql_knn_triangles(min(_N_ORACLE, KNN_N)),
+        ),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

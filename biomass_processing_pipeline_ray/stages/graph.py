@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions import georef as G
 from ..functions.rounding import snap_binary
 from .cluster import _bucket_of
 
@@ -229,3 +230,305 @@ def pagerank_auto(edges, nodes, **kw):
         )
         return pagerank_broadcast(edges, ids, **kw)
     return pagerank(edges, nodes, **kw)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented node-iterator)
+# ---------------------------------------------------------------------------
+
+_WEDGE_CHUNK = 1 << 18  # bounded pair temporaries (see BASELINE host lesson)
+
+
+def _pair_bucket(u: np.ndarray, v: np.ndarray, nb: int) -> np.ndarray:
+    """Symmetric deterministic bucket for an (u, v) pair — hash each
+    endpoint separately and xor, so no combined integer key is needed
+    (a ``u * C + v`` key would overflow int64 at 10⁹⁺ node ids)."""
+    return ((G.derive_key(u) ^ G.derive_key(v)) % nb).astype(np.int64)
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "bk": pa.array([], pa.int64()),
+        }
+    )
+
+
+def triangle_counts(edges, src: str = "src", dst: str = "dst", nb: int = 64):
+    """(node, n_triangles) over the UNDIRECTED closure of a directed
+    edge Dataset — each unordered {u, v, w} with all three edges present
+    contributes 1 to every member.
+
+    Degree-oriented node-iterator (the MapReduce-classic triangle
+    scheme): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one — then each triangle has exactly ONE
+    node with two out-edges (its minimum in that total order), so
+    emitting out-neighbor pairs ("wedges") from every node and joining
+    them against the edge set counts each triangle exactly once, and no
+    node's out-adjacency exceeds O(√m) regardless of how skewed the raw
+    degree distribution is (the hub's wedges are generated by its many
+    low-degree neighbors, not by the hub).
+
+    Dataflow — four coarse-bucketed exchanges, state never exceeds
+    O(edges + wedges), nothing node-sized touches the driver:
+
+    1. canonicalize + dedup pairs        (bucket on symmetric pair hash)
+    2. degree count                       (bucketed_agg on node)
+    3. attach deg to both endpoints       (two union-tag hops, like
+                                           ``pagerank``'s contribute)
+    4. wedge emission, chunked            (bucket on src, runs via
+                                           repeat/cumsum — no per-node
+                                           Python loop)
+    5. wedge ⋈ edge on the pair bucket → unnest 3 nodes → bucketed count
+    """
+    from .zonal import bucketed_agg
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[src].to_numpy(), dtype=np.int64)
+        d = np.asarray(b[dst].to_numpy(), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bk": pa.array(_pair_bucket(u, v, nb), pa.int64()),
+            }
+        )
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["u", "v"])
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "bk": pa.array(g["bk"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()  # reused three times (degrees, hop A, closing join)
+    )
+
+    def endpoints(b: pa.Table) -> pd.DataFrame:
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([u, v]),
+                "one": np.ones(2 * len(u), dtype=np.int64),
+            }
+        )
+
+    degs = bucketed_agg(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("one", "sum")},
+        nb=max(nb, 64),
+    ).materialize()
+
+    # --- attach degrees: union-tag exchange, keyed u then keyed v ------
+    def _tagged(key, side, a1, a2) -> pa.Table:
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
+                "a1": pa.array(a1, pa.int64()),
+                "a2": pa.array(
+                    a2 if a2 is not None else np.zeros(n, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "kb": pa.array(_bucket_of(key, nb), pa.int64()),
+            }
+        )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["node"].to_numpy(), dtype=np.int64)
+        return _tagged(k, 1, np.asarray(b["deg"].to_numpy(), dtype=np.int64), None)
+
+    deg_tagged = degs.map_batches(deg_rows, batch_format="pyarrow")
+
+    def edge_by_u(b: pa.Table) -> pa.Table:
+        return _tagged(
+            np.asarray(b["u"].to_numpy(), dtype=np.int64),
+            0,
+            np.asarray(b["v"].to_numpy(), dtype=np.int64),
+            None,
+        )
+
+    def attach_u(g: pd.DataFrame) -> pa.Table:
+        dmap = g[g["side"] == 1].set_index("key")["a1"]
+        e = g[g["side"] == 0]
+        if not len(e):
+            return _empty_tri_hop()
+        u = e["key"].to_numpy(np.int64)
+        v = e["a1"].to_numpy(np.int64)
+        du = dmap.reindex(u).to_numpy(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(v, pa.int64()),  # next hop keys on v
+                "side": pa.array(np.zeros(len(e), dtype=np.int8), pa.int8()),
+                "a1": pa.array(u, pa.int64()),
+                "a2": pa.array(du, pa.int64()),
+                "kb": pa.array(_bucket_of(v, nb), pa.int64()),
+            }
+        )
+
+    def _empty_tri_hop() -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "a1": pa.array([], pa.int64()),
+                "a2": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+            }
+        )
+
+    hop_u = (
+        und.map_batches(edge_by_u, batch_format="pyarrow")
+        .union(deg_tagged)
+        .groupby("kb")
+        .map_groups(attach_u, batch_format="pandas")
+    )
+
+    def orient_and_wedge(g: pd.DataFrame) -> pa.Table:
+        dmap = g[g["side"] == 1].set_index("key")["a1"]
+        e = g[g["side"] == 0]
+        if not len(e):
+            return _empty_edges()
+        v = e["key"].to_numpy(np.int64)
+        u = e["a1"].to_numpy(np.int64)
+        du = e["a2"].to_numpy(np.int64)
+        dv = dmap.reindex(v).to_numpy(np.int64)
+        # orient low (deg, id) → high (deg, id)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s_o = np.where(u_first, u, v)
+        d_o = np.where(u_first, v, u)
+        return pa.table(
+            {
+                "u": pa.array(s_o, pa.int64()),
+                "v": pa.array(d_o, pa.int64()),
+                "bk": pa.array(_bucket_of(s_o, nb), pa.int64()),
+            }
+        )
+
+    oriented = (
+        hop_u.union(deg_tagged)
+        .groupby("kb")
+        .map_groups(orient_and_wedge, batch_format="pandas")
+    )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        s = g["u"].to_numpy(np.int64)
+        d = g["v"].to_numpy(np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        n = len(s)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], n]
+        # pair row x with the next c[x] rows of its own run (sorted, so
+        # neighbor pairs come out ordered within the run)
+        c = np.repeat(ends, ends - starts) - 1 - np.arange(n)
+        csum = np.concatenate([[0], np.cumsum(c)])
+        total = int(csum[-1])
+        out_a, out_b, out_x = [], [], []
+        for p0 in range(0, total, _WEDGE_CHUNK):
+            p1 = min(p0 + _WEDGE_CHUNK, total)
+            a = int(np.searchsorted(csum, p0, side="right")) - 1
+            b = int(np.searchsorted(csum, p1, side="left"))
+            rr = np.arange(a, b)
+            cc, cs = c[a:b], csum[a:b]
+            ii = np.repeat(rr, cc)
+            jj = np.arange(csum[a], csum[b]) - np.repeat(cs, cc) + ii + 1
+            lo = p0 - int(csum[a])
+            ii, jj = ii[lo:lo + (p1 - p0)], jj[lo:lo + (p1 - p0)]
+            out_a.append(d[ii])
+            out_b.append(d[jj])
+            out_x.append(s[ii])
+        if not out_a:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.int64()),
+                    "w2": pa.array([], pa.int64()),
+                    "apex": pa.array([], pa.int64()),
+                    "bk": pa.array([], pa.int64()),
+                }
+            )
+        w1 = np.concatenate(out_a)
+        w2 = np.concatenate(out_b)
+        apex = np.concatenate(out_x)
+        lo_, hi_ = np.minimum(w1, w2), np.maximum(w1, w2)
+        return pa.table(
+            {
+                "w1": pa.array(lo_, pa.int64()),
+                "w2": pa.array(hi_, pa.int64()),
+                "apex": pa.array(apex, pa.int64()),
+                "bk": pa.array(_pair_bucket(lo_, hi_, nb), pa.int64()),
+            }
+        )
+
+    wedge_ds = oriented.groupby("bk").map_groups(wedges, batch_format="pandas")
+
+    # --- closing join: wedge (w1,w2) must be an edge ---------------------
+    def edge_side(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "w1": b["u"],
+                "w2": b["v"],
+                "apex": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+                "bk": b["bk"],
+            }
+        )
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["apex"] < 0][["w1", "w2"]]
+        w = g[g["apex"] >= 0]
+        if not len(w) or not len(e):
+            return pd.DataFrame(
+                {"node": np.array([], dtype=np.int64),
+                 "one": np.array([], dtype=np.int64)}
+            )
+        m = w.merge(e.drop_duplicates(), on=["w1", "w2"], how="inner")
+        tri_nodes = np.concatenate(
+            [m["apex"].to_numpy(np.int64),
+             m["w1"].to_numpy(np.int64),
+             m["w2"].to_numpy(np.int64)]
+        )
+        return pd.DataFrame(
+            {"node": tri_nodes, "one": np.ones(len(tri_nodes), dtype=np.int64)}
+        )
+
+    tri_nodes = (
+        und.map_batches(edge_side, batch_format="pyarrow")
+        .union(wedge_ds)
+        .groupby("bk")
+        .map_groups(close_bucket, batch_format="pandas")
+    )
+
+    out = bucketed_agg(
+        tri_nodes, ["node"], {"n_triangles": ("one", "sum")}, nb=max(nb, 64)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.asarray(b["node"].to_numpy(), dtype=np.int64), pa.int64()
+                ),
+                "n_triangles": pa.array(
+                    np.asarray(b["n_triangles"].to_numpy(), dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -2016,3 +2016,49 @@ def test_bm25_topk_vs_sequential(rd, ray_session):
     order = order[scores[order] > 0] if (scores > 0).sum() >= 25 else order
     assert list(got["doc_id"]) == [int(i) for i in order]
     assert list(got["score"]) == [int(scores[i]) for i in order]
+
+
+def test_triangle_counts_vs_bruteforce(rd, ray_session):
+    """Degree-oriented distributed triangle counting equals a
+    brute-force adjacency-set count on a random directed multigraph
+    (dupes + both orientations + self-loops in the input exercise the
+    canonicalize/dedup front end)."""
+    from biomass_processing_pipeline_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(41)
+    n, m = 200, 1400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+
+    got = (
+        triangle_counts(rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    expect: dict[int, int] = {}
+    for u in range(n):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        expect[x] = expect.get(x, 0) + 1
+    exp = (
+        pd.DataFrame(
+            {"node": list(expect.keys()), "n_triangles": list(expect.values())}
+        )
+        .astype(np.int64)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"node": np.int64, "n_triangles": np.int64}), exp
+    )
