@@ -1914,6 +1914,29 @@ _SQL_SESSIONS = """
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams — the keyed
+    LAG/adjacency shape (stages/windows.transition_counts): coarse
+    user-bucket sort + vectorized shift with user-boundary mask,
+    counts pre-aggregated in-bucket (final exchange ≤ |types|² rows
+    per bucket)."""
+    from ..stages.windows import transition_counts
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ds)
+
+
+_SQL_EVENT_TRANSITIONS = """
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT event_type AS next_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
+
 def q_event_max_concurrency(sf_dir: str):
     """Peak simultaneous user sessions (sweep-line over session
     intervals) — the global-ordered-prefix-sum primitive as a two-pass
@@ -5013,6 +5036,7 @@ def build_queries() -> dict:
             q_knn_triangles,
             _sql_knn_triangles(min(_N_ORACLE, KNN_N)),
         ),
+        "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

@@ -584,3 +584,64 @@ def max_concurrency(intervals, bucket_us: int = CONC_BUCKET_US) -> pd.DataFrame:
             "at_ts_us": np.asarray([int(summaries["ts_at_max"].iloc[first])], np.int64),
         }
     )
+
+
+def transition_counts(ds, n_coarse: int = 256):
+    """Markov transition counts (prev_type → next_type, n) over
+    per-user time-ordered event streams — the keyed LAG/adjacency
+    primitive (reference has no analog; beyond-reference sequence
+    toolkit alongside sessionize/funnel/streaks).
+
+    Scale design: same coarse-bucket dataflow as :func:`sessionize` —
+    users co-partition by ``user_id % n_coarse``, each bucket sorts
+    once and computes the previous event type with a vectorized shift +
+    user-boundary mask, then pre-aggregates counts IN the bucket so the
+    final exchange moves at most |types|² rows per bucket
+    (combiner-first; the type alphabet is bounded)."""
+    from ray.data.aggregate import Sum
+
+    from .zonal import combine_partials
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "event_type": b["event_type"],
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) > 1:
+            same_user = uid[1:] == uid[:-1]
+            prev_t = et[:-1][same_user]
+            next_t = et[1:][same_user]
+        else:
+            prev_t = next_t = np.array([], dtype=object)
+        out = (
+            pd.DataFrame({"prev_type": prev_t, "next_type": next_t})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "prev_type": pa.array(out["prev_type"].astype(str), pa.string()),
+                "next_type": pa.array(out["next_type"].astype(str), pa.string()),
+                "n": pa.array(out["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partial = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return combine_partials(
+        partial, ["prev_type", "next_type"], [Sum("n", alias_name="n")]
+    )

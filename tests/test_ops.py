@@ -2062,3 +2062,44 @@ def test_triangle_counts_vs_bruteforce(rd, ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"node": np.int64, "n_triangles": np.int64}), exp
     )
+
+
+def test_transition_counts_vs_pandas(rd, ray_session):
+    """Coarse-bucket transition counting equals a sequential pandas
+    lag over (user, ts, event_id) order, independent of block layout."""
+    from biomass_processing_pipeline_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**9, n), unit="s"
+            ),
+            "user_id": rng.integers(0, 80, n).astype(np.int64),
+            "event_type": rng.choice(list("ABCDE"), n),
+        }
+    )
+    got = (
+        transition_counts(rd.from_pandas(df).repartition(13))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = s["user_id"].to_numpy()[1:] == s["user_id"].to_numpy()[:-1]
+    exp = (
+        pd.DataFrame(
+            {
+                "prev_type": s["event_type"].to_numpy()[:-1][same],
+                "next_type": s["event_type"].to_numpy()[1:][same],
+            }
+        )
+        .groupby(["prev_type", "next_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}), exp.astype({"n": np.int64}))
