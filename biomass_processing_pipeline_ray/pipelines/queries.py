@@ -1914,6 +1914,33 @@ _SQL_SESSIONS = """
 """
 
 
+def q_orders_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of orders — maximize price,
+    minimize order date; a row survives iff no other order is strictly
+    better on both.  Distributed divide-and-conquer
+    (stages/analytic.skyline): per-block local skylines drop dominated
+    rows early (locally dominated ⇒ globally dominated), so the final
+    exact pass sees O(blocks · log n) candidate rows."""
+    from ..stages.analytic import skyline
+
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline(ds, "o_totalprice", "o_orderdate")
+
+
+_SQL_ORDERS_SKYLINE = """
+    WITH m AS (SELECT o_totalprice AS p, MIN(epoch_us(o_orderdate)) AS d
+               FROM orders GROUP BY 1),
+    c AS (SELECT p, MIN(d) OVER (ORDER BY p DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS min_d_higher
+          FROM m)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN c ON o.o_totalprice = c.p
+    WHERE c.min_d_higher IS NULL
+       OR c.min_d_higher >= epoch_us(o.o_orderdate)
+"""
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams — the keyed
     LAG/adjacency shape (stages/windows.transition_counts): coarse
@@ -5037,6 +5064,7 @@ def build_queries() -> dict:
             _sql_knn_triangles(min(_N_ORACLE, KNN_N)),
         ),
         "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
+        "orders_skyline": (q_orders_skyline, _SQL_ORDERS_SKYLINE),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

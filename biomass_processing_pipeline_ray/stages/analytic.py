@@ -803,3 +803,62 @@ def grouped_percent_rank(
         .groupby([key, "_bk"])
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_mask(price: np.ndarray, date_us: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for the 2-D skyline (maximize ``price``,
+    minimize ``date_us``): a row is dominated iff some other row has
+    STRICTLY higher price AND STRICTLY smaller date.  O(n log n): sort
+    by price desc, take the running min of date over strictly-higher
+    price groups (ties in price never dominate each other)."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((date_us, -price))
+    p_s, d_s = price[order], date_us[order]
+    # running min of date over all STRICTLY higher prices: carry the
+    # prefix min forward only across price-group boundaries
+    grp_start = np.r_[True, p_s[1:] != p_s[:-1]]
+    prefix = np.minimum.accumulate(d_s)
+    # min over groups strictly before this row's group
+    start_idx = np.flatnonzero(grp_start)
+    sizes = np.diff(np.r_[start_idx, n])
+    before = np.repeat(start_idx, sizes) - 1  # last row of previous group
+    min_before = np.where(before >= 0, prefix[np.maximum(before, 0)], np.iinfo(np.int64).max)
+    keep_sorted = d_s <= min_before
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(ds, price_col: str, date_col: str):
+    """Distributed 2-D skyline: per-block local skyline (any locally
+    dominated row is globally dominated — safe to drop early), shrink
+    to one block, exact final pass.
+
+    Scale shape: the expected skyline of n random 2-D points is
+    O(log n) rows, so local filtering collapses each block to a
+    handful of candidates and the final single-block pass sees only
+    (blocks × local-skyline) rows — the classic divide-and-conquer
+    skyline.  Nothing corpus-sized ever converges to one task; a
+    pathological fully-anti-correlated input (skyline = everything)
+    degrades to the input size, which no exact skyline algorithm
+    avoids."""
+
+    def local(b: pa.Table) -> pa.Table:
+        price = np.asarray(b[price_col].to_numpy(), dtype=np.float64)
+        date = _ts_us_col(b[date_col]).to_numpy().astype(np.int64)
+        keep = _skyline_mask(price, date)
+        idx = np.flatnonzero(keep)
+        return b.take(pa.array(idx, pa.int64()))
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+    )

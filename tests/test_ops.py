@@ -2103,3 +2103,36 @@ def test_transition_counts_vs_pandas(rd, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype({"n": np.int64}), exp.astype({"n": np.int64}))
+
+
+def test_skyline_vs_bruteforce(rd, ray_session):
+    """Distributed block-local + final skyline equals the O(n²)
+    strict-dominance definition, including price ties and duplicate
+    points, independent of block layout."""
+    from biomass_processing_pipeline_ray.stages.analytic import skyline
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    price = np.round(rng.random(n) * 100, 1)  # force ties
+    date = pd.to_datetime(rng.integers(0, 10**6, n), unit="s")
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_totalprice": price,
+            "o_orderdate": date,
+        }
+    )
+    got = (
+        skyline(rd.from_pandas(df).repartition(17), "o_totalprice", "o_orderdate")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    d_us = date.astype("int64").to_numpy() // 1000  # ns -> us irrelevant for compare
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(
+            np.any((price > price[i]) & (d_us < d_us[i]))
+        )
+    exp = df[~dominated].sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
