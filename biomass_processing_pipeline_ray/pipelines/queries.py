@@ -1914,6 +1914,35 @@ _SQL_SESSIONS = """
 """
 
 
+def q_id_edit1_pairs(sf_dir: str):
+    """Fuzzy-key similarity join: all image-id pairs within Levenshtein
+    distance 1 (stages/textstages.edit1_pairs — SymSpell deletion
+    neighborhoods, one bucketed exchange, canonical-key emission, exact
+    verify).  Typo-clustering / fuzzy identifier matching over a
+    corpus-sized string column."""
+    from ..sources.tiles import read_tiles
+    from ..stages.textstages import edit1_pairs
+
+    tiles = read_tiles(tiles_path(sf_dir), columns=["image_id"])
+    return edit1_pairs(tiles, "image_id")
+
+
+def _sql_id_edit1_pairs(n: int) -> str:
+    # complete candidate prefilter for same-length distance-1 strings
+    # ('img' + 12 digits = 15 chars): a single substitution at position
+    # p shares left(12) when p >= 12 or right(3) when p <= 11
+    return f"""
+    WITH ids AS (SELECT 'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS s
+                 FROM range({n})),
+    cand AS (SELECT a.s AS id_a, b.s AS id_b
+             FROM ids a JOIN ids b
+               ON a.s < b.s
+              AND (left(a.s, 12) = left(b.s, 12)
+                   OR right(a.s, 3) = right(b.s, 3)))
+    SELECT id_a, id_b FROM cand WHERE levenshtein(id_a, id_b) = 1
+    """
+
+
 def q_orders_skyline(sf_dir: str):
     """2-D skyline (Pareto frontier) of orders — maximize price,
     minimize order date; a row survives iff no other order is strictly
@@ -5065,6 +5094,7 @@ def build_queries() -> dict:
         ),
         "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
         "orders_skyline": (q_orders_skyline, _SQL_ORDERS_SKYLINE),
+        "id_edit1_pairs": (q_id_edit1_pairs, _sql_id_edit1_pairs(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

@@ -447,3 +447,101 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 50):
     scored = hits.map_batches(score, batch_format="pyarrow")
     per_doc = bucketed_agg(scored, ["doc_id"], {"score": ("q", "sum")}, nb=256)
     return _topk(per_doc, "score", k, descending=True, tie_col="doc_id")
+
+
+# -- edit-distance-1 similarity join (deletion neighborhoods) -----------------
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) ≤ 1 for a ≠ b (two-pointer, O(len))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if la == lb:
+        return a[i + 1:] == b[i + 1:]      # one substitution
+    return a[i:] == b[i + 1:]              # one insertion into a
+
+
+def _del_keys(s: str) -> list[str]:
+    """{s} ∪ single-character deletions of s, deduped, order-stable."""
+    seen = {s: None}
+    for i in range(len(s)):
+        seen.setdefault(s[:i] + s[i + 1:], None)
+    return list(seen)
+
+
+def edit1_pairs(ds, col: str, nb: int = 256):
+    """All unordered pairs of DISTINCT values of ``col`` within
+    Levenshtein distance 1 — the SymSpell deletion-neighborhood
+    similarity join (fuzzy key matching / typo clustering at corpus
+    scale; the reference has no string-similarity layer).
+
+    Candidate completeness: lev(a, b) ≤ 1 ⟹ the deletion
+    neighborhoods D(a) = {a} ∪ deletions(a) and D(b) intersect
+    (substitution: both delete the differing position; indel: the
+    shorter string IS a deletion of the longer).  So grouping rows by
+    every key in D(x) and pairing within key groups finds every true
+    pair; candidates are then verified with the exact two-pointer
+    check (D-overlap alone admits lev-2 pairs, e.g. "ab"/"ba").
+
+    Scale shape: ONE exchange of (len+1)·n key rows bucketed by key
+    hash; group sizes are bounded by the alphabet (strings mapping to
+    one deletion key differ only in the reinserted character/position),
+    never corpus-sized.  A pair sharing several keys is emitted only
+    from its lexicographically SMALLEST shared key — decidable locally
+    from the two strings — so the output is unique by construction and
+    no cross-group dedup shuffle exists (the canonical-band trick from
+    the phash stage, stages/dedup.py)."""
+
+    def emit_keys(b: pa.Table) -> pd.DataFrame:
+        vals = b[col].to_pylist()
+        keys, owners = [], []
+        for x in vals:
+            for k in _del_keys(x):
+                keys.append(k)
+                owners.append(x)
+        df = pd.DataFrame({"k": keys, "s": owners})
+        df["bk"] = (
+            pd.util.hash_pandas_object(df["k"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return df
+
+    def pair_bucket(g: pd.DataFrame) -> pa.Table:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        g = g.drop_duplicates(["k", "s"])
+        g = g.sort_values(["k", "s"], kind="mergesort")
+        ks = g["k"].to_numpy()
+        ss = g["s"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        for s0, s1 in zip(starts, ends):
+            members = ss[s0:s1]
+            key = ks[s0]
+            for i in range(len(members) - 1):
+                a = members[i]
+                for j in range(i + 1, len(members)):
+                    b_ = members[j]
+                    if not _lev_le1(a, b_):
+                        continue
+                    shared = min(set(_del_keys(a)) & set(_del_keys(b_)))
+                    if shared == key:
+                        out_a.append(a)
+                        out_b.append(b_)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.string()),
+                "id_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pair_bucket, batch_format="pandas")
+    )
