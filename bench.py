@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "event_max_concurrency",
     "county_corr",
     "bm25_topk",
+    "county_fmt_cube",
+    "knn_triangles",
+    "event_transitions",
+    "orders_skyline",
+    "id_edit1_pairs",
 ]
 
 

@@ -492,24 +492,36 @@ def edit1_pairs(ds, col: str, nb: int = 256):
     Scale shape: ONE exchange of (len+1)·n key rows bucketed by key
     hash; group sizes are bounded by the alphabet (strings mapping to
     one deletion key differ only in the reinserted character/position),
-    never corpus-sized.  A pair sharing several keys is emitted only
-    from its lexicographically SMALLEST shared key — decidable locally
-    from the two strings — so the output is unique by construction and
-    no cross-group dedup shuffle exists (the canonical-band trick from
-    the phash stage, stages/dedup.py)."""
+    never corpus-sized.  Any lev-1 pair shares EXACTLY ONE deletion key
+    (substitution: the common string with the differing position
+    removed; indel: the shorter string itself — verified exhaustively
+    over all strings of length ≤ 4 on a 3-letter alphabet), so each
+    true pair surfaces in exactly one group and the output is unique by
+    construction — no cross-group dedup shuffle, no per-pair set
+    algebra.  A per-group guard re-derives that canonical key and
+    compares it to the group key, which only rejects lev-2 candidates
+    that _lev_le1 already filters; it stays as a cheap invariant."""
 
-    def emit_keys(b: pa.Table) -> pd.DataFrame:
+    def emit_keys(b: pa.Table) -> pa.Table:
         vals = b[col].to_pylist()
         keys, owners = [], []
         for x in vals:
             for k in _del_keys(x):
                 keys.append(k)
                 owners.append(x)
-        df = pd.DataFrame({"k": keys, "s": owners})
-        df["bk"] = (
-            pd.util.hash_pandas_object(df["k"], index=False).to_numpy() % nb
+        bk = (
+            pd.util.hash_pandas_object(
+                pd.Series(keys, dtype=object), index=False
+            ).to_numpy()
+            % nb
         ).astype(np.int64)
-        return df
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.string()),
+                "s": pa.array(owners, pa.string()),
+                "bk": pa.array(bk),
+            }
+        )
 
     def pair_bucket(g: pd.DataFrame) -> pa.Table:
         out_a: list[str] = []
@@ -520,16 +532,22 @@ def edit1_pairs(ds, col: str, nb: int = 256):
         ss = g["s"].to_numpy()
         starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         ends = np.r_[starts[1:], len(ks)]
-        for s0, s1 in zip(starts, ends):
+        multi = (ends - starts) >= 2  # singleton keys can't pair
+        for s0, s1 in zip(starts[multi], ends[multi]):
             members = ss[s0:s1]
             key = ks[s0]
             for i in range(len(members) - 1):
                 a = members[i]
+                la = len(a)
                 for j in range(i + 1, len(members)):
                     b_ = members[j]
                     if not _lev_le1(a, b_):
                         continue
-                    shared = min(set(_del_keys(a)) & set(_del_keys(b_)))
+                    if la != len(b_):
+                        shared = a if la < len(b_) else b_
+                    else:
+                        d = next(p for p in range(la) if a[p] != b_[p])
+                        shared = a[:d] + a[d + 1 :]
                     if shared == key:
                         out_a.append(a)
                         out_b.append(b_)

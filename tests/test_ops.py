@@ -2136,3 +2136,43 @@ def test_skyline_vs_bruteforce(rd, ray_session):
         )
     exp = df[~dominated].sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_edit1_pairs_vs_bruteforce(rd, ray_session):
+    """Deletion-neighborhood similarity join equals the O(n²) exact
+    Levenshtein≤1 definition over variable-length strings (exercising
+    substitution AND insert/delete pairs), with no duplicate pairs,
+    independent of block layout."""
+    from biomass_processing_pipeline_ray.stages.textstages import edit1_pairs
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcd")
+    base = ["".join(rng.choice(alphabet, rng.integers(3, 7))) for _ in range(120)]
+    vals = sorted(set(base))
+    df = pd.DataFrame({"image_id": vals})
+    got = (
+        edit1_pairs(rd.from_pandas(df).repartition(9), "image_id", nb=16)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated().any()
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp_pairs = sorted(
+        (a, b)
+        for i, a in enumerate(vals)
+        for b in vals[i + 1 :]
+        if lev(a, b) == 1
+    )
+    exp = pd.DataFrame(exp_pairs, columns=["id_a", "id_b"])
+    assert len(exp) > 20  # fixture actually contains close pairs
+    pd.testing.assert_frame_equal(got, exp)
