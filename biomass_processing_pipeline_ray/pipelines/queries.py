@@ -4337,6 +4337,26 @@ def _sql_bm25_topk() -> str:
     """
 
 
+def q_bm25_indexed(sf_dir: str):
+    """Top-50 BM25 against a MATERIALIZED term-bucketed inverted index
+    (stages/textstages.build_inverted_index): the full-vocabulary
+    postings table is written once as hive-partitioned parquet keyed by
+    crc32(term) % 64, and retrieval reads ONLY the query terms' buckets
+    with term filters pushed to the scan — the IR twin of
+    ``ann_ivf_indexed``'s storage-layer pruning.  Bit-identical to the
+    full-scan ``bm25_topk`` (same oracle): per-term postings are
+    complete within their bucket, so df/tf/dl seen by the scorer are
+    exact."""
+    from ..stages.textstages import bm25_topk_indexed, build_inverted_index
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    idx = os.path.join(
+        TILE_CACHE, f"inv_idx_{os.path.basename(os.path.normpath(sf_dir))}_v1"
+    )
+    build_inverted_index(docs, idx)
+    return bm25_topk_indexed(idx, _BM25_TERMS, k=50)
+
+
 def q_term_cooccurrence(sf_dir: str):
     """Term co-occurrence mining (phrase/topic discovery over a corpus):
     top-20 unordered distinct-term pairs by document co-occurrence.
@@ -5088,6 +5108,7 @@ def build_queries() -> dict:
         "county_corr": (q_county_corr, _sql_county_corr(_N_ORACLE)),
         "county_fmt_cube": (q_county_fmt_cube, _sql_county_fmt_cube(_N_ORACLE)),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+        "bm25_indexed": (q_bm25_indexed, _sql_bm25_topk()),
         "knn_triangles": (
             q_knn_triangles,
             _sql_knn_triangles(min(_N_ORACLE, KNN_N)),

@@ -384,13 +384,7 @@ def bm25_hits_batch(batch: pa.Table, terms: tuple[str, ...]) -> pa.Table:
 
 def bm25_topk(docs, terms: tuple[str, ...], k: int = 50):
     """Top-k documents by BM25 over the fixed query-term set."""
-    import math
     from functools import partial as _partial
-
-    import ray
-
-    from .zonal import bucketed_agg
-    from .relational import topk as _topk
 
     hits = docs.map_batches(
         _partial(bm25_hits_batch, terms=terms), batch_format="pyarrow"
@@ -410,6 +404,20 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 50):
     n_docs = int(sc["n"].sum())
     tot_dl = int(sc["tot"].sum())
     avgdl = float(tot_dl) / float(n_docs)
+    return _bm25_finish(hits, n_docs, avgdl, k)
+
+
+def _bm25_finish(hits, n_docs: int, avgdl: float, k: int):
+    """Shared BM25 tail: df → idf → integer micro-unit scoring →
+    bucketed per-doc sum → partial-top-k.  ``hits`` rows are
+    (doc_id, dl, term, tf); sentinel (term='') and zero-tf rows are
+    ignored."""
+    import math
+
+    import ray
+
+    from .relational import topk as _topk
+    from .zonal import bucketed_agg
 
     # df over |Q| terms (tiny partial aggregate)
     def dfp(b: pa.Table) -> pa.Table:
@@ -447,6 +455,136 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 50):
     scored = hits.map_batches(score, batch_format="pyarrow")
     per_doc = bucketed_agg(scored, ["doc_id"], {"score": ("q", "sum")}, nb=256)
     return _topk(per_doc, "score", k, descending=True, tie_col="doc_id")
+
+
+# -- materialized inverted index (term-bucket-partitioned postings store) -----
+#
+# The IR twin of the IVF vector store (stages/ann.build_ivf_index): the
+# FULL-vocabulary postings table (term, doc_id, tf, dl) is written ONCE
+# as hive-partitioned parquet keyed by tb = crc32(term) % INVIDX_NB, so
+# a query for |Q| terms reads at most |Q| partition directories with a
+# term-equality filter pushed to the parquet scan — the rest of the
+# corpus vocabulary never leaves storage.  One sentinel row per document
+# (term='', tf=0) rides in bucket crc32('') carrying the doc length, so
+# the corpus scalars (N, total_dl) are recoverable from a single
+# partition read and the index is self-contained.  Every posting for a
+# term lives in exactly one bucket, so document frequency computed from
+# the pruned read is EXACT and indexed retrieval is bit-identical to the
+# full-scan bm25_topk.
+
+INVIDX_NB = 64
+
+
+def term_bucket(t: str, nb: int = INVIDX_NB) -> int:
+    """Deterministic term → partition bucket (stable across processes,
+    unlike Python's salted hash)."""
+    return zlib.crc32(t.encode("utf-8")) % nb
+
+
+def postings_batch(batch: pa.Table) -> pa.Table:
+    """Full-vocabulary postings (doc_id, dl, term, tf, tb) plus one
+    sentinel row (term='', tf=0) per document carrying its length."""
+    s = pd.Series(batch["text"].to_pylist())
+    ids = np.asarray(batch["doc_id"].to_numpy(), dtype=np.int64)
+    toks = s.str.findall(NONWS_RUN_PY)
+    dl = toks.str.len().to_numpy().astype(np.int64)
+    out_id = list(ids)
+    out_dl = list(dl)
+    out_term = [""] * len(ids)
+    out_tf = [0] * len(ids)
+    for j, lst in enumerate(toks):
+        cnt: dict[str, int] = {}
+        for t in lst:
+            cnt[t] = cnt.get(t, 0) + 1
+        for t, c in cnt.items():
+            out_id.append(ids[j])
+            out_dl.append(dl[j])
+            out_term.append(t)
+            out_tf.append(c)
+    tb = [term_bucket(t) for t in out_term]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "tb": pa.array(tb, pa.int64()),
+        }
+    )
+
+
+def build_inverted_index(docs, out_dir: str) -> str:
+    """Materialize the postings store (idempotent: _SUCCESS marker,
+    tmp-dir + rename so readers never see a half-written index)."""
+    import os
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    postings = docs.map_batches(postings_batch, batch_format="pyarrow")
+    postings.write_parquet(tmp, partition_cols=["tb"])
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def _bucket_paths(index_dir: str, buckets) -> list[str]:
+    import os
+
+    paths: list[str] = []
+    for b in sorted(set(int(x) for x in buckets)):
+        d = os.path.join(index_dir, f"tb={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return paths
+
+
+def bm25_topk_indexed(index_dir: str, terms: tuple[str, ...], k: int = 50):
+    """Top-k BM25 against the MATERIALIZED inverted index: reads ONLY
+    the |Q| term buckets (plus the sentinel bucket for corpus scalars)
+    with term filters pushed to the parquet scan; bit-identical to the
+    full-scan ``bm25_topk`` because per-term postings are complete
+    within their bucket."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    # corpus scalars from the sentinel partition
+    sent = rd.read_parquet(
+        _bucket_paths(index_dir, [term_bucket("")]),
+        columns=["dl", "term"],
+        filter=pc.field("term") == "",
+    )
+
+    def scal(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "tot": pa.array([int(b["dl"].to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    sc = sent.map_batches(scal, batch_format="pyarrow").to_pandas()
+    n_docs = int(sc["n"].sum())
+    avgdl = float(sc["tot"].sum()) / float(n_docs)
+
+    hits = rd.read_parquet(
+        _bucket_paths(index_dir, [term_bucket(t) for t in terms]),
+        columns=["doc_id", "dl", "term", "tf"],
+        filter=pc.field("term").isin(list(terms)),
+    )
+    return _bm25_finish(hits, n_docs, avgdl, k)
 
 
 # -- edit-distance-1 similarity join (deletion neighborhoods) -----------------

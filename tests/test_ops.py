@@ -2176,3 +2176,52 @@ def test_edit1_pairs_vs_bruteforce(rd, ray_session):
     exp = pd.DataFrame(exp_pairs, columns=["id_a", "id_b"])
     assert len(exp) > 20  # fixture actually contains close pairs
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bm25_indexed_equals_scan(rd, ray_session, tmp_path):
+    """The materialized term-bucketed inverted index returns the SAME
+    top-k as the full-scan bm25_topk (postings per term are complete
+    within their bucket, so df/tf/dl are exact), and the pruned read
+    touches only the query terms' bucket dirs plus the sentinel
+    bucket."""
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_inverted_index,
+        term_bucket,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)] + ["alpha", "gamma"]
+    n = 500
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)).tolist())
+        for _ in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    docs = rd.from_arrow(tbl).repartition(6)
+    terms = ("alpha", "gamma")
+    idx = str(tmp_path / "inv_idx")
+    build_inverted_index(docs, idx)
+
+    import os
+
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    want = {term_bucket(t) for t in terms} | {term_bucket("")}
+    have = {
+        int(d.split("=")[1])
+        for d in os.listdir(idx)
+        if d.startswith("tb=")
+    }
+    assert want <= have  # the buckets retrieval needs exist
+
+    got_idx = bm25_topk_indexed(idx, terms, k=25)
+    got_scan = bm25_topk(docs, terms, k=25)
+    pd.testing.assert_frame_equal(
+        got_idx.reset_index(drop=True), got_scan.reset_index(drop=True)
+    )
