@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "event_transitions",
     "orders_skyline",
     "id_edit1_pairs",
+    "bm25_indexed",
+    "part_kcore",
 ]
 
 

@@ -4467,6 +4467,103 @@ def _sql_knn_pagerank(n: int, iters: int = 3) -> str:
     return sql
 
 
+KCORE_K = 80  # co-purchase graph density knee (nonempty multi-round peel)
+
+
+def q_part_kcore(sf_dir: str):
+    """k-core decomposition of the part CO-PURCHASE graph (parts linked
+    when they share an order): every part in the maximal subgraph where
+    all degrees stay ≥ K, with its degree inside that core —
+    market-basket community trimming by iterative peel
+    (stages/graph.kcore: per round one bucketed degree aggregate + two
+    co-partitioned removal hops, fixpoint-terminated, nothing
+    node-sized on the driver).  Pair generation co-partitions lineitem
+    on l_orderkey so each bucket pairs only its own orders;
+    cross-order duplicate pairs are deduped inside kcore's symmetric
+    pair-bucket exchange.  The oracle is a recursive-CTE peel with
+    window-function degrees — same simultaneous-removal semantics."""
+    from ..stages.graph import kcore
+
+    NB = 64
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].to_numpy(), dtype=np.int64)
+        pk = np.asarray(b["l_partkey"].to_numpy(), dtype=np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok, pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+                "bk": pa.array(ok % NB, pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["ok", "pk"]).sort_values(
+            ["ok", "pk"], kind="mergesort"
+        )
+        ok = g["ok"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.r_[starts[1:], len(ok)]
+        out_u: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        for s0, s1 in zip(starts, ends):
+            m = pk[s0:s1]
+            if len(m) < 2:
+                continue
+            iu, iv = np.triu_indices(len(m), k=1)
+            out_u.append(m[iu])
+            out_v.append(m[iv])
+        u = np.concatenate(out_u) if out_u else np.empty(0, dtype=np.int64)
+        v = np.concatenate(out_v) if out_v else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"src": pa.array(u, pa.int64()), "dst": pa.array(v, pa.int64())}
+        )
+
+    edges = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    out = kcore(edges, k=KCORE_K)
+    if isinstance(out, pd.DataFrame):  # empty core: typed bounded frame
+        return out.rename(columns={"node": "part_id"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"part_id": b["node"], "core_deg": b["core_deg"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_part_kcore(k: int, iters: int = 32) -> str:
+    # simultaneous-removal peel as a recursive CTE: each iteration keeps
+    # the directed edges whose BOTH endpoints hold degree >= k, with
+    # degrees computed by window functions over the working set (single
+    # recursive reference); after the fixpoint rows replicate unchanged
+    # until the iteration cap, so iter = cap is the core edge set
+    return f"""
+    WITH RECURSIVE ue AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                      GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    de AS (SELECT u, v FROM ue UNION ALL SELECT v AS u, u AS v FROM ue),
+    s AS (
+        SELECT 0 AS iter, u, v FROM de
+      UNION ALL
+        SELECT iter + 1, u, v FROM (
+          SELECT iter, u, v,
+                 COUNT(*) OVER (PARTITION BY u) AS du,
+                 COUNT(*) OVER (PARTITION BY v) AS dv
+          FROM s WHERE iter < {iters}
+        ) WHERE du >= {k} AND dv >= {k}
+    )
+    SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM s WHERE iter = {iters} GROUP BY u
+    """
+
+
 def q_knn_triangles(sf_dir: str):
     """Per-tile triangle counts over the undirected closure of the kNN
     graph — the distributed triangle-counting shape (degree-oriented
@@ -5116,6 +5213,7 @@ def build_queries() -> dict:
         "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
         "orders_skyline": (q_orders_skyline, _SQL_ORDERS_SKYLINE),
         "id_edit1_pairs": (q_id_edit1_pairs, _sql_id_edit1_pairs(_N_ORACLE)),
+        "part_kcore": (q_part_kcore, _sql_part_kcore(KCORE_K)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

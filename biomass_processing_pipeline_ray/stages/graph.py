@@ -532,3 +532,263 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst", nb: int = 64):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel to fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_tag(key: np.ndarray, side: int, other: np.ndarray | None,
+               nb: int) -> pa.Table:
+    n = len(key)
+    return pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "side": pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
+            "other": pa.array(
+                other if other is not None else np.zeros(n, dtype=np.int64),
+                pa.int64(),
+            ),
+            "kb": pa.array(_bucket_of(key, nb), pa.int64()),
+        }
+    )
+
+
+def _kcore_empty() -> pa.Table:
+    return pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "other": pa.array([], pa.int64()),
+            "kb": pa.array([], pa.int64()),
+        }
+    )
+
+
+def kcore(edges, k: int, src: str = "src", dst: str = "dst", nb: int = 64,
+          max_rounds: int = 64):
+    """(node, core_deg) for every node of the k-core of the UNDIRECTED
+    closure of ``edges`` — the maximal subgraph where every node keeps
+    degree ≥ k — with core_deg its degree inside that subgraph.
+
+    Iterative peel: each round deletes ALL nodes whose current degree
+    is < k (and their edges) simultaneously, until a fixpoint.  Per
+    round the dataflow is one bucketed degree aggregate plus two
+    union-tag co-partitioned hops (drop edges whose u — then whose v —
+    is in this round's removed set); only the removed-node rows ride
+    the exchange besides the surviving edges, and nothing node-sized
+    touches the driver (the per-round stop check is a scalar count).
+
+    Round count is graph-dependent: bounded-degree neighborhood graphs
+    (the kNN stitch graph) converge in a handful of rounds; a path
+    graph peeled at k=2 is the O(n)-round adversary, which
+    ``max_rounds`` guards with a loud failure rather than silent
+    truncation."""
+    import pyarrow.compute as pc
+
+    from .zonal import bucketed_agg
+
+    # undirected closure, deduped by symmetric pair bucket
+    def canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[src].to_numpy(), dtype=np.int64)
+        d = np.asarray(b[dst].to_numpy(), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bk": pa.array(_pair_bucket(u, v, nb), pa.int64()),
+            }
+        )
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["u", "v"])
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+                "bk": pa.array(g["bk"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+    if und.count() == 0:
+        return _empty_kcore_result()
+
+    def endpoints(b: pa.Table) -> pd.DataFrame:
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([u, v]),
+                "one": np.ones(2 * len(u), dtype=np.int64),
+            }
+        )
+
+    def degrees(es):
+        return bucketed_agg(
+            es.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            {"deg": ("one", "sum")},
+            nb=max(nb, 64),
+        )
+
+    def drop_hop(es, removed, edge_key: str, edge_other: str):
+        """One co-partitioned hop: drop edges whose ``edge_key``
+        endpoint appears in the removed-node rows."""
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            return _kcore_tag(
+                np.asarray(b[edge_key].to_numpy(), dtype=np.int64),
+                0,
+                np.asarray(b[edge_other].to_numpy(), dtype=np.int64),
+                nb,
+            )
+
+        def removed_rows(b: pa.Table) -> pa.Table:
+            return _kcore_tag(
+                np.asarray(b["node"].to_numpy(), dtype=np.int64), 1, None, nb
+            )
+
+        def keep(g: pd.DataFrame) -> pa.Table:
+            gone = g[g["side"] == 1]["key"].to_numpy(np.int64)
+            e = g[g["side"] == 0]
+            if not len(e):
+                return _kcore_empty()
+            kk = e["key"].to_numpy(np.int64)
+            oo = e["other"].to_numpy(np.int64)
+            m = ~np.isin(kk, gone)
+            # re-key the surviving edges on the OTHER endpoint so the
+            # next hop (or the degree pass) can group on it directly
+            return _kcore_tag(oo[m], 0, kk[m], nb)
+
+        return (
+            es.map_batches(edge_rows, batch_format="pyarrow")
+            .union(removed.map_batches(removed_rows, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(keep, batch_format="pandas")
+        )
+
+    import ray
+
+    for _ in range(max_rounds):
+        deg = degrees(und).materialize()
+        removed = deg.map_batches(
+            lambda b: b.filter(pc.less(b["deg"], k)).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_removed = removed.count()
+        if n_removed == 0:
+            out = deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pa.array(
+                            np.asarray(b["node"].to_numpy(), dtype=np.int64),
+                            pa.int64(),
+                        ),
+                        "core_deg": pa.array(
+                            np.asarray(b["deg"].to_numpy(), dtype=np.int64),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            return out
+
+        if n_removed <= BROADCAST_NODE_LIMIT:
+            # broadcast fast path (pagerank_broadcast precedent): the
+            # per-round removed set is bounded — ship it once via
+            # ray.put and drop edges with an in-batch isin filter, NO
+            # shuffle; block count is preserved so no repartition is
+            # needed either.  The exchange path below remains for a
+            # removed set too large to broadcast.
+            gone_ids = np.sort(
+                removed.to_pandas()["node"].to_numpy().astype(np.int64)
+            )
+            gone_ref = ray.put(gone_ids)
+
+            def drop_bcast(b: pa.Table, _g=gone_ref) -> pa.Table:
+                gone = ray.get(_g)
+                uu = b["u"].to_numpy()
+                vv = b["v"].to_numpy()
+                m = ~(np.isin(uu, gone) | np.isin(vv, gone))
+                return b.filter(pa.array(m))
+
+            und = und.map_batches(
+                drop_bcast, batch_format="pyarrow"
+            ).materialize()
+            if und.count() == 0:
+                return _empty_kcore_result()
+            continue
+
+        hop1 = drop_hop(und, removed, "u", "v")   # rows keyed on v
+
+        hop2 = drop_hop(
+            hop1.map_batches(
+                lambda b: pa.table(
+                    {
+                        "u": b["other"],
+                        "v": b["key"],
+                        "bk": b["kb"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            removed,
+            "v",
+            "u",
+        )
+        und = hop2.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": pa.array(
+                        np.asarray(b["key"].to_numpy(), dtype=np.int64), pa.int64()
+                    ),
+                    "v": pa.array(
+                        np.asarray(b["other"].to_numpy(), dtype=np.int64),
+                        pa.int64(),
+                    ),
+                    "bk": pa.array(
+                        _pair_bucket(
+                            np.asarray(b["key"].to_numpy(), dtype=np.int64),
+                            np.asarray(b["other"].to_numpy(), dtype=np.int64),
+                            nb,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # pin the block count: each round's union→shuffle→union→shuffle
+        # chain roughly TRIPLES the block count of its input, so without
+        # this the task count grows 3^round and per-round wall time
+        # explodes (measured 22 s → 65 s → 100+ s per round at 115k
+        # edges); a fixed-width repartition before the round barrier
+        # keeps every round the same shape
+        und = und.repartition(nb).materialize()
+        if und.count() == 0:
+            return _empty_kcore_result()
+    raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")
+
+
+def _empty_kcore_result() -> pd.DataFrame:
+    # a typed empty PANDAS frame, not an empty Dataset: Ray drops the
+    # schema when converting an empty Dataset to pandas, which would
+    # strip the (node, core_deg) columns downstream.  Mixed return type
+    # follows the pagerank_broadcast precedent (bounded result).
+    return pd.DataFrame(
+        {
+            "node": pd.Series([], dtype="int64"),
+            "core_deg": pd.Series([], dtype="int64"),
+        }
+    )

@@ -583,7 +583,7 @@ def bm25_topk_indexed(index_dir: str, terms: tuple[str, ...], k: int = 50):
         _bucket_paths(index_dir, [term_bucket(t) for t in terms]),
         columns=["doc_id", "dl", "term", "tf"],
         filter=pc.field("term").isin(list(terms)),
-    )
+    ).materialize()  # ≤ |Q| rows/doc; the finish consumes it twice
     return _bm25_finish(hits, n_docs, avgdl, k)
 
 

@@ -2225,3 +2225,62 @@ def test_bm25_indexed_equals_scan(rd, ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got_idx.reset_index(drop=True), got_scan.reset_index(drop=True)
     )
+
+
+def _peel_bruteforce(pairs, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        rm = [n for n, nb in adj.items() if len(nb) < k]
+        if not rm:
+            break
+        rs = set(rm)
+        for n in rm:
+            del adj[n]
+        for n in adj:
+            adj[n] -= rs
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_vs_bruteforce_both_paths(rd, ray_session, monkeypatch):
+    """Distributed peel equals the sequential simultaneous-removal
+    definition on a random graph — via the broadcast removal fast path
+    AND (forced by zeroing the broadcast limit) the co-partitioned
+    exchange path — and an over-aggressive k yields a typed empty
+    frame."""
+    import biomass_processing_pipeline_ray.stages.graph as G
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges = 300, 2400
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    u, v = np.minimum(src, dst), np.maximum(src, dst)
+    exp = _peel_bruteforce(set(zip(u.tolist(), v.tolist())), 9)
+    assert exp, "fixture should have a nonempty 9-core"
+    exp_df = (
+        pd.DataFrame(
+            {"node": list(exp.keys()), "core_deg": list(exp.values())}
+        )
+        .astype(np.int64)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(7)
+
+    for limit in (G.BROADCAST_NODE_LIMIT, 0):
+        monkeypatch.setattr(G, "BROADCAST_NODE_LIMIT", limit)
+        got = G.kcore(ds, k=9, nb=16)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        got = got.sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp_df)
+
+    empty = G.kcore(ds, k=10**6, nb=16)
+    assert isinstance(empty, pd.DataFrame)
+    assert list(empty.columns) == ["node", "core_deg"] and len(empty) == 0
