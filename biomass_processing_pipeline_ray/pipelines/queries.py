@@ -2853,6 +2853,58 @@ _SQL_ANN_TOPK = f"""
 """
 
 
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_filtered_topk(sf_dir: str):
+    """FILTERED vector search: exact cosine top-k among vectors whose
+    ``label`` matches a metadata predicate — the filtered-ANN shape
+    every retrieval stack needs (eligibility / tenant / language
+    filters).  The predicate is pushed to the parquet SCAN (pyarrow
+    filter → only matching rows are materialized), so at 10⁹ vectors a
+    label-partitioned or zone-mapped layout prunes storage, not
+    post-read rows; scoring stays the partial-top-k stream."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import cosine_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_schema(path).remove_metadata()
+    cols = ["vec_id", "embedding", "label"]  # filter column must be read
+    schema = pa.schema([full.field(c) for c in cols])
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=schema,
+        filter=pc.field("label") == ANN_FILTER_LABEL,
+    ).select_columns(["vec_id", "embedding"])
+    out = cosine_topk(ds, _query_vectors(sf_dir), k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos"] = round_away(b["cos"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "cos"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+_SQL_ANN_FILTERED = f"""
+    SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos
+    FROM (SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM (SELECT q.vec_id AS qid, v.vec_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(v.embedding AS DOUBLE[])) AS cos
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ANN_NQ}) q
+                JOIN embeddings v
+                  ON v.vec_id <> q.vec_id AND v.label = {ANN_FILTER_LABEL}))
+    WHERE rn <= 10
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-probed approximate top-k (the 10⁹-vector scale path).
 
@@ -4467,6 +4519,121 @@ def _sql_knn_pagerank(n: int, iters: int = 3) -> str:
     return sql
 
 
+_QSK_LO, _QSK_HI, _QSK_NBINS = 0.0, 1024.0, 2048  # width = 0.5 exactly
+
+
+def q_value_quantile_sketch(sf_dir: str):
+    """Mergeable histogram-sketch quantiles per event type — the
+    10¹²-row quantile path (stages/analytic.approx_grouped_quantiles):
+    each batch emits O(occupied bins) partial counts, partials merge by
+    Sum, and p50/p90/p99 read off the merged CDF.  Deterministic by
+    construction (fixed [0, 1024] range, 2048 bins → bin width exactly
+    0.5, so the bin arithmetic is float-exact on both sides) — the SQL
+    oracle mirrors the sketch, making the ±(hi−lo)/nbins contract
+    itself hash-gated, not just pytest-bounded."""
+    from ..stages.analytic import approx_grouped_quantiles
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"])
+    return approx_grouped_quantiles(
+        ds,
+        "event_type",
+        "value",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        lo=_QSK_LO,
+        hi=_QSK_HI,
+        nbins=_QSK_NBINS,
+    )
+
+
+def _sql_value_quantile_sketch() -> str:
+    lo, nbins = _QSK_LO, _QSK_NBINS
+    width = (_QSK_HI - _QSK_LO) / _QSK_NBINS  # 0.5, exact
+    ranks = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    sel = ",\n             ".join(
+        f"MIN(CASE WHEN cdf >= CAST(FLOOR({q} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN bin END) AS b_{name}"
+        for name, q in ranks.items()
+    )
+    proj = ", ".join(
+        f"{lo} + (b_{name} + 1) * {width} AS {name}" for name in ranks
+    )
+    return f"""
+    WITH v AS (SELECT event_type,
+                      LEAST(GREATEST(CAST(FLOOR((value - {lo}) / {width})
+                                          AS BIGINT), 0), {nbins - 1}) AS bin
+               FROM events),
+    h AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY event_type, bin),
+    c AS (SELECT event_type, bin,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cdf,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM h),
+    q AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+             {sel}
+          FROM c GROUP BY event_type, n)
+    SELECT event_type, n, {proj} FROM q
+    """
+
+
+def q_orders_upsert(sf_dir: str):
+    """Distributed MERGE / CDC apply (stages/relational.merge_upsert):
+    a deterministic delta derived from the orders table itself —
+    UPDATE (+100.0 price) where o_orderkey % 7 = 0 (unless deleted),
+    DELETE where % 13 = 3, INSERT a re-keyed copy (+100M) where
+    % 11 = 5 — is applied to the base with ONE co-partitioned exchange;
+    each hash bucket resolves all its keys vectorized.  The lakehouse
+    upsert shape: nothing key-sized broadcasts or lands on the
+    driver."""
+    from ..stages.relational import merge_upsert
+
+    base = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"].to_numpy(), dtype=np.int64)
+        c = np.asarray(b["o_custkey"].to_numpy(), dtype=np.int64)
+        p = np.asarray(b["o_totalprice"].to_numpy(), dtype=np.float64)
+        upd = (k % 7 == 0) & (k % 13 != 3)
+        dele = k % 13 == 3
+        ins = k % 11 == 5
+        keys = np.concatenate([k[upd], k[dele], k[ins] + 100_000_000])
+        custs = np.concatenate([c[upd], c[dele], c[ins]])
+        prices = np.concatenate([p[upd] + 100.0, p[dele], p[ins]])
+        ops = ["U"] * int(upd.sum()) + ["D"] * int(dele.sum()) + [
+            "I"
+        ] * int(ins.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array(custs, pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "op": pa.array(ops, pa.string()),
+            }
+        )
+
+    delta = base.map_batches(mk_delta, batch_format="pyarrow")
+    return merge_upsert(base, delta, key="o_orderkey")
+
+
+_SQL_ORDERS_UPSERT = """
+    WITH delta AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice + 100.0 AS p, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, 'D'
+      FROM orders WHERE o_orderkey % 13 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
+      FROM orders WHERE o_orderkey % 11 = 5
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT k FROM delta WHERE op IN ('U', 'D'))
+    UNION ALL
+    SELECT k AS o_orderkey, o_custkey, p AS o_totalprice
+    FROM delta WHERE op IN ('U', 'I')
+"""
+
+
 KCORE_K = 80  # co-purchase graph density knee (nonempty multi-round peel)
 
 
@@ -5214,6 +5381,12 @@ def build_queries() -> dict:
         "orders_skyline": (q_orders_skyline, _SQL_ORDERS_SKYLINE),
         "id_edit1_pairs": (q_id_edit1_pairs, _sql_id_edit1_pairs(_N_ORACLE)),
         "part_kcore": (q_part_kcore, _sql_part_kcore(KCORE_K)),
+        "orders_upsert": (q_orders_upsert, _SQL_ORDERS_UPSERT),
+        "ann_filtered_topk": (q_ann_filtered_topk, _SQL_ANN_FILTERED),
+        "value_quantile_sketch": (
+            q_value_quantile_sketch,
+            _sql_value_quantile_sketch(),
+        ),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

@@ -239,3 +239,52 @@ def bloom_semi_join(big, small, big_col: str, small_col: str,
     )
     keys = np.asarray(sorted(small.unique(small_col)), dtype=np.int64)
     return semi_join(survivors, keys, big_col)
+
+
+def merge_upsert(base, delta, key: str, op_col: str = "op", nb: int = 64):
+    """Distributed MERGE (CDC apply): returns ``base`` with ``delta``'s
+    row-level operations applied — 'U' replaces the base row with the
+    delta row, 'D' deletes it, 'I' inserts a new row (its key must not
+    exist in ``base``; enforced implicitly — an 'I' whose key exists
+    would duplicate, exactly like a real MERGE misuse).
+
+    The lakehouse upsert shape: both sides co-partition ONCE on
+    hash(key) % nb, and each bucket resolves all its keys with
+    vectorized pandas ops (drop U∪D keys from base, append U∪I delta
+    rows).  Nothing key-sized is broadcast or driver-materialized, so a
+    10⁹-row base with a skewed delta works — a hot delta key inflates
+    one bucket by its own size only.  Schema contract: ``delta`` has
+    every ``base`` column plus ``op_col``."""
+    from ..functions import georef as G
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            keys = np.asarray(b[key].to_numpy(), dtype=np.int64)
+            cols = {c: b[c] for c in b.column_names}
+            cols["_side"] = pa.array(np.full(len(b), side, dtype=np.int8))
+            if side == 0:
+                cols[op_col] = pa.array([""] * len(b), pa.string())
+            cols["_mb"] = pa.array(
+                (G.derive_key(keys) % nb).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        return f
+
+    cols_out = [c for c in base.schema().names]
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        d = g[g["_side"] == 1]
+        b = g[g["_side"] == 0]
+        gone = d.loc[d[op_col].isin(("U", "D")), key].to_numpy()
+        keep = b[~b[key].isin(gone)]
+        add = d[d[op_col].isin(("U", "I"))]
+        out = pd.concat([keep[cols_out], add[cols_out]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        base.map_batches(tag(0), batch_format="pyarrow")
+        .union(delta.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("_mb")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -2284,3 +2284,48 @@ def test_kcore_vs_bruteforce_both_paths(rd, ray_session, monkeypatch):
     empty = G.kcore(ds, k=10**6, nb=16)
     assert isinstance(empty, pd.DataFrame)
     assert list(empty.columns) == ["node", "core_deg"] and len(empty) == 0
+
+
+def test_merge_upsert_vs_sequential(rd, ray_session):
+    """Co-partitioned MERGE equals sequential apply of U/D/I row ops,
+    independent of block layout, including keys untouched by the
+    delta."""
+    from biomass_processing_pipeline_ray.stages.relational import merge_upsert
+
+    rng = np.random.default_rng(19)
+    n = 500
+    base = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "grp": rng.integers(0, 5, n).astype(np.int64),
+            "x": np.round(rng.random(n) * 100, 2),
+        }
+    )
+    upd = base[base["k"] % 6 == 0].assign(x=lambda d: d["x"] + 1.0, op="U")
+    dele = base[base["k"] % 6 == 1].assign(op="D")
+    ins = base[base["k"] % 6 == 2].assign(
+        k=lambda d: d["k"] + 10_000, op="I"
+    )
+    delta = pd.concat([upd, dele, ins], ignore_index=True)
+
+    got = (
+        merge_upsert(
+            rd.from_pandas(base).repartition(7),
+            rd.from_pandas(delta).repartition(3),
+            key="k",
+            nb=16,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    gone = set(delta.loc[delta["op"].isin(("U", "D")), "k"])
+    exp = pd.concat(
+        [
+            base[~base["k"].isin(gone)],
+            delta.loc[delta["op"].isin(("U", "I")), ["k", "grp", "x"]],
+        ],
+        ignore_index=True,
+    ).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "grp", "x"]], exp)
