@@ -4519,6 +4519,157 @@ def _sql_knn_pagerank(n: int, iters: int = 3) -> str:
     return sql
 
 
+def q_spearman_qty_disc(sf_dir: str):
+    """Spearman rank correlation of (l_quantity, l_discount) — the
+    tie-aware average-rank formulation, EXACT: average ranks are
+    half-integers, so doubling them yields integers
+    R(v) = 2·|less| + |equal| + 1 and every moment (Σx, Σx², Σxy) is an
+    exact integer; ρ is one float expression over those integers,
+    mirrored op-for-op in SQL (HUGEINT there, Python ints here — both
+    overflow-free).  Scale shape: both columns are LOW-CARDINALITY
+    (50 / 11 distinct), so the per-value count tables are bounded, the
+    rank maps broadcast in-closure, and the data-sized work is one
+    vectorized map emitting ONE partial-moment row per batch."""
+    import math
+
+    from ..stages.zonal import bucketed_agg
+
+    ds = _tbl(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def rank_map(col: str) -> dict[float, int]:
+        def cnt(b: pa.Table) -> pa.Table:
+            v, c = np.unique(b[col].to_numpy().astype(np.float64),
+                             return_counts=True)
+            return pa.table(
+                {"v": pa.array(v, pa.float64()),
+                 "cnt": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        counts = bucketed_agg(
+            ds.map_batches(cnt, batch_format="pyarrow"),
+            ["v"],
+            {"cnt": ("cnt", "sum")},
+            nb=16,
+        ).to_pandas().sort_values("v")  # bounded: ≤ distinct values
+        less = np.concatenate([[0], np.cumsum(counts["cnt"].to_numpy())[:-1]])
+        return {
+            float(v): int(2 * l + c + 1)
+            for v, l, c in zip(counts["v"], less, counts["cnt"])
+        }
+
+    rx_map, ry_map = rank_map("l_quantity"), rank_map("l_discount")
+
+    def moments(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy().astype(np.float64)
+        d = b["l_discount"].to_numpy().astype(np.float64)
+        rx = np.asarray([rx_map[float(v)] for v in q], dtype=np.int64)
+        ry = np.asarray([ry_map[float(v)] for v in d], dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "sx": pa.array([int(rx.sum())], pa.int64()),
+                "sy": pa.array([int(ry.sum())], pa.int64()),
+                "sxx": pa.array([int((rx * rx).sum())], pa.int64()),
+                "syy": pa.array([int((ry * ry).sum())], pa.int64()),
+                "sxy": pa.array([int((rx * ry).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    # Python-int totals: exact, unbounded (the SQL side uses HUGEINT)
+    n, sx, sy, sxx, syy, sxy = (int(parts[c].sum()) for c in
+                                ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    num = float(n * sxy - sx * sy)
+    rho = num / (
+        math.sqrt(float(n * sxx - sx * sx))
+        * math.sqrt(float(n * syy - sy * sy))
+    )
+    return pd.DataFrame(
+        {"n": np.array([n], dtype=np.int64),
+         "rho": round_away(np.array([rho]), 9)}
+    )
+
+
+_SQL_SPEARMAN = """
+    WITH r AS (SELECT
+        2 * RANK() OVER (ORDER BY l_quantity)
+          + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+        2 * RANK() OVER (ORDER BY l_discount)
+          + COUNT(*) OVER (PARTITION BY l_discount) - 1 AS ry
+      FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(rx AS HUGEINT)) AS sx,
+                 SUM(CAST(ry AS HUGEINT)) AS sy,
+                 SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                 SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+                 SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS rho
+    FROM m
+"""
+
+
+WSAMPLE_N = 200
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each order gets priority ln(u)/w with u a deterministic uniform
+    from the Knuth hash of its key and w = o_totalprice; the top-N by
+    priority IS a w-weighted uniform sample.  Priorities are computed
+    in-batch and reduced by partial-top-k (k rows per batch reach the
+    final merge — no sort, no shuffle of the table), the exact shape a
+    10¹²-row weighted corpus subsample needs.  Deterministic hash ⇒
+    bit-reproducible sample ⇒ exact SQL mirror, not a statistical
+    tolerance check."""
+    from ..stages.relational import topk
+
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_orderkey"].to_numpy(), dtype=np.int64)
+        w = np.asarray(b["o_totalprice"].to_numpy(), dtype=np.float64)
+        u = (G.derive_key(k).astype(np.float64) + 1.0) / 4294967296.0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "o_totalprice": pa.array(w, pa.float64()),
+                "prio": pa.array(np.log(u) / w, pa.float64()),
+            }
+        )
+
+    top = topk(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        by="prio",
+        k=WSAMPLE_N,
+        descending=True,
+        tie_col="o_orderkey",
+    )
+    top = top.sort_values(
+        ["prio", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["prio"] = round_away(top["prio"].to_numpy(), 8)
+    return top[["rank", "o_orderkey", "o_totalprice", "prio"]]
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+    WITH p AS (SELECT o_orderkey, o_totalprice,
+                      LN(({G.SQL_KEY.format(id="o_orderkey")} + 1.0)
+                         / 4294967296.0) / o_totalprice AS prio
+               FROM orders),
+    r AS (SELECT o_orderkey, o_totalprice, prio,
+                 row_number() OVER (ORDER BY prio DESC, o_orderkey) AS rank
+          FROM p)
+    SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice,
+           ROUND(prio, 8) AS prio
+    FROM r WHERE rank <= {WSAMPLE_N}
+"""
+
+
 _QSK_LO, _QSK_HI, _QSK_NBINS = 0.0, 1024.0, 2048  # width = 0.5 exactly
 
 
@@ -5387,6 +5538,8 @@ def build_queries() -> dict:
             q_value_quantile_sketch,
             _sql_value_quantile_sketch(),
         ),
+        "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+        "spearman_qty_disc": (q_spearman_qty_disc, _SQL_SPEARMAN),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
