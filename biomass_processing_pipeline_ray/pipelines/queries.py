@@ -4726,6 +4726,28 @@ def _sql_value_quantile_sketch() -> str:
     """
 
 
+def q_events_ntile(sf_dir: str):
+    """Exact global NTILE(8) over event values (equal-frequency
+    binning / feature bucketization) with NO global sort
+    (stages/analytic.global_ntile): bounded per-value-bucket count
+    table → driver offsets → co-partitioned position assignment — the
+    two-pass prefix-scan window-function shape at 10⁹ rows.  Total
+    order (value, event_id) makes ties deterministic on both sides."""
+    from ..stages.analytic import global_ntile
+
+    ds = _tbl(sf_dir, "events", ["event_id", "value"])
+    return global_ntile(
+        ds, "value", "event_id", tiles=8, lo=_QSK_LO, hi=_QSK_HI
+    )
+
+
+_SQL_EVENTS_NTILE = """
+    SELECT event_id,
+           CAST(NTILE(8) OVER (ORDER BY value, event_id) AS BIGINT) AS tile
+    FROM events
+"""
+
+
 def q_orders_upsert(sf_dir: str):
     """Distributed MERGE / CDC apply (stages/relational.merge_upsert):
     a deterministic delta derived from the orders table itself —
@@ -5540,6 +5562,7 @@ def build_queries() -> dict:
         ),
         "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
         "spearman_qty_disc": (q_spearman_qty_disc, _SQL_SPEARMAN),
+        "events_ntile": (q_events_ntile, _SQL_EVENTS_NTILE),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

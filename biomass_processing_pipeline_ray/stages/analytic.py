@@ -862,3 +862,90 @@ def skyline(ds, price_col: str, date_col: str):
         .repartition(1)
         .map_batches(local, batch_format="pyarrow", batch_size=None)
     )
+
+
+def global_ntile(ds, val: str, id_col: str, tiles: int,
+                 lo: float, hi: float, nbins: int = 2048):
+    """Exact global ``NTILE(tiles) OVER (ORDER BY val, id)`` — the
+    equal-frequency binning every feature-bucketization pipeline needs,
+    WITHOUT a global sort: the two-pass prefix-scan pattern
+    (``grouped_percent_rank`` / ``event_max_concurrency`` family).
+
+    Pass 1 counts rows per equi-width VALUE bucket over [lo, hi]
+    (bounded: ≤ nbins partial rows per batch, merged by Sum) and turns
+    the bounded count table into per-bucket global offsets on the
+    driver.  Pass 2 co-partitions rows by bucket, sorts each bucket by
+    (val, id) — a total order, so ties are deterministic — and assigns
+    each row its global 0-indexed position = offset[bucket] + local
+    position, from which the standard NTILE remainder-to-front rule is
+    one vector expression.  Values must lie in [lo, hi] (callers pick
+    the domain; out-of-range would break the total order, unlike the
+    clamped histogram sketch)."""
+    from .zonal import bucketed_agg
+
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (np.float64(hi) - np.float64(lo)) / nbins
+
+    def binc(b: pa.Table) -> pa.Table:
+        v = b[val].to_numpy().astype(np.float64)
+        if len(v) and (v.min() < lo or v.max() > hi):
+            raise ValueError(f"{val} outside [{lo}, {hi}]")
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, nbins - 1)
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ub, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(binc, batch_format="pyarrow"),
+        ["bin"],
+        {"cnt": ("cnt", "sum")},
+        nb=16,
+    ).to_pandas().sort_values("bin")  # bounded: ≤ nbins rows
+    n = int(counts["cnt"].sum())
+    csum = np.concatenate([[0], np.cumsum(counts["cnt"].to_numpy())[:-1]])
+    offset = dict(zip(counts["bin"].astype(int), csum.astype(int)))
+    size, rem = n // tiles, n % tiles
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[val].to_numpy().astype(np.float64)
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, nbins - 1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                val: pa.array(v, pa.float64()),
+                "bin": pa.array(bins, pa.int64()),
+            }
+        )
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        vv = g[val].to_numpy(np.float64)
+        ii = g[id_col].to_numpy(np.int64)
+        bb = g["bin"].to_numpy(np.int64)
+        order = np.lexsort((ii, vv, bb))
+        vv, ii, bb = vv[order], ii[order], bb[order]
+        starts = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        base = np.asarray([offset[int(b_)] for b_ in bb[starts]],
+                          dtype=np.int64)
+        r0 = np.repeat(base - starts, np.diff(np.r_[starts, len(bb)])) + \
+            np.arange(len(bb), dtype=np.int64)
+        cut = rem * (size + 1)
+        tile = np.where(
+            r0 < cut,
+            r0 // (size + 1) if size + 1 > 0 else 0,
+            rem + (r0 - cut) // max(size, 1),
+        ).astype(np.int64) + 1
+        return pa.table(
+            {
+                id_col: pa.array(ii, pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(assign, batch_format="pandas")
+    )
