@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "id_edit1_pairs",
     "bm25_indexed",
     "part_kcore",
+    "orders_upsert",
+    "ann_filtered_topk",
+    "value_quantile_sketch",
+    "weighted_sample",
+    "spearman_qty_disc",
+    "events_ntile",
 ]
 
 

@@ -257,21 +257,25 @@ def merge_upsert(base, delta, key: str, op_col: str = "op", nb: int = 64):
     every ``base`` column plus ``op_col``."""
     from ..functions import georef as G
 
+    cols_out = [c for c in base.schema().names]
+
     def tag(side: int):
         def f(b: pa.Table) -> pa.Table:
             keys = np.asarray(b[key].to_numpy(), dtype=np.int64)
-            cols = {c: b[c] for c in b.column_names}
+            # canonical column order so both union sides share one schema
+            cols = {c: b[c] for c in cols_out}
+            cols[op_col] = (
+                b[op_col]
+                if side == 1
+                else pa.array([""] * len(b), pa.string())
+            )
             cols["_side"] = pa.array(np.full(len(b), side, dtype=np.int8))
-            if side == 0:
-                cols[op_col] = pa.array([""] * len(b), pa.string())
             cols["_mb"] = pa.array(
                 (G.derive_key(keys) % nb).astype(np.int64)
             )
             return pa.table(cols)
 
         return f
-
-    cols_out = [c for c in base.schema().names]
 
     def resolve(g: pd.DataFrame) -> pa.Table:
         d = g[g["_side"] == 1]
