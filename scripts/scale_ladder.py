@@ -60,6 +60,13 @@ LADDER = {
     # (bounded 256-count partials), scans linear
     "quality_topfrac": "documents",
     "quality_topfrac_by_source": "documents",
+    # late round-4 heavies: the deletion-neighborhood join (pairs scale
+    # superlinearly with contiguous id runs — cross-replica distance-1
+    # pairs are real pairs, the ladder measures them honestly) and the
+    # k-core peel over 5 disjoint co-purchase graph replicas (same
+    # round count, 5x edges)
+    "id_edit1_pairs": "tiles",
+    "part_kcore": "lineitem",
 }
 
 
@@ -78,6 +85,25 @@ def build_twin(src_dir: str = "/root/testdata/sf0.1") -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(LADDER_DIR, exist_ok=True)
+    # lineitem twin (late round-4 add): guarded by file existence so a
+    # twin built before this table existed gains it without a rebuild;
+    # replicas offset BOTH keys, so the co-purchase graphs are disjoint
+    li_path = os.path.join(LADDER_DIR, "lineitem.parquet")
+    if not os.path.exists(li_path):
+        li = pq.read_table(
+            os.path.join(src_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        li_parts = [
+            pa.table(
+                {
+                    "l_orderkey": pa.compute.add(li["l_orderkey"], r * _ID_OFF),
+                    "l_partkey": pa.compute.add(li["l_partkey"], r * _ID_OFF),
+                }
+            )
+            for r in range(REPLICAS)
+        ]
+        pq.write_table(pa.concat_tables(li_parts), li_path)
     marker = os.path.join(LADDER_DIR, "_SUCCESS")
     if os.path.exists(marker):
         return LADDER_DIR

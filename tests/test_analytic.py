@@ -353,3 +353,39 @@ def test_longest_streak_vs_sequential(rd):
     assert (got["user_id"].to_numpy() == exp.index.to_numpy()).all()
     assert (got["max_streak"].to_numpy() == exp.to_numpy()).all()
     assert got["max_streak"].max() >= 3  # fixture actually has streaks
+
+
+def test_global_ntile_vs_duckdb(rd):
+    """global_ntile equals DuckDB's NTILE over a tie-heavy column with
+    a total-order tiebreaker, for tile counts that do and don't divide
+    the row count."""
+    import duckdb
+
+    from biomass_processing_pipeline_ray.stages.analytic import global_ntile
+
+    rng = np.random.default_rng(13)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # ~20 distinct values -> heavy ties across bucket borders
+            "value": np.round(rng.random(n) * 10, 0) + 0.25,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    con = duckdb.connect()
+    con.register("t", df)
+    for tiles in (7, 8):
+        got = (
+            global_ntile(ds, "value", "event_id", tiles=tiles, lo=0.0,
+                         hi=16.0, nbins=32)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT event_id, CAST(NTILE({tiles}) OVER "
+            "(ORDER BY value, event_id) AS BIGINT) AS tile FROM t "
+            "ORDER BY event_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, exp.astype({"tile": np.int64}))
