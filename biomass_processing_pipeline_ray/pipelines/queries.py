@@ -213,15 +213,15 @@ _CORR_QX = 1048576.0  # value quantum 2^-20
 _CORR_QY = 4096.0     # biomass quantum 2^-12
 
 
-def q_county_corr(sf_dir: str):
-    """Per-county Pearson correlation (value vs biomass) from EXACT
-    integer moments: both variables quantize to fixed-point int64 so
-    the five moment sums are overflow-free exact integers through sf10
-    (grouping-invariant — no float-summation order problem at all);
-    the final r converts the identical integers to double on both
-    sides with the identical expression order, so equality is bitwise
-    before the 6-dp rounding.  Partial moments combine per batch; the
-    exchange carries one row per (county, batch)."""
+def _county_moments(sf_dir: str):
+    """Per-county exact integer moments of the quantized (value,
+    biomass) pair — the shared partial-aggregate feeding both the
+    Pearson correlation and the OLS regression queries.  Both
+    variables quantize to fixed-point int64 so the five moment sums
+    are overflow-free exact integers through sf10 (grouping-invariant
+    — no float-summation order problem at all).  Partial moments
+    combine per batch; the exchange carries one row per
+    (county, batch)."""
     from ..stages.zonal import bucketed_agg
 
     ds = _pip(_range_geo(universe_n(sf_dir)))
@@ -251,7 +251,7 @@ def q_county_corr(sf_dir: str):
             }
         )
 
-    g = bucketed_agg(
+    return bucketed_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["county_fips"],
         {
@@ -264,6 +264,15 @@ def q_county_corr(sf_dir: str):
         },
         nb=64,
     )
+
+
+def q_county_corr(sf_dir: str):
+    """Per-county Pearson correlation (value vs biomass) from the
+    exact integer moments of ``_county_moments``; the final r converts
+    the identical integers to double on both sides with the identical
+    expression order, so equality is bitwise before the 6-dp
+    rounding."""
+    g = _county_moments(sf_dir)
 
     def finalize(b: pa.Table) -> pa.Table:
         nn = b["n_tiles"].to_numpy().astype(np.float64)
@@ -314,6 +323,83 @@ def _sql_county_corr(n: int) -> str:
                  / sqrt(({nd}*sxx - sx*sx) * ({nd}*syy - sy*sy)), 6) AS corr_xy
     FROM m
     WHERE ({nd}*sxx - sx*sx) * ({nd}*syy - sy*sy) > 0
+    """
+
+
+def q_county_regression(sf_dir: str):
+    """Per-county OLS regression biomass ~ value (slope / intercept /
+    r²) from the SAME exact integer moments as ``q_county_corr``
+    (``_county_moments``: quantized fixed-point int64 sums, exchange =
+    one row per county×batch).  The quantized-unit slope rescales to
+    real units by the exact constant QX/QY = 256.0; intercept and r²
+    reuse the slope subexpression in the identical order on both
+    sides, so the doubles match bitwise before the 6-dp rounding.
+    Grouped regression is the per-stratum trend-fit every calibration
+    / drift-monitoring pipeline needs; moments-only partials keep the
+    exchange one bounded row per (county, batch) at any scale."""
+    g = _county_moments(sf_dir)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nn = b["n_tiles"].to_numpy().astype(np.float64)
+        sx = b["sx"].to_numpy().astype(np.float64)
+        sy = b["sy"].to_numpy().astype(np.float64)
+        sxy = b["sxy"].to_numpy().astype(np.float64)
+        sxx = b["sxx"].to_numpy().astype(np.float64)
+        syy = b["syy"].to_numpy().astype(np.float64)
+        num = nn * sxy - sx * sy
+        denx = nn * sxx - sx * sx
+        deny = nn * syy - sy * sy
+        keep = (denx > 0) & (deny > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (num / denx) * (_CORR_QX / _CORR_QY)
+            intercept = (sy / _CORR_QY - slope * (sx / _CORR_QX)) / nn
+            r2 = (num * num) / (denx * deny)
+        return pa.table(
+            {
+                "county_fips": pa.array(
+                    np.asarray(b["county_fips"].to_pylist(), dtype=object)[keep],
+                    pa.string(),
+                ),
+                "n_tiles": pa.array(b["n_tiles"].to_numpy()[keep], pa.int64()),
+                "slope": pa.array(round_away(slope, 6)[keep], pa.float64()),
+                "intercept": pa.array(round_away(intercept, 6)[keep], pa.float64()),
+                "r2": pa.array(round_away(r2, 6)[keep], pa.float64()),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_county_regression(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    xv = G.sql_value("id")
+    bm = G.sql_biomass("id")
+    ratio = _CORR_QX / _CORR_QY  # 256.0 exactly
+    slope = f"((num/denx) * {ratio:.1f})"
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips,
+             CAST(ROUND({xv} * {_CORR_QX:.1f}, 0) AS BIGINT) AS x,
+             CAST(ROUND({bm} * {_CORR_QY:.1f}, 0) AS BIGINT) AS y
+      FROM (SELECT range AS id FROM range({n}))),
+    m AS (
+      SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM q GROUP BY county_fips),
+    s AS (
+      SELECT *, (nd*sxy - sx*sy) AS num,
+             (nd*sxx - sx*sx) AS denx, (nd*syy - sy*sy) AS deny
+      FROM m)
+    SELECT county_fips, n_tiles,
+           ROUND({slope}, 6) AS slope,
+           ROUND((sy/{_CORR_QY:.1f} - {slope}*(sx/{_CORR_QX:.1f})) / nd, 6)
+             AS intercept,
+           ROUND((num*num) / (denx*deny), 6) AS r2
+    FROM s WHERE denx > 0 AND deny > 0
     """
 
 
@@ -5563,6 +5649,10 @@ def build_queries() -> dict:
         "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
         "spearman_qty_disc": (q_spearman_qty_disc, _SQL_SPEARMAN),
         "events_ntile": (q_events_ntile, _SQL_EVENTS_NTILE),
+        "county_regression": (
+            q_county_regression,
+            _sql_county_regression(_N_ORACLE),
+        ),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

@@ -2329,3 +2329,55 @@ def test_merge_upsert_vs_sequential(rd, ray_session):
         ignore_index=True,
     ).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "grp", "x"]], exp)
+
+
+def test_county_regression_matches_numpy_polyfit(ray_session):
+    """Integer-moment grouped OLS == np.polyfit per county on the
+    quantized variables rescaled to real units (6-dp agreement; the
+    engine path is bit-deterministic, polyfit's QR solve is the
+    independent formulation), and r2 == corr_xy² from the sibling
+    query."""
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        _CORR_QX,
+        _CORR_QY,
+        q_county_corr,
+        q_county_regression,
+    )
+
+    got = (
+        q_county_regression("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+
+    ids = np.arange(6000, dtype=np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    cx, cy = G.derive_county_xy(lon, lat)
+    fips = G.county_fips_from_xy(cx, cy)
+    # real-unit variables reconstructed from the exact quantized ints
+    x = round_away(G.derive_value(ids) * _CORR_QX, 0) / _CORR_QX
+    y = round_away(G.derive_biomass(ids) * _CORR_QY, 0) / _CORR_QY
+    rows = []
+    for f in np.unique(fips):
+        m = fips == f
+        if x[m].std() == 0 or y[m].std() == 0:
+            continue
+        sl, ic = np.polyfit(x[m], y[m], 1)
+        rows.append((str(f), int(m.sum()), float(sl), float(ic)))
+    exp = pd.DataFrame(rows, columns=["county_fips", "n_tiles", "slope", "intercept"])
+    assert list(got["county_fips"]) == list(exp["county_fips"])
+    assert (got["n_tiles"].to_numpy() == exp["n_tiles"].to_numpy()).all()
+    assert np.allclose(got["slope"], exp["slope"], atol=1e-5)
+    assert np.allclose(got["intercept"], exp["intercept"], atol=1e-5)
+
+    corr = (
+        q_county_corr("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["r2"], corr["corr_xy"] ** 2, atol=1e-5)
+    assert ((got["r2"] >= 0) & (got["r2"] <= 1.0000001)).all()
