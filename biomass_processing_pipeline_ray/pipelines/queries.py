@@ -2648,6 +2648,79 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+_AUC_QS = 4096.0          # score quantum 2^-12 (exact rank key)
+_AUC_LO = -64 * 4096      # quantized-score bucket domain (clipped
+_AUC_HI = 192 * 4096      # monotonically — correctness unaffected)
+
+
+def q_score_auc_by_source(sf_dir: str):
+    """Per-source ROC AUC of the quality score predicting lang='en' —
+    the Mann–Whitney rank-sum classifier-evaluation metric, exact with
+    midrank tie handling, computed WITHOUT a global sort
+    (stages/analytic.grouped_auc two-pass prefix-scan; the rank key is
+    the 2^-12-quantized score so every rank statistic is an exact
+    integer on both sides).  The labeled-subset eval every curation
+    pipeline runs before trusting a quality filter."""
+    from ..stages.analytic import grouped_auc
+    from ..stages.textstages import quality_batch
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "n_chars", "lang", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        sq = round_away(
+            q["quality_score"].to_numpy() * _AUC_QS, 0
+        ).astype(np.int64)
+        pos = (
+            np.asarray(b["lang"].to_pylist(), dtype=object).astype(str) == "en"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "sq": pa.array(sq, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return grouped_auc(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "source", "sq", "pos", lo=_AUC_LO, hi=_AUC_HI,
+    )
+
+
+def _sql_score_auc_by_source() -> str:
+    from ..stages.textstages import sql_quality_score_expr
+
+    score = sql_quality_score_expr()
+    return f"""
+    WITH s AS (
+      SELECT source,
+             CAST(ROUND({score} * {_AUC_QS:.1f}, 0) AS BIGINT) AS sq,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    g AS (
+      SELECT source, sq, CAST(COUNT(*) AS BIGINT) AS nt,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM s GROUP BY source, sq),
+    c AS (
+      SELECT source, nt, np,
+             COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY sq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM g),
+    t AS (
+      SELECT source,
+             CAST(SUM(np * (2*cb + nt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(nt) - SUM(np) AS BIGINT) AS nneg
+      FROM c GROUP BY source)
+    SELECT source, p AS n_pos, nneg AS n_neg,
+           ROUND(CAST(r2 - p*(p+1) AS DOUBLE)
+                 / CAST(2*p*nneg AS DOUBLE), 6) AS auc
+    FROM t WHERE p > 0 AND nneg > 0
+    """
+
+
 def q_token_counts(sf_dir: str):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     from ..stages.textstages import token_count_batch
@@ -5652,6 +5725,10 @@ def build_queries() -> dict:
         "county_regression": (
             q_county_regression,
             _sql_county_regression(_N_ORACLE),
+        ),
+        "score_auc_by_source": (
+            q_score_auc_by_source,
+            _sql_score_auc_by_source(),
         ),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),

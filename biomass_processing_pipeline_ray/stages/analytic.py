@@ -949,3 +949,173 @@ def global_ntile(ds, val: str, id_col: str, tiles: int,
         .groupby("bin")
         .map_groups(assign, batch_format="pandas")
     )
+
+
+def grouped_auc(ds, grp: str, sq: str, pos: str,
+                lo: int, hi: int, nbins: int = 2048):
+    """Exact per-group ROC AUC (Mann–Whitney U with midrank tie
+    handling) over an integer-quantized score — the classifier-quality
+    metric every labeled-data curation pipeline evaluates — WITHOUT a
+    global sort, via the ``global_ntile`` two-pass prefix-scan shape.
+
+    ``ds`` carries ``grp`` (string), ``sq`` (int64 quantized score) and
+    ``pos`` (int64 0/1 label).  Stage 1 collapses rows to per-(grp, sq)
+    tie-group counts (bounded by distinct scores).  Stage 2 counts
+    tie-group ROWS per (grp, equi-width score bucket) — bounded ≤
+    groups × nbins — and turns them into exclusive per-bucket rank
+    offsets on the driver (bucketing clips monotonically, so within-
+    bucket sorting preserves the total score order).  Stage 3
+    co-partitions tie-groups by (grp, bucket), sorts each bucket once,
+    and emits one exact-integer partial per bucket of the doubled
+    positive rank sum R2 = Σ n_pos·(2·rank_below + n_tie + 1); the
+    bounded per-group merge finishes AUC = (R2 - P·(P+1)) / (2·P·N)
+    with both casts in the same order DuckDB evaluates them.  Groups
+    without both classes are dropped (AUC undefined).
+
+    Everything driver-side is bounded by groups × nbins; the two heavy
+    exchanges are the tie-group aggregation and one bucket groupby —
+    no all-to-all sort of the raw rows at any scale.
+    """
+    from .zonal import bucketed_agg
+
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = max(1, (hi - lo) // nbins)
+
+    def tie_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                grp: np.asarray(b[grp].to_pylist(), dtype=object).astype(str),
+                sq: b[sq].to_numpy().astype(np.int64),
+                pos: b[pos].to_numpy().astype(np.int64),
+            }
+        )
+        r = df.groupby([grp, sq], as_index=False).agg(
+            nt=(pos, "size"), np_=(pos, "sum")
+        )
+        return pa.table(
+            {
+                grp: pa.array(r[grp].astype(str), pa.string()),
+                sq: pa.array(r[sq].to_numpy(np.int64)),
+                "nt": pa.array(r["nt"].to_numpy(np.int64)),
+                "np_": pa.array(r["np_"].to_numpy(np.int64)),
+            }
+        )
+
+    ties = bucketed_agg(
+        ds.map_batches(tie_partial, batch_format="pyarrow"),
+        [grp, sq],
+        {"nt": ("nt", "sum"), "np_": ("np_", "sum")},
+        nb=64,
+    )
+
+    def binc(b: pa.Table) -> pa.Table:
+        v = b[sq].to_numpy().astype(np.int64)
+        bins = np.clip((v - lo) // width, 0, nbins - 1).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                grp: np.asarray(b[grp].to_pylist(), dtype=object).astype(str),
+                "bin": bins,
+                "nt": b["nt"].to_numpy().astype(np.int64),
+                "np_": b["np_"].to_numpy().astype(np.int64),
+            }
+        )
+        r = df.groupby([grp, "bin"], as_index=False).agg(
+            cnt=("nt", "sum"), pcnt=("np_", "sum")
+        )
+        return pa.table(
+            {
+                grp: pa.array(r[grp].astype(str), pa.string()),
+                "bin": pa.array(r["bin"].to_numpy(np.int64)),
+                "cnt": pa.array(r["cnt"].to_numpy(np.int64)),
+                "pcnt": pa.array(r["pcnt"].to_numpy(np.int64)),
+            }
+        )
+
+    # bounded ≤ groups × nbins rows → driver offsets + class totals.
+    # The post-ties datasets are all bounded (distinct quantized
+    # scores × groups), so coalesce below the key count before each
+    # sort-groupby — more splits than populated keys emit schema-less
+    # empty padding blocks (the KMV-merge lesson).
+    counts = (
+        bucketed_agg(
+            ties.map_batches(binc, batch_format="pyarrow").repartition(4),
+            [grp, "bin"],
+            {"cnt": ("cnt", "sum"), "pcnt": ("pcnt", "sum")},
+            nb=16,
+        )
+        .to_pandas()
+        .sort_values([grp, "bin"])
+    )
+    gids = {g_: i for i, g_ in enumerate(sorted(counts[grp].unique()))}
+    offset: dict[int, int] = {}
+    totals: dict[str, tuple[int, int]] = {}
+    for g_, sub in counts.groupby(grp, sort=True):
+        cs = np.concatenate([[0], np.cumsum(sub["cnt"].to_numpy())[:-1]])
+        for b_, o_ in zip(sub["bin"].to_numpy(), cs):
+            offset[gids[g_] * nbins + int(b_)] = int(o_)
+        p = int(sub["pcnt"].sum())
+        totals[g_] = (p, int(sub["cnt"].sum()) - p)
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[sq].to_numpy().astype(np.int64)
+        bins = np.clip((v - lo) // width, 0, nbins - 1)
+        gs = np.asarray(b[grp].to_pylist(), dtype=object).astype(str)
+        gb = np.asarray([gids[x] for x in gs], dtype=np.int64) * nbins + bins
+        return pa.table(
+            {
+                grp: pa.array(gs, pa.string()),
+                sq: b[sq],
+                "nt": b["nt"],
+                "np_": b["np_"],
+                "gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    def rank_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(sq, kind="mergesort")
+        nt = g["nt"].to_numpy(np.int64)
+        np_ = g["np_"].to_numpy(np.int64)
+        base = offset[int(g["gb"].iloc[0])]
+        cb = base + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        r2 = int(np.sum(np_ * (2 * cb + nt + 1)))
+        return pa.table(
+            {
+                grp: pa.array([str(g[grp].iloc[0])], pa.string()),
+                "pr2": pa.array([r2], pa.int64()),
+            }
+        )
+
+    merged = bucketed_agg(
+        ties.map_batches(tag, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("gb")
+        .map_groups(rank_partial, batch_format="pandas")
+        .repartition(2),
+        [grp],
+        {"r2": ("pr2", "sum")},
+        nb=4,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        gs = np.asarray(b[grp].to_pylist(), dtype=object).astype(str)
+        r2 = b["r2"].to_numpy().astype(np.int64)
+        p = np.asarray([totals[x][0] for x in gs], dtype=np.int64)
+        nn = np.asarray([totals[x][1] for x in gs], dtype=np.int64)
+        keep = (p > 0) & (nn > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            auc = (r2 - p * (p + 1)).astype(np.float64) / (
+                2 * p * nn
+            ).astype(np.float64)
+        from ..functions.rounding import round_away
+
+        return pa.table(
+            {
+                grp: pa.array(gs[keep], pa.string()),
+                "n_pos": pa.array(p[keep], pa.int64()),
+                "n_neg": pa.array(nn[keep], pa.int64()),
+                "auc": pa.array(round_away(auc, 6)[keep], pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -135,13 +135,22 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def sql_quality(table: str = "documents") -> str:
+def sql_quality_score_expr() -> str:
+    """The quality-score double expression, shared by ``sql_quality``
+    and the AUC oracle so both sides derive bit-identical scores."""
     tok = (
         "CAST(LEN(REGEXP_EXTRACT_ALL(text, "
         f"'{NONWS_RUN_SQL}')) AS DOUBLE)"
     )
     punct = "CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)"
-    score = f"({tok} / (CAST(n_chars AS DOUBLE) + 1.0) * 100.0 - {punct} / ({tok} + 1.0))"
+    return (
+        f"({tok} / (CAST(n_chars AS DOUBLE) + 1.0) * 100.0"
+        f" - {punct} / ({tok} + 1.0))"
+    )
+
+
+def sql_quality(table: str = "documents") -> str:
+    score = sql_quality_score_expr()
     return f"""
     SELECT doc_id, {score} AS quality_score,
            CASE WHEN {score} > 18.0 THEN 'high'

@@ -389,3 +389,54 @@ def test_global_ntile_vs_duckdb(rd):
             "ORDER BY event_id"
         ).df()
         pd.testing.assert_frame_equal(got, exp.astype({"tile": np.int64}))
+
+
+def test_grouped_auc_matches_pairwise_definition(rd, ray_session):
+    """grouped_auc == the brute-force pairwise AUC definition
+    (P(score_pos > score_neg) + 0.5·P(==)) on a tie-heavy synthetic
+    fixture, including a perfect group, an inverted group, and a
+    dropped single-class group."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.analytic import grouped_auc
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # group a: noisy signal with heavy ties (scores in a tiny int set)
+    for _ in range(400):
+        pos = int(rng.random() < 0.4)
+        sq = int(rng.integers(0, 8)) + (3 if pos else 0)
+        rows.append(("a", sq, pos))
+    # group b: perfectly separated -> AUC 1.0
+    rows += [("b", 10, 1)] * 20 + [("b", 5, 0)] * 30
+    # group c: perfectly inverted -> AUC 0.0
+    rows += [("c", 1, 1)] * 10 + [("c", 9, 0)] * 10
+    # group d: single class -> dropped
+    rows += [("d", 3, 1)] * 5
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "sq": pa.array([r[1] for r in rows], pa.int64()),
+            "pos": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = (
+        grouped_auc(ds, "g", "sq", "pos", lo=-16, hi=32, nbins=16)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got["g"]) == ["a", "b", "c"]
+
+    df = pd.DataFrame(rows, columns=["g", "sq", "pos"])
+    for _, r in got.iterrows():
+        sub = df[df["g"] == r["g"]]
+        sp = sub.loc[sub["pos"] == 1, "sq"].to_numpy()
+        sn = sub.loc[sub["pos"] == 0, "sq"].to_numpy()
+        cmp = sp[:, None] - sn[None, :]
+        exp = ((cmp > 0).sum() + 0.5 * (cmp == 0).sum()) / (len(sp) * len(sn))
+        assert r["n_pos"] == len(sp) and r["n_neg"] == len(sn)
+        assert abs(r["auc"] - exp) < 1e-6, (r["g"], r["auc"], exp)
+    assert got.loc[got["g"] == "b", "auc"].iloc[0] == 1.0
+    assert got.loc[got["g"] == "c", "auc"].iloc[0] == 0.0
