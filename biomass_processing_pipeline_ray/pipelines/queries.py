@@ -5063,6 +5063,144 @@ def _sql_part_kcore(k: int, iters: int = 32) -> str:
     """
 
 
+MIN_CO = 2  # co-purchase support floor for emitted similarity pairs
+
+
+def q_part_cosine_pairs(sf_dir: str):
+    """Item-item cosine similarity over the binary co-purchase matrix
+    (parts × orders): cosine(i,j) = |orders with both| /
+    √(|orders with i|·|orders with j|), emitted for pairs with support
+    ≥ MIN_CO — the classic item-based collaborative-filtering
+    similarity (Sarwar et al., WWW '01).  Pair generation co-partitions
+    lineitem on l_orderkey (the ``part_kcore`` basket machinery:
+    baskets are bounded, so per-order pair fan-out is bounded) and
+    pre-aggregates packed pair keys inside each bucket, so the
+    exchange carries (pair, partial count) rows — never raw pair
+    instances.  Degrees are a part-dimension-bounded table (exact
+    distinct-order counts via the same bucketed dedup) looked up via a
+    broadcast array in the finalize closure (J3 pattern) instead of a
+    third shuffle join."""
+    from ..stages.zonal import bucketed_agg
+
+    NB = 64
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].to_numpy(), dtype=np.int64)
+        pk = np.asarray(b["l_partkey"].to_numpy(), dtype=np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok, pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+                "bk": pa.array(ok % NB, pa.int64()),
+            }
+        )
+
+    def pair_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["ok", "pk"]).sort_values(
+            ["ok", "pk"], kind="mergesort"
+        )
+        ok = g["ok"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.r_[starts[1:], len(ok)]
+        keys: list[np.ndarray] = []
+        for s0, s1 in zip(starts, ends):
+            m = pk[s0:s1]
+            if len(m) < 2:
+                continue
+            iu, iv = np.triu_indices(len(m), k=1)
+            keys.append((m[iu] << np.int64(32)) | m[iv])
+        if keys:
+            uk, c = np.unique(np.concatenate(keys), return_counts=True)
+        else:
+            uk = np.empty(0, dtype=np.int64)
+            c = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "pa_": pa.array(uk >> np.int64(32), pa.int64()),
+                "pb_": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pair_counts = bucketed_agg(
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pair_partial, batch_format="pandas"),
+        ["pa_", "pb_"],
+        {"n_co": ("c", "sum")},
+        nb=64,
+    )
+
+    def deg_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["ok", "pk"])
+        upk, d = np.unique(g["pk"].to_numpy(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(upk, pa.int64()),
+                "d": pa.array(d.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # exact per-part distinct-order counts — bounded by the part
+    # DIMENSION (TPC-H part is a dimension table), so driver
+    # materialization + closure broadcast is the J3 small-side pattern
+    deg = bucketed_agg(
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(deg_partial, batch_format="pandas")
+        .repartition(8),
+        ["pk"],
+        {"n": ("d", "sum")},
+        nb=16,
+    ).to_pandas()
+    dmax = int(deg["pk"].max()) if len(deg) else 0
+    darr = np.zeros(dmax + 1, dtype=np.int64)
+    darr[deg["pk"].to_numpy(np.int64)] = deg["n"].to_numpy(np.int64)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pa_ = b["pa_"].to_numpy().astype(np.int64)
+        pb_ = b["pb_"].to_numpy().astype(np.int64)
+        c = b["n_co"].to_numpy().astype(np.int64)
+        keep = c >= MIN_CO
+        pa_, pb_, c = pa_[keep], pb_[keep], c[keep]
+        cos = c.astype(np.float64) / np.sqrt(
+            (darr[pa_] * darr[pb_]).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "part_a": pa.array(pa_, pa.int64()),
+                "part_b": pa.array(pb_, pa.int64()),
+                "n_co": pa.array(c, pa.int64()),
+                "cosine": pa.array(round_away(cos, 6), pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_part_cosine_pairs() -> str:
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    deg AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY pk),
+    pr AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {MIN_CO})
+    SELECT part_a, part_b, n_co,
+           ROUND(CAST(n_co AS DOUBLE)
+                 / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS cosine
+    FROM pr
+    JOIN deg da ON pr.part_a = da.pk
+    JOIN deg db ON pr.part_b = db.pk
+    """
+
+
 def q_knn_triangles(sf_dir: str):
     """Per-tile triangle counts over the undirected closure of the kNN
     graph — the distributed triangle-counting shape (degree-oriented
@@ -5729,6 +5867,10 @@ def build_queries() -> dict:
         "score_auc_by_source": (
             q_score_auc_by_source,
             _sql_score_auc_by_source(),
+        ),
+        "part_cosine_pairs": (
+            q_part_cosine_pairs,
+            _sql_part_cosine_pairs(),
         ),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),

@@ -2381,3 +2381,47 @@ def test_county_regression_matches_numpy_polyfit(ray_session):
     )
     assert np.allclose(got["r2"], corr["corr_xy"] ** 2, atol=1e-5)
     assert ((got["r2"] >= 0) & (got["r2"] <= 1.0000001)).all()
+
+
+def test_part_cosine_pairs_matches_pandas(ray_session):
+    """part_cosine_pairs == an independent pandas merge formulation of
+    binary co-purchase cosine on sf0.001 lineitem."""
+    import pyarrow.parquet as pq
+
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        MIN_CO,
+        q_part_cosine_pairs,
+    )
+
+    got = (
+        q_part_cosine_pairs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pandas()
+    op = li.drop_duplicates().rename(
+        columns={"l_orderkey": "ok", "l_partkey": "pk"}
+    )
+    deg = op.groupby("pk").size()
+    m = op.merge(op, on="ok")
+    m = m[m["pk_x"] < m["pk_y"]]
+    pr = (
+        m.groupby(["pk_x", "pk_y"]).size().reset_index(name="n_co")
+    )
+    pr = pr[pr["n_co"] >= MIN_CO].reset_index(drop=True)
+    pr["cosine"] = pr["n_co"] / np.sqrt(
+        deg.loc[pr["pk_x"]].to_numpy() * deg.loc[pr["pk_y"]].to_numpy()
+    )
+    pr = pr.sort_values(["pk_x", "pk_y"]).reset_index(drop=True)
+
+    assert len(got) == len(pr) and len(got) > 0
+    assert (got["part_a"].to_numpy() == pr["pk_x"].to_numpy()).all()
+    assert (got["part_b"].to_numpy() == pr["pk_y"].to_numpy()).all()
+    assert (got["n_co"].to_numpy() == pr["n_co"].to_numpy()).all()
+    assert np.allclose(got["cosine"], pr["cosine"], atol=1e-6)
+    assert ((got["cosine"] > 0) & (got["cosine"] <= 1.0)).all()
