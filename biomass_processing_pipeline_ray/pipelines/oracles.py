@@ -1674,3 +1674,71 @@ def sql_psnr_pairs(n: int) -> str:
                 THEN 1 ELSE 0 END AS BIGINT) AS dup40
     FROM read_parquet('{psnr_oracle_path(n)}')
     """
+
+
+# -- distributed PCA oracle ---------------------------------------------------
+
+def pca_oracle_path(sf_tag: str, k: int = 4) -> str:
+    return os.path.join(ORACLE_DIR, f"pca_{sf_tag}_k{k}_v1.parquet")
+
+
+def ensure_pca_oracle(sf_dir: str = ORACLE_SF_DIR, k: int = 4) -> str:
+    """Sequential single-process PCA mirror of stages/pca.py: same
+    canonical expressions (fixed-point quantization, exact-integer
+    scatter, covariance normalization, eigh + largest-|component|
+    sign rule, integer projection + centering) computed in one flat
+    pass with Python-int exact arithmetic for the scatter."""
+    from ..functions.rounding import round_away
+    from ..stages.pca import Q, VQ
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = pca_oracle_path(sf_tag, k)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    xq = round_away(emb * Q, 0).astype(np.int64)
+    n, d = xq.shape
+
+    # exact scatter via Python ints (overflow-free at any n)
+    s = [int(v) for v in xq.sum(axis=0)]
+    g = xq.T @ xq  # exact int64 at oracle scale; lifted to Python int below
+    denom = float(n) * float(n) * Q * Q
+    cov = np.zeros((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = float(n * int(g[i, j]) - s[i] * s[j]) / denom
+
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    vecs = v[:, order]
+    for c in range(vecs.shape[1]):
+        if vecs[np.argmax(np.abs(vecs[:, c])), c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    vq = round_away(vecs * VQ, 0).astype(np.int64)
+    svq = [sum(s[i] * int(vq[i, c]) for i in range(d)) for c in range(k)]
+
+    p2 = xq @ vq
+    nd = float(n)
+    scale = Q * VQ
+    cols: dict = {"vec_id": pa.array(ids, pa.int64())}
+    for c in range(k):
+        pc = (p2[:, c].astype(np.float64) - float(svq[c]) / nd) / scale
+        cols[f"pc{c + 1}"] = pa.array(round_away(pc, 6), pa.float64())
+    tbl = pa.table(cols)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_embedding_pca(k: int = 4) -> str:
+    sf_tag = os.path.basename(os.path.normpath(ORACLE_SF_DIR)).replace(".", "_")
+    pcs = ", ".join(f"pc{c + 1}" for c in range(k))
+    return f"SELECT vec_id, {pcs} FROM read_parquet('{pca_oracle_path(sf_tag, k)}')"

@@ -4127,6 +4127,31 @@ def q_kmeans_embeddings(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+PCA_K = 4  # principal components kept by embedding_pca
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection of every embedding onto the top-k
+    principal components (stages/pca.py): one streaming pass of exact
+    integer Gram partials (ONE bounded row per batch), Python-int
+    merge + bounded d×d eigh on the driver, then a second streaming
+    pass projecting through the broadcast quantized eigenbasis — the
+    whitening / dim-reduction step ahead of clustering or ANN
+    indexing.  Engine and oracle share only the canonical covariance /
+    centering expressions, so the doubles agree bitwise before the
+    6-dp rounding (oracle ``ensure_pca_oracle``)."""
+    from ..stages.pca import fit_eigenbasis, gram_partials, project
+
+    d = 64
+    parts = gram_partials(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), d=d
+    ).to_pandas()  # bounded: one row per batch
+    vq, svq, n, _ = fit_eigenbasis(parts, d=d, k=PCA_K)
+    return project(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), vq, svq, n
+    )
+
+
 KMV_K = 64
 
 
@@ -5733,6 +5758,7 @@ def ensure_generated_oracles() -> None:
         ensure_overlap_oracle,
         ensure_ngram_oracle,
         ensure_grad_oracle,
+        ensure_pca_oracle,
         ensure_pip_jittered_oracle,
         ensure_psnr_oracle,
         ensure_px_oracle,
@@ -5761,6 +5787,7 @@ def ensure_generated_oracles() -> None:
     ensure_overlap_oracle()
     ensure_ttl_oracle(_TTL_US)
     ensure_psnr_oracle(_N_ORACLE)
+    ensure_pca_oracle(k=PCA_K)
 
 
 def build_queries() -> dict:
@@ -5786,6 +5813,7 @@ def build_queries() -> dict:
         sql_minhash_pairs,
         sql_ngram_jaccard_pairs,
         sql_phash_neardup,
+        sql_embedding_pca,
         sql_pip_jittered,
         sql_psnr_pairs,
         sql_simhash_pairs,
@@ -5872,6 +5900,7 @@ def build_queries() -> dict:
             q_part_cosine_pairs,
             _sql_part_cosine_pairs(),
         ),
+        "embedding_pca": (q_embedding_pca, sql_embedding_pca(PCA_K)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

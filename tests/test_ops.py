@@ -2425,3 +2425,49 @@ def test_part_cosine_pairs_matches_pandas(ray_session):
     assert (got["n_co"].to_numpy() == pr["n_co"].to_numpy()).all()
     assert np.allclose(got["cosine"], pr["cosine"], atol=1e-6)
     assert ((got["cosine"] > 0) & (got["cosine"] <= 1.0)).all()
+
+
+def test_embedding_pca_matches_float_pca(ray_session):
+    """embedding_pca == plain float64 np.cov+eigh PCA up to the 2^-20
+    quantization error: per-component projections match (up to the
+    deterministic sign rule), means are ~0, and component variances
+    descend."""
+    import pyarrow.parquet as pq
+
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        PCA_K,
+        q_embedding_pca,
+    )
+
+    got = (
+        q_embedding_pca("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    cov = np.cov(emb, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = np.argsort(w)[::-1][:PCA_K]
+    proj = (emb - emb.mean(axis=0)) @ v[:, top]
+
+    assert len(got) == len(ids)
+    assert (got["vec_id"].to_numpy() == np.sort(ids)).all()
+    var_prev = np.inf
+    for c in range(PCA_K):
+        g = got[f"pc{c + 1}"].to_numpy()
+        e = proj[:, c]
+        # sign rule may differ from eigh's arbitrary orientation
+        err = min(np.abs(g - e).max(), np.abs(g + e).max())
+        assert err < 1e-4, (c, err)
+        assert abs(g.mean()) < 1e-4
+        var = g.var()
+        assert var <= var_prev + 1e-9
+        var_prev = var
