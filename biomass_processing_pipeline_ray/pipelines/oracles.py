@@ -1742,3 +1742,97 @@ def sql_embedding_pca(k: int = 4) -> str:
     sf_tag = os.path.basename(os.path.normpath(ORACLE_SF_DIR)).replace(".", "_")
     pcs = ", ".join(f"pc{c + 1}" for c in range(k))
     return f"SELECT vec_id, {pcs} FROM read_parquet('{pca_oracle_path(sf_tag, k)}')"
+
+
+# -- DBSCAN oracle ------------------------------------------------------------
+
+def dbscan_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"dbscan_n{n}_v1.parquet")
+
+
+def ensure_dbscan_oracle(n: int, chunk: int = 512) -> str:
+    """Sequential brute-force DBSCAN mirror of stages/dbscan.py: same
+    eps rule / minpts / deterministic labels (cluster = min core id of
+    the component, border joins the min in-range core cluster, noise
+    -1), computed with chunked all-pairs distances + union-find
+    instead of the grid/CC machinery."""
+    from ..functions import georef as G
+    from ..stages.dbscan import MINPTS, dbscan_eps
+
+    path = dbscan_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    ids = np.arange(n, dtype=np.int64)
+    x, y = G.derive_lonlat(ids)
+    eps = dbscan_eps(n, G.LON_SPAN * G.LAT_SPAN)
+    eps2 = eps * eps
+
+    cnt = np.zeros(n, dtype=np.int64)
+    for s in range(0, n, chunk):
+        d2 = (x[s : s + chunk, None] - x[None, :]) ** 2 + (
+            y[s : s + chunk, None] - y[None, :]
+        ) ** 2
+        cnt[s : s + chunk] = (d2 <= eps2).sum(axis=1)
+    core = cnt >= MINPTS
+    ci = np.flatnonzero(core)
+    cx_, cy_ = x[ci], y[ci]
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return int(i)
+
+    for s in range(0, len(ci), chunk):
+        d2 = (cx_[s : s + chunk, None] - cx_[None, :]) ** 2 + (
+            cy_[s : s + chunk, None] - cy_[None, :]
+        ) ** 2
+        ii, jj = np.nonzero(d2 <= eps2)
+        for a, b in zip(ii, jj):
+            ga, gb = int(ci[s + a]), int(ci[b])
+            if ga < gb:
+                ra, rb = find(ga), find(gb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    lbl = np.full(n, -1, dtype=np.int64)
+    rmin: dict[int, int] = {}
+    for i in ci:
+        r = find(int(i))
+        rmin[r] = min(rmin.get(r, int(i)), int(i))
+    for i in ci:
+        lbl[i] = rmin[find(int(i))]
+
+    bi = np.flatnonzero(~core)
+    for s in range(0, len(bi), chunk):
+        sel = bi[s : s + chunk]
+        d2 = (x[sel, None] - cx_[None, :]) ** 2 + (
+            y[sel, None] - cy_[None, :]
+        ) ** 2
+        inr = d2 <= eps2
+        for r in range(len(sel)):
+            js = np.flatnonzero(inr[r])
+            if len(js):
+                lbl[sel[r]] = lbl[ci[js]].min()
+
+    tbl = pa.table(
+        {
+            "tile_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(lbl, pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_tile_dbscan(n: int) -> str:
+    return (
+        "SELECT tile_id, cluster "
+        f"FROM read_parquet('{dbscan_oracle_path(n)}')"
+    )

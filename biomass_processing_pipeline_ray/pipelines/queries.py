@@ -4127,6 +4127,33 @@ def q_kmeans_embeddings(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_tile_dbscan(sf_dir: str):
+    """Density clustering (DBSCAN) of the tile centroids
+    (stages/dbscan.py): grid-cell ghost replication bounds every
+    eps-neighborhood inside one cell group, exact per-cell neighbor
+    counts flag cores, the core-core <= eps graph resolves through the
+    banded min-label connected components, and borders/noise settle by
+    deterministic min-label coalesce passes — spatial hotspot
+    extraction with NO all-pairs stage (oracle
+    ``ensure_dbscan_oracle``: sequential chunked brute force +
+    union-find, same deterministic tie rules)."""
+    from ..stages.dbscan import dbscan, dbscan_eps
+
+    n = universe_n(sf_dir)
+    eps = dbscan_eps(n, G.LON_SPAN * G.LAT_SPAN)
+
+    def xy(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"tile_id": b["tile_id"], "x": b["lon"], "y": b["lat"]}
+        )
+
+    return dbscan(
+        _range_geo(n).map_batches(xy, batch_format="pyarrow"),
+        "tile_id",
+        eps=eps,
+    )
+
+
 PCA_K = 4  # principal components kept by embedding_pca
 
 
@@ -5748,6 +5775,7 @@ def ensure_generated_oracles() -> None:
     from .oracles import (
         ensure_cell_oracle,
         ensure_clip_oracle,
+        ensure_dbscan_oracle,
         ensure_fingerprint_oracle,
         ensure_ivf_oracle,
         ensure_ivfpq_oracle,
@@ -5788,6 +5816,7 @@ def ensure_generated_oracles() -> None:
     ensure_ttl_oracle(_TTL_US)
     ensure_psnr_oracle(_N_ORACLE)
     ensure_pca_oracle(k=PCA_K)
+    ensure_dbscan_oracle(_N_ORACLE)
 
 
 def build_queries() -> dict:
@@ -5815,6 +5844,7 @@ def build_queries() -> dict:
         sql_phash_neardup,
         sql_embedding_pca,
         sql_pip_jittered,
+        sql_tile_dbscan,
         sql_psnr_pairs,
         sql_simhash_pairs,
         sql_ttl_throttle,
@@ -5901,6 +5931,7 @@ def build_queries() -> dict:
             _sql_part_cosine_pairs(),
         ),
         "embedding_pca": (q_embedding_pca, sql_embedding_pca(PCA_K)),
+        "tile_dbscan": (q_tile_dbscan, sql_tile_dbscan(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

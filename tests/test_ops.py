@@ -2471,3 +2471,85 @@ def test_embedding_pca_matches_float_pca(ray_session):
         var = g.var()
         assert var <= var_prev + 1e-9
         var_prev = var
+
+
+def test_dbscan_matches_bruteforce(rd, ray_session):
+    """Grid-bucketed distributed DBSCAN == brute-force union-find
+    DBSCAN with the same deterministic rules (min-id cluster labels,
+    min-cluster border assignment, -1 noise) on a blobs+noise fixture
+    spanning many grid cells."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.dbscan import MINPTS, dbscan
+
+    rng = np.random.default_rng(5)
+    # planted cross: center sees 6 (core), each arm sees 2 (< minpts)
+    # but is within eps of the core center -> guaranteed border points
+    cross = np.array(
+        [[9.0, 9.0]]
+        + [
+            [9.0 + 0.24 * np.cos(t), 9.0 + 0.24 * np.sin(t)]
+            for t in np.linspace(0, 2 * np.pi, 6)[:-1]
+        ]
+    )
+    pts = [
+        rng.normal([2, 3], 0.05, (80, 2)),
+        rng.normal([5, 7], 0.05, (70, 2)),
+        rng.normal([8, 2], 0.04, (60, 2)),
+        rng.uniform([0, 0], [8.5, 8.5], (200, 2)),
+        cross,
+    ]
+    X = np.vstack(pts)
+    ids = np.arange(len(X), dtype=np.int64)
+    eps = 0.25
+    ds = rd.from_arrow(
+        pa.table({"pid": ids, "x": X[:, 0], "y": X[:, 1]})
+    ).repartition(6)
+    got = (
+        dbscan(ds, "pid", eps=eps, minpts=MINPTS, nb=16)
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    inr = d2 <= eps * eps
+    core = inr.sum(1) >= MINPTS
+    parent = list(range(len(X)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ci = np.flatnonzero(core)
+    for i in ci:
+        for j in ci[ci > i]:
+            if inr[i, j]:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    lbl = np.full(len(X), -1, dtype=np.int64)
+    rmin = {}
+    for i in ci:
+        r = find(i)
+        rmin[r] = min(rmin.get(r, i), i)
+    for i in ci:
+        lbl[i] = rmin[find(i)]
+    for i in np.flatnonzero(~core):
+        cands = ci[inr[i, ci]]
+        if len(cands):
+            lbl[i] = min(lbl[c] for c in cands)
+
+    assert len(got) == len(X)
+    assert (got["cluster"].to_numpy() == lbl).all()
+    # fixture sanity: all three regimes present (3 blobs + the planted
+    # cross = 4 clusters; the cross center is a SINGLETON core, so the
+    # no-CC-row fallback label path is exercised too)
+    assert len(set(lbl[lbl >= 0])) == 4
+    assert (lbl == -1).sum() > 0
+    assert (~core & (lbl >= 0)).sum() >= 5  # planted borders
+    ccenter = len(X) - 6
+    assert core[ccenter] and lbl[ccenter] == ccenter
+    assert (lbl[ccenter + 1 :] == ccenter).all()
