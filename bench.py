@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "weighted_sample",
     "spearman_qty_disc",
     "events_ntile",
+    "county_regression",
+    "score_auc_by_source",
+    "part_cosine_pairs",
+    "embedding_pca",
+    "tile_dbscan",
 ]
 
 
