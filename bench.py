@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "part_cosine_pairs",
     "embedding_pca",
     "tile_dbscan",
+    "county_gini",
 ]
 
 

@@ -403,6 +403,67 @@ def _sql_county_regression(n: int) -> str:
     """
 
 
+_GINI_HI = 2048 * 4096  # quantized-biomass bucket domain upper bound
+
+
+def q_county_gini(sf_dir: str):
+    """Per-county Gini coefficient of the quantized biomass — the
+    inequality / concentration index every stratified-sampling or
+    skew-monitoring pipeline wants per stratum — exact with tie
+    handling and WITHOUT a global sort
+    (``stages/analytic.grouped_gini``: tie-group collapse + bounded
+    per-(county, bucket) prefix offsets + exact-integer rank-weighted
+    partials)."""
+    from ..stages.analytic import grouped_gini
+
+    ds = _pip(_range_geo(universe_n(sf_dir)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["tile_id"].to_numpy()
+        vq = round_away(G.derive_biomass(ids) * _CORR_QY, 0).astype(np.int64)
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "vq": pa.array(vq, pa.int64()),
+            }
+        )
+
+    return grouped_gini(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "county_fips", "vq", lo=0, hi=_GINI_HI,
+    )
+
+
+def _sql_county_gini(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    bm = G.sql_biomass("id")
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips,
+             CAST(ROUND({bm} * {_CORR_QY:.1f}, 0) AS BIGINT) AS vq
+      FROM (SELECT range AS id FROM range({n}))),
+    g AS (
+      SELECT county_fips, vq, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM q GROUP BY county_fips, vq),
+    c AS (
+      SELECT county_fips, vq, nt,
+             COALESCE(SUM(nt) OVER (PARTITION BY county_fips ORDER BY vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM g),
+    t AS (
+      SELECT county_fips,
+             CAST(SUM(vq * (nt*cb + (nt*(nt+1))//2)) AS BIGINT) AS s1,
+             CAST(SUM(nt) AS BIGINT) AS n,
+             CAST(SUM(vq*nt) AS BIGINT) AS sx
+      FROM c GROUP BY county_fips)
+    SELECT county_fips, n AS n_tiles,
+           ROUND(CAST(2*s1 - (n+1)*sx AS DOUBLE)
+                 / CAST(n*sx AS DOUBLE), 6) AS gini
+    FROM t WHERE sx > 0
+    """
+
+
 def q_pip_assign(sf_dir: str):
     """Per-tile PIP join output rows (reference J1 parity surface)."""
     ds = _pip(_range_geo(universe_n(sf_dir)))
@@ -5932,6 +5993,7 @@ def build_queries() -> dict:
         ),
         "embedding_pca": (q_embedding_pca, sql_embedding_pca(PCA_K)),
         "tile_dbscan": (q_tile_dbscan, sql_tile_dbscan(_N_ORACLE)),
+        "county_gini": (q_county_gini, _sql_county_gini(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

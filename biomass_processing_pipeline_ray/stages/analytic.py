@@ -1119,3 +1119,151 @@ def grouped_auc(ds, grp: str, sq: str, pos: str,
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_gini(ds, grp: str, vq: str,
+                 lo: int, hi: int, nbins: int = 2048):
+    """Exact per-group Gini coefficient over an integer-quantized
+    non-negative value — the inequality / concentration index
+    (``G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)`` with 1-based ascending
+    ranks; ties contribute identically under any tie order, so the
+    statistic is deterministic) — computed WITHOUT a global sort via
+    the same tie-group + equi-width-bucket prefix-scan shape as
+    :func:`grouped_auc`.
+
+    A tie run of value v over ranks [cb+1 .. cb+nt] contributes
+    ``v · (nt·cb + nt(nt+1)/2)`` to the rank-weighted sum, so one
+    bounded exact-integer partial per (group, bucket) suffices.
+    Groups with Σx = 0 are dropped.
+    """
+    from ..functions.rounding import round_away
+    from .zonal import bucketed_agg
+
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = max(1, (hi - lo) // nbins)
+
+    def tie_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                grp: np.asarray(b[grp].to_pylist(), dtype=object).astype(str),
+                vq: b[vq].to_numpy().astype(np.int64),
+            }
+        )
+        r = df.groupby([grp, vq], as_index=False).size()
+        return pa.table(
+            {
+                grp: pa.array(r[grp].astype(str), pa.string()),
+                vq: pa.array(r[vq].to_numpy(np.int64)),
+                "nt": pa.array(r["size"].to_numpy(np.int64)),
+            }
+        )
+
+    ties = bucketed_agg(
+        ds.map_batches(tie_partial, batch_format="pyarrow"),
+        [grp, vq],
+        {"nt": ("nt", "sum")},
+        nb=64,
+    )
+
+    def binc(b: pa.Table) -> pa.Table:
+        v = b[vq].to_numpy().astype(np.int64)
+        bins = np.clip((v - lo) // width, 0, nbins - 1).astype(np.int64)
+        nt = b["nt"].to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {
+                grp: np.asarray(b[grp].to_pylist(), dtype=object).astype(str),
+                "bin": bins,
+                "nt": nt,
+                "sx": v * nt,
+            }
+        )
+        r = df.groupby([grp, "bin"], as_index=False).agg(
+            cnt=("nt", "sum"), sx=("sx", "sum")
+        )
+        return pa.table(
+            {
+                grp: pa.array(r[grp].astype(str), pa.string()),
+                "bin": pa.array(r["bin"].to_numpy(np.int64)),
+                "cnt": pa.array(r["cnt"].to_numpy(np.int64)),
+                "sx": pa.array(r["sx"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        bucketed_agg(
+            ties.map_batches(binc, batch_format="pyarrow").repartition(4),
+            [grp, "bin"],
+            {"cnt": ("cnt", "sum"), "sx": ("sx", "sum")},
+            nb=16,
+        )
+        .to_pandas()
+        .sort_values([grp, "bin"])
+    )
+    gids = {g_: i for i, g_ in enumerate(sorted(counts[grp].unique()))}
+    offset: dict[int, int] = {}
+    totals: dict[str, tuple[int, int]] = {}
+    for g_, sub in counts.groupby(grp, sort=True):
+        cs = np.concatenate([[0], np.cumsum(sub["cnt"].to_numpy())[:-1]])
+        for b_, o_ in zip(sub["bin"].to_numpy(), cs):
+            offset[gids[g_] * nbins + int(b_)] = int(o_)
+        totals[g_] = (int(sub["cnt"].sum()), int(sub["sx"].sum()))
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[vq].to_numpy().astype(np.int64)
+        bins = np.clip((v - lo) // width, 0, nbins - 1)
+        gs = np.asarray(b[grp].to_pylist(), dtype=object).astype(str)
+        gb = np.asarray([gids[x] for x in gs], dtype=np.int64) * nbins + bins
+        return pa.table(
+            {
+                grp: pa.array(gs, pa.string()),
+                vq: b[vq],
+                "nt": b["nt"],
+                "gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    def rank_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(vq, kind="mergesort")
+        nt = g["nt"].to_numpy(np.int64)
+        v = g[vq].to_numpy(np.int64)
+        base = offset[int(g["gb"].iloc[0])]
+        cb = base + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        s1 = int(np.sum(v * (nt * cb + nt * (nt + 1) // 2)))
+        return pa.table(
+            {
+                grp: pa.array([str(g[grp].iloc[0])], pa.string()),
+                "ps1": pa.array([s1], pa.int64()),
+            }
+        )
+
+    merged = bucketed_agg(
+        ties.map_batches(tag, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("gb")
+        .map_groups(rank_partial, batch_format="pandas")
+        .repartition(2),
+        [grp],
+        {"s1": ("ps1", "sum")},
+        nb=4,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        gs = np.asarray(b[grp].to_pylist(), dtype=object).astype(str)
+        s1 = b["s1"].to_numpy().astype(np.int64)
+        n = np.asarray([totals[x][0] for x in gs], dtype=np.int64)
+        sx = np.asarray([totals[x][1] for x in gs], dtype=np.int64)
+        keep = sx > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = (2 * s1 - (n + 1) * sx).astype(np.float64) / (
+                n * sx
+            ).astype(np.float64)
+        return pa.table(
+            {
+                grp: pa.array(gs[keep], pa.string()),
+                "n_tiles": pa.array(n[keep], pa.int64()),
+                "gini": pa.array(round_away(gini, 6)[keep], pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

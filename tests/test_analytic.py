@@ -440,3 +440,45 @@ def test_grouped_auc_matches_pairwise_definition(rd, ray_session):
         assert abs(r["auc"] - exp) < 1e-6, (r["g"], r["auc"], exp)
     assert got.loc[got["g"] == "b", "auc"].iloc[0] == 1.0
     assert got.loc[got["g"] == "c", "auc"].iloc[0] == 0.0
+
+
+def test_grouped_gini_matches_textbook(rd, ray_session):
+    """grouped_gini == the textbook sorted-rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), on a tie-heavy fixture with
+    a perfectly equal group (G = 0) and a maximally concentrated one."""
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.analytic import grouped_gini
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(500):  # skewed with heavy ties
+        rows.append(("a", int(rng.integers(0, 12) ** 3)))
+    rows += [("b", 7)] * 40              # all equal -> 0
+    rows += [("c", 0)] * 99 + [("c", 100)]  # one holder -> (n-1)/n
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "vq": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        grouped_gini(
+            rd.from_arrow(tbl).repartition(8), "g", "vq", lo=0, hi=2048,
+            nbins=64,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["g", "vq"])
+    for _, r in got.iterrows():
+        x = np.sort(df.loc[df["g"] == r["g"], "vq"].to_numpy())
+        n = len(x)
+        exp = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) / (
+            n * x.sum()
+        )
+        assert r["n_tiles"] == n
+        assert abs(r["gini"] - exp) < 1e-6, (r["g"], r["gini"], exp)
+    assert got.loc[got["g"] == "b", "gini"].iloc[0] == 0.0
+    assert abs(got.loc[got["g"] == "c", "gini"].iloc[0] - 0.99) < 1e-9
