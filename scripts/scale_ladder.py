@@ -67,6 +67,12 @@ LADDER = {
     # round count, 5x edges)
     "id_edit1_pairs": "tiles",
     "part_kcore": "lineitem",
+    # round-4 session-3 heavies: grid DBSCAN over the arithmetic tile
+    # universe (eps shrinks as 1/sqrt(n), so per-cell density — and the
+    # dense-block work per point — stays constant by construction), and
+    # the co-purchase cosine join over 5 disjoint basket-graph replicas
+    "tile_dbscan": "tiles",
+    "part_cosine_pairs": "lineitem",
 }
 
 
