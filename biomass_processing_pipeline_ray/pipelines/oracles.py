@@ -1836,3 +1836,133 @@ def sql_tile_dbscan(n: int) -> str:
         "SELECT tile_id, cluster "
         f"FROM read_parquet('{dbscan_oracle_path(n)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-county convex hull (gift-wrapping mirror of stages/hull.py)
+# ---------------------------------------------------------------------------
+
+
+def hull_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"hull_n{n}_v1.parquet")
+
+
+def ensure_hull_oracle(n: int) -> str:
+    """Sequential per-county convex hull by Jarvis gift wrapping — an
+    algorithm the engine does NOT use (stages/hull.py runs Andrew's
+    monotone chain over distributed min/max-per-x-column partials), so
+    vertex sets, orientation and metrics are cross-checked between two
+    independent formulations.
+
+    One reduction is shared because it is a plain geometric fact, not an
+    implementation choice: a point that is not the y-extreme of its
+    x-column lies on the open segment between those extremes and can
+    never be a strict hull vertex, so wrapping the ≤ 2·x-span extreme
+    points equals wrapping all points.
+
+    Metrics are computed by the documented canonical expression (CCW
+    vertex array starting at the lexicographic minimum; integer
+    shoelace; ``np.sum(np.hypot(...))`` over that fixed order) so the
+    float perimeter is bit-identical on both sides.
+    """
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+
+    path = hull_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    ids = np.arange(n, dtype=np.int64)
+    key = G.derive_key(ids)
+    kx = (key % G.GRID).astype(np.int64)
+    ky = ((key // G.GRID) % G.GRID).astype(np.int64)
+    lon, lat = G.derive_lonlat(ids)
+    cx, cy = G.derive_county_xy(lon, lat)
+    fips = G.county_fips_from_xy(cx, cy)
+
+    def wrap(pts: np.ndarray) -> np.ndarray:
+        m = len(pts)
+        if m <= 2:
+            return pts
+        start = int(np.lexsort((pts[:, 1], pts[:, 0]))[0])
+        hull = [start]
+        cur = start
+        while True:
+            cand = -1
+            for j in range(m):
+                if j == cur:
+                    continue
+                if cand < 0:
+                    cand = j
+                    continue
+                ax = pts[cand, 0] - pts[cur, 0]
+                ay = pts[cand, 1] - pts[cur, 1]
+                bx = pts[j, 0] - pts[cur, 0]
+                by = pts[j, 1] - pts[cur, 1]
+                cross = ax * by - ay * bx
+                if cross < 0 or (
+                    cross == 0 and bx * bx + by * by > ax * ax + ay * ay
+                ):
+                    cand = j
+            if cand == start or cand < 0:
+                break
+            hull.append(cand)
+            cur = cand
+        return pts[np.array(hull, dtype=np.int64)]
+
+    out_f, out_k, out_a, out_p = [], [], [], []
+    for f in np.unique(fips):
+        sel = fips == f
+        x, y = kx[sel], ky[sel]
+        # per-x-column y-extremes (see docstring), then gift-wrap
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+        ends = np.r_[starts[1:], len(xs)] - 1
+        cand = np.unique(
+            np.concatenate(
+                [
+                    np.stack([xs[starts], ys[starts]], 1),
+                    np.stack([xs[ends], ys[ends]], 1),
+                ]
+            ),
+            axis=0,
+        ).astype(np.int64)
+        hull = wrap(cand)
+        k = len(hull)
+        if k < 2:
+            area2, perim = 0, 0.0
+        else:
+            hx, hy = hull[:, 0], hull[:, 1]
+            xn, yn = np.roll(hx, -1), np.roll(hy, -1)
+            area2 = int(np.sum(hx * yn - xn * hy)) if k >= 3 else 0
+            perim = float(
+                np.sum(
+                    np.hypot((xn - hx) * G.LON_STEP, (yn - hy) * G.LAT_STEP)
+                )
+            )
+        out_f.append(str(f))
+        out_k.append(k)
+        out_a.append(area2)
+        out_p.append(float(round_away(np.float64(perim), 9)))
+
+    tbl = pa.table(
+        {
+            "county_fips": pa.array(out_f, pa.string()),
+            "n_vertices": pa.array(out_k, pa.int64()),
+            "area2_cells": pa.array(out_a, pa.int64()),
+            "perim_deg": pa.array(out_p, pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_hull(n: int) -> str:
+    return (
+        "SELECT county_fips, n_vertices, area2_cells, perim_deg "
+        f"FROM read_parquet('{hull_oracle_path(n)}')"
+    )

@@ -464,6 +464,191 @@ def _sql_county_gini(n: int) -> str:
     """
 
 
+def q_county_hull(sf_dir: str):
+    """Per-county strict convex hull of the tiles actually present —
+    the exact-geometry upgrade of the reference's county ST_Extent
+    bounding boxes (``database_manager_v3.py`` county-bounds queries):
+    vertex count, exact integer shoelace area (lattice cells²) and
+    perimeter.  Hot path is a vectorized per-batch min/max-per-x-column
+    reduction (distributive: hull vertices are y-extremes of their
+    x-column), ONE bounded shuffle, then a ≤2·x-span monotone chain per
+    county with exact int64 cross products (``stages/hull.py``).
+    Oracle: independent sequential Jarvis gift wrapping
+    (``oracles.ensure_hull_oracle``)."""
+    from ..stages.hull import grouped_hull
+
+    ds = _pip(_range_geo(universe_n(sf_dir)))
+
+    def add_lattice(b: pa.Table) -> pa.Table:
+        key = G.derive_key(b["tile_id"].to_numpy())
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "kx": pa.array((key % G.GRID).astype(np.int64), pa.int64()),
+                "ky": pa.array(
+                    ((key // G.GRID) % G.GRID).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_hull(
+        ds.map_batches(add_lattice, batch_format="pyarrow"),
+        "county_fips",
+        G.LON_STEP,
+        G.LAT_STEP,
+        lambda p: float(round_away(np.float64(p), 9)),
+    )
+
+
+_MAD_Q = 1024.0  # biomass quantization for the integer-exact MAD
+
+
+def q_county_mad(sf_dir: str):
+    """Per-county exact median + median absolute deviation of the
+    quantized biomass — the robust spread statistic (outlier-proof,
+    unlike stddev) for per-stratum anomaly gates.  Two streamed passes
+    (MAD is inherently two-pass); medians by element selection at
+    ``floor(0.5·(n−1))`` so everything stays in the integer domain
+    (``stages/analytic.grouped_mad``)."""
+    from ..stages.analytic import grouped_mad
+
+    def make_ds():
+        ds = _pip(_range_geo(universe_n(sf_dir)))
+
+        def prep(b: pa.Table) -> pa.Table:
+            vq = round_away(
+                G.derive_biomass(b["tile_id"].to_numpy()) * _MAD_Q, 0
+            ).astype(np.int64)
+            t = pa.table(
+                {"county_fips": b["county_fips"], "vq": pa.array(vq, pa.int64())}
+            )
+            return _add_fips_coarse(t)
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return grouped_mad(make_ds, "county_fips", "vq", "coarse")
+
+
+def _sql_county_mad(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    bm = G.sql_biomass("id")
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips,
+             CAST(ROUND({bm} * {_MAD_Q:.1f}, 0) AS BIGINT) AS vq
+      FROM (SELECT range AS id FROM range({n}))),
+    m AS (
+      SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = 1 + (cnt-1)//2 THEN vq END) AS med
+      FROM (SELECT county_fips, vq,
+                   row_number() OVER (PARTITION BY county_fips
+                                      ORDER BY vq) AS rn,
+                   COUNT(*) OVER (PARTITION BY county_fips) AS cnt
+            FROM q)
+      GROUP BY county_fips),
+    d AS (
+      SELECT q.county_fips, ABS(q.vq - m.med) AS adev
+      FROM q JOIN m USING (county_fips))
+    SELECT county_fips, m.n, m.med,
+           MAX(CASE WHEN rn = 1 + (cnt-1)//2 THEN adev END) AS mad
+    FROM (SELECT county_fips, adev,
+                 row_number() OVER (PARTITION BY county_fips
+                                    ORDER BY adev) AS rn,
+                 COUNT(*) OVER (PARTITION BY county_fips) AS cnt
+          FROM d) JOIN m USING (county_fips)
+    GROUP BY county_fips, m.n, m.med
+    """
+
+
+_OUTLIER_Q = 100.0  # two-decimal event values → exact integer domain
+
+
+def q_event_outliers(sf_dir: str):
+    """Per-user 3σ outlier events (n ≥ 8) — the anomaly / data-quality
+    gate of a curation pipeline, with the float cleared from the
+    predicate: ``(n·v − Σx)² > 9·(n·Σx² − (Σx)²)`` over the
+    ×100-quantized value is exact int64 on both sides
+    (``stages/analytic.grouped_zscore_outliers``)."""
+    from ..stages.analytic import grouped_zscore_outliers
+
+    ds = _tbl(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        vq = round_away(b["value"].to_numpy() * _OUTLIER_Q, 0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "vq": pa.array(vq, pa.int64()),
+                "coarse": pa.array(uid % 256),
+            }
+        )
+
+    return grouped_zscore_outliers(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+_SQL_EVENT_OUTLIERS = f"""
+    WITH q AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * {_OUTLIER_Q:.1f}, 0) AS BIGINT) AS vq
+      FROM events),
+    s AS (
+      SELECT *, CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             SUM(vq) OVER w AS sx, SUM(vq*vq) OVER w AS sxx
+      FROM q WINDOW w AS (PARTITION BY user_id))
+    SELECT event_id, user_id, n AS n_user, vq
+    FROM s
+    WHERE n >= 8 AND (n*vq - sx)*(n*vq - sx) > 9*(n*sxx - sx*sx)
+"""
+
+
+def q_orders_profile(sf_dir: str):
+    """Table profiler over ``orders`` — per-column rows / nulls / exact
+    distinct / min-max in ONE streamed pass (all stats fold out of
+    per-(column, value) count partials; ``stages/profile.py``) — the
+    schema-drift / cardinality validation gate every ingest pipeline
+    runs before training."""
+    from ..stages.profile import profile_table
+
+    ds = _tbl(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    return profile_table(
+        ds,
+        num_cols=["o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+_SQL_ORDERS_PROFILE = """
+    SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           MIN(CAST(o_custkey AS DOUBLE)) AS min_num,
+           MAX(CAST(o_custkey AS DOUBLE)) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL,
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL,
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+"""
+
+
 def q_pip_assign(sf_dir: str):
     """Per-tile PIP join output rows (reference J1 parity surface)."""
     ds = _pip(_range_geo(universe_n(sf_dir)))
@@ -5838,6 +6023,7 @@ def ensure_generated_oracles() -> None:
         ensure_clip_oracle,
         ensure_dbscan_oracle,
         ensure_fingerprint_oracle,
+        ensure_hull_oracle,
         ensure_ivf_oracle,
         ensure_ivfpq_oracle,
         ensure_pq_oracle,
@@ -5878,6 +6064,7 @@ def ensure_generated_oracles() -> None:
     ensure_psnr_oracle(_N_ORACLE)
     ensure_pca_oracle(k=PCA_K)
     ensure_dbscan_oracle(_N_ORACLE)
+    ensure_hull_oracle(_N_ORACLE)
 
 
 def build_queries() -> dict:
@@ -5893,6 +6080,7 @@ def build_queries() -> dict:
         sql_county_gradient,
         sql_county_overlap,
         sql_county_simplify,
+        sql_county_hull,
         sql_fingerprints,
         sql_ivf_topk,
         sql_ivfpq_topk,
@@ -5994,6 +6182,10 @@ def build_queries() -> dict:
         "embedding_pca": (q_embedding_pca, sql_embedding_pca(PCA_K)),
         "tile_dbscan": (q_tile_dbscan, sql_tile_dbscan(_N_ORACLE)),
         "county_gini": (q_county_gini, _sql_county_gini(_N_ORACLE)),
+        "county_hull": (q_county_hull, sql_county_hull(_N_ORACLE)),
+        "county_mad": (q_county_mad, _sql_county_mad(_N_ORACLE)),
+        "event_outliers": (q_event_outliers, _SQL_EVENT_OUTLIERS),
+        "orders_profile": (q_orders_profile, _SQL_ORDERS_PROFILE),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

@@ -1267,3 +1267,134 @@ def grouped_gini(ds, grp: str, vq: str,
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact per-group median (type-preserving) and MAD — robust statistics
+# ---------------------------------------------------------------------------
+
+
+def grouped_median_int(ds, key: str, val: str, coarse_col: str,
+                       out_col: str = "med"):
+    """Per-group exact median by ELEMENT SELECTION at
+    ``floor(0.5 * (n-1))`` (numpy ``method='lower'``), like
+    :func:`grouped_quantiles` but preserving the key column's dtype so
+    the result can join back against the data (the string-keyed variant
+    is display-oriented).  Returns (key, n, out_col) with ``out_col``
+    in the value column's integer domain."""
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        keys = g[key].to_numpy()
+        vals = g[val].to_numpy()
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts, sizes, _ = _group_offsets(keys)
+        sel = starts + (sizes - 1) // 2
+        return pa.table(
+            {
+                key: pa.array(keys[starts]),
+                "n": pa.array(sizes.astype(np.int64), pa.int64()),
+                out_col: pa.array(vals[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby(coarse_col).map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_mad(make_ds, key: str, val: str, coarse_col: str):
+    """Per-group exact median absolute deviation — the robust spread
+    statistic (outlier-insensitive, unlike stddev) every
+    quality-scoring / anomaly-gating pipeline wants per stratum.
+
+    Inherently two-pass: (1) exact per-group median of the quantized
+    value; the result is BOUNDED (one row per group), so it collects to
+    the driver and broadcasts into (2) a second pass that computes
+    ``|v − med(group)|`` per row and takes the per-group median of
+    that.  ``make_ds`` is a zero-arg factory producing the input
+    Dataset (key, val, coarse) — each pass consumes a fresh stream, so
+    nothing large materializes.  Both medians use element selection
+    (deterministic under ties), so the whole statistic is
+    integer-exact.  Returns a pyarrow Table (key, n, med, mad) —
+    bounded by the number of groups.
+    """
+    import ray
+
+    med_tbl = grouped_median_int(make_ds(), key, val, coarse_col).to_pandas()
+    med_tbl = med_tbl.sort_values(key).reset_index(drop=True)
+    med_keys = med_tbl[key].to_numpy()
+    med_vals = med_tbl["med"].to_numpy()
+    ref = ray.put((med_keys, med_vals))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        mk, mv = ray.get(ref)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(mk, keys)
+        dev = np.abs(b[val].to_numpy() - mv[pos]).astype(np.int64)
+        t = pa.table(
+            {
+                key: b[key],
+                val: pa.array(dev, pa.int64()),
+                coarse_col: b[coarse_col],
+            }
+        )
+        return t
+
+    mad_tbl = (
+        grouped_median_int(
+            make_ds().map_batches(absdev, batch_format="pyarrow"),
+            key, val, coarse_col, out_col="mad",
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    out = med_tbl.merge(mad_tbl[[key, "mad"]], on=key, how="inner")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# per-key integer-exact z-score outlier detection
+# ---------------------------------------------------------------------------
+
+
+def grouped_zscore_outliers(ds, n_coarse: int = 256, min_n: int = 8,
+                            sigmas: int = 3):
+    """Per-user 3σ outlier events over the integer-quantized value —
+    the data-quality gate (drop / flag anomalous measurements per
+    entity) of every curation pipeline, made hash-exact by clearing
+    the float from the predicate:
+
+    ``(v − mean)² > σ²·var  ⇔  (n·v − Σx)² > σ²·(n·Σx² − (Σx)²)``
+
+    (population variance; both sides exact int64 — with v < 2^16 and
+    per-key n < 2^12 the right side stays < 2^61).  One coarse-bucketed
+    shuffle; per-key sums via ``np.add.reduceat`` — no per-row Python.
+
+    Input: (event_id, user_id, vq int64, coarse).  Output: the outlier
+    rows (event_id, user_id, n_user, vq).
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vq = g["vq"].to_numpy()
+        order = np.lexsort((eid, uid))
+        uid, eid, vq = uid[order], eid[order], vq[order]
+        starts, sizes, start_of = _group_offsets(uid)
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        sx = np.add.reduceat(vq, starts)
+        sxx = np.add.reduceat(vq * vq, starts)
+        n = sizes
+        lhs = (n[gidx] * vq - sx[gidx]) ** 2
+        rhs = sigmas * sigmas * (n[gidx] * sxx[gidx] - sx[gidx] ** 2)
+        keep = (n[gidx] >= min_n) & (lhs > rhs)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "n_user": pa.array(n[gidx][keep], pa.int64()),
+                "vq": pa.array(vq[keep], pa.int64()),
+            }
+        )
+
+    return ds.groupby("coarse").map_groups(per_bucket, batch_format="pandas")
