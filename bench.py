@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "embedding_pca",
     "tile_dbscan",
     "county_gini",
+    "county_hull",
+    "county_mad",
+    "event_outliers",
+    "orders_profile",
+    "user_gapfill",
+    "county_coverage",
 ]
 
 

@@ -649,6 +649,121 @@ _SQL_ORDERS_PROFILE = """
 """
 
 
+def q_user_gapfill(sf_dir: str):
+    """Per-user DENSE hourly activity series (zero-filled gaps +
+    running cumulative count) — the row-EXPANSION / resample operator
+    for sequence-model training data: output rows ≫ input rows
+    (``stages/analytic.hourly_gapfill``, vectorized repeat/arange
+    expansion per coarse bucket)."""
+    from ..stages.analytic import hourly_gapfill
+
+    return hourly_gapfill(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
+
+_SQL_USER_GAPFILL = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+    b AS (SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT user_id, MIN(h) AS minh, MAX(h) AS maxh
+          FROM e GROUP BY 1),
+    g AS (SELECT s.user_id, gs.h
+          FROM s, LATERAL (SELECT UNNEST(generate_series(s.minh, s.maxh))
+                           AS h) gs)
+    SELECT g.user_id, g.h, COALESCE(b.n, 0) AS n_events,
+           CAST(SUM(COALESCE(b.n, 0))
+                  OVER (PARTITION BY g.user_id ORDER BY g.h)
+                AS BIGINT) AS cum_events
+    FROM g LEFT JOIN b USING (user_id, h)
+"""
+
+_CELLS_PER_COUNTY = (4096 // 8) * (4096 // 8)  # 512×512 lattice cells
+
+
+def q_county_coverage(sf_dir: str):
+    """Per-county lattice coverage: tiles present, DISTINCT occupied
+    lattice cells (ids collide on cells under the 32-bit key hash), and
+    the covered fraction of the county's 512×512 cell grid — the
+    spatial-completeness metric a coverage-driven acquisition plan
+    reads.  Exact grouped distinct via the cell-hash bucket pattern
+    (per-batch unique pairs → one bucketed exchange → per-bucket dedup
+    count → tiny Sum merge), same shape as ``type_distinct_users``."""
+    n = universe_n(sf_dir)
+    ds = _pip(_range_geo(n))
+    nb = 64
+
+    def prep(b: pa.Table) -> pa.Table:
+        key = G.derive_key(b["tile_id"].to_numpy())
+        pos = (key % (G.GRID * G.GRID)).astype(np.int64)  # kx + GRID·ky
+        return pa.table(
+            {"county_fips": b["county_fips"], "pos": pa.array(pos, pa.int64())}
+        )
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow")
+
+    n_tiles = _grouped_sums(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "county_fips": b["county_fips"],
+                    "one": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["county_fips"],
+        {"n_tiles": "one"},
+        None,
+    ).to_pandas()
+
+    def uniq_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates()
+        return out.assign(coarse=out["pos"].to_numpy() % nb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["county_fips", "pos"])
+        c = d.groupby("county_fips", as_index=False).agg(
+            n_cells=("pos", "size")
+        )
+        c["n_cells"] = c["n_cells"].astype(np.int64)
+        return c
+
+    n_cells = (
+        _grouped_sums(
+            pairs.map_batches(uniq_pairs, batch_format="pandas")
+            .groupby("coarse")
+            .map_groups(per_bucket, batch_format="pandas"),
+            ["county_fips"],
+            {"n_cells": "n_cells"},
+            None,
+        )
+    ).to_pandas()
+
+    out = n_tiles.merge(n_cells, on="county_fips").sort_values(
+        "county_fips"
+    ).reset_index(drop=True)
+    out["coverage_pct"] = round_away(
+        out["n_cells"].to_numpy() / float(_CELLS_PER_COUNTY), 6
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _sql_county_coverage(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    key = G.SQL_KEY.format(id="id")
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips, ({key} % {G.GRID * G.GRID}) AS pos
+      FROM (SELECT range AS id FROM range({n})))
+    SELECT county_fips, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_cells,
+           ROUND(COUNT(DISTINCT pos) / {float(_CELLS_PER_COUNTY)!r}, 6)
+             AS coverage_pct
+    FROM q GROUP BY county_fips
+    """
+
+
 def q_pip_assign(sf_dir: str):
     """Per-tile PIP join output rows (reference J1 parity surface)."""
     ds = _pip(_range_geo(universe_n(sf_dir)))
@@ -6186,6 +6301,8 @@ def build_queries() -> dict:
         "county_mad": (q_county_mad, _sql_county_mad(_N_ORACLE)),
         "event_outliers": (q_event_outliers, _SQL_EVENT_OUTLIERS),
         "orders_profile": (q_orders_profile, _SQL_ORDERS_PROFILE),
+        "user_gapfill": (q_user_gapfill, _SQL_USER_GAPFILL),
+        "county_coverage": (q_county_coverage, _sql_county_coverage(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

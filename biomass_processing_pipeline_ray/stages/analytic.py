@@ -1398,3 +1398,87 @@ def grouped_zscore_outliers(ds, n_coarse: int = 256, min_n: int = 8,
         )
 
     return ds.groupby("coarse").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-key dense time-series expansion (gap fill)
+# ---------------------------------------------------------------------------
+
+
+def hourly_gapfill(ds, n_coarse: int = 256):
+    """Per-user DENSE hourly activity series: one row for every hour
+    between the user's first and last event — zero-filled gaps plus the
+    running cumulative event count.  The row-EXPANSION operator
+    (regularize / resample before sequence-model training) none of the
+    aggregates cover: output rows ≫ input rows in sparse regimes.
+
+    Engine shape: events collapse to per-(user, hour) counts inside the
+    usual coarse user-hash buckets, and the dense series materializes
+    VECTORIZED per bucket (``np.repeat`` + offset ``arange`` for the
+    hour grid, scatter for the observed counts, segmented cumsum for
+    the running total) — no per-user dispatch, no Python row loop.
+    Integer-exact throughout, so the gate hash is trivial.
+
+    Scale note: output volume is Σ(user spans), which the coarse
+    buckets spread uniformly (hash-partitioned users); a single
+    pathological span (one user × 10⁹ hours) would need span-chunking
+    inside the bucket — the synthetic and any real activity table are
+    orders of magnitude below that.
+
+    Input: (user_id, ts).  Output: (user_id, h, n_events, cum_events).
+    """
+    HOUR_US = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        h = _ts_us_col(b["ts"]).to_numpy() // HOUR_US
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "h": pa.array(h, pa.int64()),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        h = g["h"].to_numpy()
+        order = np.lexsort((h, uid))
+        uid, h = uid[order], h[order]
+        # collapse to per-(user, hour) counts
+        chg = np.r_[True, (uid[1:] != uid[:-1]) | (h[1:] != h[:-1])]
+        ps = np.flatnonzero(chg)
+        us, hs = uid[ps], h[ps]
+        cnt = np.diff(np.r_[ps, len(h)]).astype(np.int64)
+        # per-user span
+        ustarts, usizes, _ = _group_offsets(us)
+        minh, maxh = hs[ustarts], hs[ustarts + usizes - 1]
+        span = maxh - minh + 1
+        total = int(span.sum())
+        seg0 = np.r_[0, np.cumsum(span)[:-1]]  # output offset per user
+        out_uid = np.repeat(us[ustarts], span)
+        out_h = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(seg0, span)
+            + np.repeat(minh, span)
+        )
+        n_events = np.zeros(total, dtype=np.int64)
+        iu = np.repeat(np.arange(len(ustarts)), usizes)  # user idx per pair
+        n_events[seg0[iu] + (hs - minh[iu])] = cnt
+        cs = np.cumsum(n_events)
+        base = cs[seg0] - n_events[seg0]
+        cum = cs - np.repeat(base, span)
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "cum_events": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -206,3 +206,40 @@ def test_profile_table_vs_pandas(rd, ray_session):
     assert got.loc["s", "n_distinct"] == 4
     assert got.loc["s", "min_str"] == "aa"
     assert got.loc["s", "max_str"] == "dd"
+
+
+def test_hourly_gapfill_vs_pandas(rd, ray_session):
+    from biomass_processing_pipeline_ray.stages.analytic import hourly_gapfill
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    base = np.datetime64("2024-03-01", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": base
+            + rng.integers(0, 200 * 3600, n).astype(np.int64) * 1_000_000,
+        }
+    )
+    got = (
+        hourly_gapfill(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values(["user_id", "h"])
+        .reset_index(drop=True)
+    )
+
+    hour = df["ts"].astype("int64") // 3_600_000_000
+    ref_rows = []
+    for u, g in df.assign(h=hour).groupby("user_id"):
+        counts = g.groupby("h").size()
+        cum = 0
+        for h in range(int(g["h"].min()), int(g["h"].max()) + 1):
+            c = int(counts.get(h, 0))
+            cum += c
+            ref_rows.append((u, h, c, cum))
+    ref = pd.DataFrame(
+        ref_rows, columns=["user_id", "h", "n_events", "cum_events"]
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert len(got) > n  # genuine expansion: gaps materialized
+    assert (got["n_events"] == 0).any()
