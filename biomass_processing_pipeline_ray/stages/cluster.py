@@ -73,6 +73,7 @@ def connected_components(
     b: str = "b",
     n_buckets: int | None = None,
     max_iters: int = 50,
+    on_round=None,
 ):
     """(node, lbl) per node appearing in ``pairs``; ``lbl`` is the
     minimum node id of the node's connected component.  Nodes in no
@@ -92,6 +93,7 @@ def connected_components(
                 "src": pa.array(src, pa.int64()),
                 "dst": pa.array(dst, pa.int64()),
                 "lbl": pa.array(lbl, pa.int64()),
+                "sc": pa.array(np.zeros(len(src), dtype=np.int8), pa.int8()),
             }
         )
 
@@ -109,20 +111,54 @@ def connected_components(
             src = g["src"].to_numpy(np.int64)
             dst = g["dst"].to_numpy(np.int64)
             lbl = g["lbl"].to_numpy(np.int64)
-            # collapse duplicates: init emits duplicate self rows, and
-            # shortcut emission can produce the same (src, dst) from
-            # two source groups
-            keep = ~pd.DataFrame({"s": src, "d": dst}).duplicated().to_numpy()
-            src, dst, lbl = src[keep], dst[keep], lbl[keep]
+            sc = g["sc"].to_numpy(np.int8)
+            # collapse duplicate (src, dst) rows — init emits duplicate
+            # self rows, and shortcut emission can produce the same pair
+            # from two source groups — keeping the best label and the
+            # strongest kind (original edge beats shortcut)
+            order = np.lexsort((src, dst))
+            src, dst, lbl, sc = src[order], dst[order], lbl[order], sc[order]
+            starts = np.flatnonzero(
+                np.r_[True, (dst[1:] != dst[:-1]) | (src[1:] != src[:-1])]
+            )
+            src, dst = src[starts], dst[starts]
+            lbl = np.minimum.reduceat(lbl, starts)
+            sc = np.minimum.reduceat(sc, starts)
             is_self = src == dst
             df = pd.DataFrame({"dst": dst, "lbl": lbl})
             new = df.groupby("dst")["lbl"].min()
             old = pd.Series(lbl[is_self], index=dst[is_self])
             changed = new.to_numpy() < old.reindex(new.index).to_numpy()
+            # SHORTCUT RETIREMENT — the giant-component state bound.
+            # Un-pruned hash-to-min accumulates a shortcut pair to every
+            # STALE minimum a node ever heard from; on a high-diameter
+            # supercritical DBSCAN instance the round state grew 46M →
+            # 165M rows over 19 rounds, the last round costing more than
+            # the whole pipeline.  A shortcut row is re-emitted (as its
+            # mirror) ONLY while it still serves a purpose:
+            #   - its dst is the CURRENT minimum it names (hub keeps its
+            #     member list — that is the min-to-all broadcast set,
+            #     bounded by component size, i.e. by the output);
+            #   - or its src is the current minimum (a member's pointer
+            #     to its min, one surviving row per node after dedup);
+            #   - or it still carries news (lbl > new(dst)): forwarded
+            #     ONE more time as a notify mirror so the stale node
+            #     hears the better label, then retired.
+            # Equal-label shortcuts between two non-minimum nodes — the
+            # ping-pong pairs that caused the growth — drop silently.
+            # Connectivity is never pruned (sc=0 originals always
+            # mirror), so the fixpoint is untouched; fresh shortcuts
+            # re-emit from every group every round, so acceleration
+            # survives.  Steady-state size is O(E + V).
+            nv = new.reindex(dst).to_numpy(np.int64)
+            mir = (~is_self) & (
+                (sc == 0) | (dst == nv) | (src == nv) | (lbl > nv)
+            )
             # mirror emission: next round's outgoing edges of each node
             # carry its refreshed label (preserves connectivity)
-            e_src, e_dst = dst[~is_self], src[~is_self]
-            new_lbl = new.reindex(e_src).to_numpy(np.int64)
+            e_src, e_dst = dst[mir], src[mir]
+            e_sc = sc[mir]
+            new_lbl = nv[mir]
             # shortcut emission (hash-to-min acceleration): every
             # neighbor u of v also gets a DIRECT edge from v's current
             # minimum, so min-to-node distances shrink geometrically —
@@ -138,6 +174,13 @@ def connected_components(
                     "lbl": np.concatenate(
                         [new_lbl, new_lbl[s_keep], new.to_numpy(np.int64)]
                     ),
+                    "sc": np.concatenate(
+                        [
+                            e_sc,
+                            np.ones(int(s_keep.sum()), dtype=np.int8),
+                            np.zeros(len(nodes), dtype=np.int8),
+                        ]
+                    ),
                     "changed": np.concatenate(
                         [
                             np.zeros(len(e_src) + int(s_keep.sum()), dtype=np.int64),
@@ -152,6 +195,9 @@ def connected_components(
                 out, preserve_index=False
             ).replace_schema_metadata(None)
 
+        import time as _time
+
+        _t0 = _time.time() if on_round else 0.0
         state = (
             state.map_batches(bucketed, batch_format="pyarrow")
             .groupby("bk")
@@ -159,6 +205,8 @@ def connected_components(
             .materialize()
         )
         n_changed = state.sum("changed")
+        if on_round:
+            on_round(state.count(), int(n_changed), _time.time() - _t0)
         if not n_changed:
             break
 
