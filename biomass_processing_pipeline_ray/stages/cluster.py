@@ -289,6 +289,14 @@ def connected_components_broadcast(pairs, a: str = "a", b: str = "b"):
     import ray.data as rd
 
     df = pairs.select_columns([a, b]).to_pandas()
+    if len(df) == 0:
+        # empty pair set (e.g. an all-noise DBSCAN instance): pandas
+        # drops the columns, so return the typed empty contract directly
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
+            )
+        )
     nodes, lbl = _min_label_components(
         df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)
     )

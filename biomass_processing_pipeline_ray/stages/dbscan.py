@@ -17,10 +17,19 @@ every eps-neighborhood is complete inside one cell group — neighbor
 counting and edge emission are per-cell dense-matrix ops with NO
 all-pairs stage.  Cells co-partition by a coarse hash bucket and each
 bucket sorts once, slicing per-cell blocks (the repo-wide
-bounded-group pattern).  Cluster resolution reuses the banded
-min-label ``connected_components`` (one bucket shuffle per round);
-label assembly is three co-partitioned coalesce passes keyed by point
-id — nothing node-sized ever sits on the driver.
+bounded-group pattern).  Cluster resolution is TWO-LEVEL: the
+core-core graph is first CONTRACTED inside each cell (vectorized
+min-label over the cell's native-native pairs → one representative
+per local component), cross-cell edges are rewritten rep→rep by one
+co-partitioned pass, and only the contracted graph — orders of
+magnitude fewer edges on supercritical instances — goes through
+``connected_components_auto`` (driver-vectorized labeling when
+bounded, the banded min-label rounds above the cap).  Labels map back
+to every core through the (node, rep) mapping in one more
+co-partitioned pass; label assembly stays three coalesce passes keyed
+by point id — nothing node-sized ever sits on the driver.  Exactness:
+a rep is its local component's min id, so the component-min over reps
+IS the component-min node id — contraction changes no label.
 
 The default ``cell = 4·eps`` trades 3×3-window slack for fewer,
 denser cells (≈ 25 natives / cell at the default occupancy), keeping
@@ -98,7 +107,6 @@ def _per_cell(g: pd.DataFrame, fn) -> list:
 def dbscan(ds, id_col: str, eps: float, minpts: int = MINPTS, nb: int = 64):
     """``ds`` carries (id_col int64, x float64, y float64 with y ≥ 0);
     returns a Dataset of (id_col, cluster) over EVERY input point."""
-    from .cluster import connected_components
     from .zonal import bucketed_agg
 
     eps2 = eps * eps
@@ -155,10 +163,21 @@ def dbscan(ds, id_col: str, eps: float, minpts: int = MINPTS, nb: int = 64):
         # n rows of 4 narrow columns
     )
 
-    # -- pass 2: re-replicate the flagged points; per cell emit
-    # core-core edges (deduped: only from the lower-id native side)
-    # and border->core candidate pairs
+    # -- pass 2: re-replicate the flagged points; per cell CONTRACT the
+    # local core-core graph (native-native pairs resolve to one local
+    # min-id representative per in-cell component) and emit only
+    #   kind 3: (native core id, local rep)        -- the mapping
+    #   kind 1: (rep, in-range ghost core id)      -- cross-cell edges,
+    #           deduped per (rep, ghost)
+    #   kind 2: (non-core native, in-range core)   -- border candidates
+    # The global components then run over the contracted rep graph —
+    # edge count drops from O(occupancy × n) in-range pairs to
+    # O(#local components × boundary degree), which on supercritical
+    # instances is what keeps the fixpoint rounds (or the broadcast
+    # fast path) off the full pair set.
     def edge_pass(g: pd.DataFrame) -> pa.Table:
+        from .cluster import _min_label_components
+
         ids = g[id_col].to_numpy(np.int64)
         x = g["x"].to_numpy(np.float64)
         y = g["y"].to_numpy(np.float64)
@@ -175,40 +194,74 @@ def dbscan(ds, id_col: str, eps: float, minpts: int = MINPTS, nb: int = 64):
                 ny_[:, None] - ay[None, :]
             ) ** 2
             inr = d2 <= eps2
-            # core-core edges, lower native id emits
-            ei, ej = np.nonzero(
+            is_ghost = nat[ix] == 0
+            # native-native core pairs (lower id emits; feeds the
+            # bucket-level local contraction)
+            ni, nj = np.nonzero(
+                inr[:, nm]
+                & (ncore[:, None] == 1)
+                & (ncore[None, :] == 1)
+                & (nid[:, None] < nid[None, :])
+            )
+            # native core -> ghost core pairs (cross-cell edges)
+            xi, xj = np.nonzero(
                 inr
                 & (ncore[:, None] == 1)
                 & (acore[None, :] == 1)
-                & (nid[:, None] < aid[None, :])
+                & is_ghost[None, :]
             )
             # border candidates: non-core native -> in-range core
             bi, bj = np.nonzero(
                 inr & (ncore[:, None] == 0) & (acore[None, :] == 1)
             )
-            kind = np.concatenate(
-                [np.ones(len(ei), np.int8), np.full(len(bi), 2, np.int8)]
-            )
             return (
-                kind,
-                np.concatenate([nid[ei], nid[bi]]),
-                np.concatenate([aid[ej], aid[bj]]),
+                nid[ni], nid[nj],          # native-native core pairs
+                nid[xi], aid[xj],          # native core -> ghost core
+                nid[bi], aid[bj],          # border candidates
+                nid[ncore == 1],           # native core ids of the cell
             )
 
         parts = [p for p in _per_cell(g, one) if p is not None]
-        if parts:
-            kind = np.concatenate([p[0] for p in parts])
-            a = np.concatenate([p[1] for p in parts])
-            b_ = np.concatenate([p[2] for p in parts])
-        else:
-            kind = np.empty(0, dtype=np.int8)
-            a = np.empty(0, dtype=np.int64)
-            b_ = np.empty(0, dtype=np.int64)
+
+        def cat(k: int) -> np.ndarray:
+            if parts:
+                return np.concatenate([p[k] for p in parts])
+            return np.empty(0, dtype=np.int64)
+
+        nn_a, nn_b = cat(0), cat(1)
+        cx_a, cx_b = cat(2), cat(3)
+        bd_a, bd_b = cat(4), cat(5)
+        ncores = cat(6)
+        # local contraction: cells are disjoint node sets, so one
+        # vectorized min-label pass over the whole bucket's native-native
+        # pairs yields exactly the per-cell components
+        rep = ncores.copy()
+        if len(nn_a):
+            cn, cl = _min_label_components(nn_a, nn_b)
+            pos = np.searchsorted(cn, ncores)
+            hit = (pos < len(cn)) & (cn[np.minimum(pos, len(cn) - 1)] == ncores)
+            rep[hit] = cl[pos[hit]]
+        # substitute reps into the cross edges and dedup (rep, ghost)
+        if len(cx_a):
+            order = np.argsort(ncores, kind="mergesort")
+            srt, srt_rep = ncores[order], rep[order]
+            cx_a = srt_rep[np.searchsorted(srt, cx_a)]
+            o = np.lexsort((cx_b, cx_a))
+            cx_a, cx_b = cx_a[o], cx_b[o]
+            keep = np.r_[True, (cx_a[1:] != cx_a[:-1]) | (cx_b[1:] != cx_b[:-1])]
+            cx_a, cx_b = cx_a[keep], cx_b[keep]
+        kind = np.concatenate(
+            [
+                np.ones(len(cx_a), np.int8),
+                np.full(len(bd_a), 2, np.int8),
+                np.full(len(ncores), 3, np.int8),
+            ]
+        )
         return pa.table(
             {
                 "kind": pa.array(kind, pa.int8()),
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b_, pa.int64()),
+                "a": pa.array(np.concatenate([cx_a, bd_a, ncores]), pa.int64()),
+                "b": pa.array(np.concatenate([cx_b, bd_b, rep]), pa.int64()),
             }
         )
 
@@ -235,10 +288,122 @@ def dbscan(ds, id_col: str, eps: float, minpts: int = MINPTS, nb: int = 64):
 
         return f
 
-    edges = combined.map_batches(kind_only(1), batch_format="pyarrow")
+    cross = combined.map_batches(kind_only(1), batch_format="pyarrow")
     cands = combined.map_batches(kind_only(2), batch_format="pyarrow")
+    mapping = combined.map_batches(kind_only(3), batch_format="pyarrow")
 
-    cc = connected_components(edges, "a", "b")
+    # -- resolve the ghost side of each cross edge to ITS local rep:
+    # one co-partitioned pass keyed on the ghost core id (tag 0 = the
+    # node's mapping row, tag 1 = cross edges naming it)
+    def map_key_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["a"],
+                "val": b["b"],
+                "tag": pa.array(np.zeros(len(b), np.int8), pa.int8()),
+            }
+        )
+
+    def cross_key_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["b"],
+                "val": b["a"],
+                "tag": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            }
+        )
+
+    def resolve_ghost(g: pd.DataFrame) -> pa.Table:
+        key = g["key"].to_numpy(np.int64)
+        val = g["val"].to_numpy(np.int64)
+        tag = g["tag"].to_numpy(np.int8)
+        o = np.lexsort((tag, key))
+        key, val, tag = key[o], val[o], tag[o]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[starts, len(key)])
+        rep_per_row = np.repeat(val[starts], sizes)  # tag-0 sorts first
+        take = tag == 1
+        return pa.table(
+            {
+                "a": pa.array(val[take], pa.int64()),
+                "b": pa.array(rep_per_row[take], pa.int64()),
+            }
+        )
+
+    def add_kb(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "kb",
+                pa.array(b[col].to_numpy().astype(np.int64) % nb, pa.int64()),
+            )
+
+        return f
+
+    contracted = (
+        mapping.map_batches(map_key_rows, batch_format="pyarrow")
+        .union(cross.map_batches(cross_key_rows, batch_format="pyarrow"))
+        .map_batches(add_kb("key"), batch_format="pyarrow")
+        .repartition(nb // 4)
+        .groupby("kb")
+        .map_groups(resolve_ghost, batch_format="pandas")
+    )
+
+    # global components over the CONTRACTED rep graph (auto: broadcast
+    # labeling when the contracted edge set is bounded, the banded
+    # min-label rounds above the cap)
+    from .cluster import connected_components_auto
+
+    cc_rep = connected_components_auto(contracted, "a", "b")
+
+    # -- map labels back to every core: rep -> component label joins the
+    # (node, rep) mapping, co-partitioned on rep; reps outside the cross
+    # graph label themselves (their component is cell-local)
+    def map_rep_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["b"],
+                "val": b["a"],
+                "tag": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            }
+        )
+
+    def cc_rep_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "val": b["lbl"],
+                "tag": pa.array(np.zeros(len(b), np.int8), pa.int8()),
+            }
+        )
+
+    def label_back(g: pd.DataFrame) -> pa.Table:
+        key = g["key"].to_numpy(np.int64)
+        val = g["val"].to_numpy(np.int64)
+        tag = g["tag"].to_numpy(np.int8)
+        o = np.lexsort((tag, key))
+        key, val, tag = key[o], val[o], tag[o]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[starts, len(key)])
+        # tag-0 (cc label) sorts first per key when present, else the
+        # key labels itself
+        first_val = np.where(tag[starts] == 0, val[starts], key[starts])
+        lbl_per_row = np.repeat(first_val, sizes)
+        take = tag == 1
+        return pa.table(
+            {
+                "node": pa.array(val[take], pa.int64()),
+                "lbl": pa.array(lbl_per_row[take], pa.int64()),
+            }
+        )
+
+    cc = (
+        mapping.map_batches(map_rep_rows, batch_format="pyarrow")
+        .union(cc_rep.map_batches(cc_rep_rows, batch_format="pyarrow"))
+        .map_batches(add_kb("key"), batch_format="pyarrow")
+        .repartition(nb // 4)
+        .groupby("kb")
+        .map_groups(label_back, batch_format="pandas")
+    )
 
     def add_idb(b: pa.Table, col: str) -> pa.Table:
         return b.append_column(

@@ -656,6 +656,40 @@ def test_connected_components_vs_bruteforce(rd):
         assert int(r["cluster_size"]) == size
 
 
+def test_connected_components_empty_pairs(rd):
+    """Both CC paths return the typed empty (node, lbl) contract on an
+    empty pair set — the all-noise DBSCAN regime (zero cores) feeds
+    exactly this, and pandas drops columns from empty frames."""
+    from biomass_processing_pipeline_ray.stages.cluster import (
+        connected_components_auto,
+        connected_components_broadcast,
+    )
+
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    for fn in (connected_components_broadcast, connected_components_auto):
+        got = fn(empty)
+        assert got.count() == 0
+        assert set(got.schema().names) == {"node", "lbl"}
+
+
+def test_dbscan_all_noise(rd, ray_session):
+    """Subcritical instance (every point isolated): no cores, empty
+    core-core graph end-to-end, every point labeled -1 — regression for
+    the empty contracted-edge set crashing the broadcast CC."""
+    from biomass_processing_pipeline_ray.stages.dbscan import MINPTS, dbscan
+
+    # a sparse lattice: nearest neighbors 1.0 apart, eps far below
+    ids = np.arange(100, dtype=np.int64)
+    x = (ids % 10).astype(np.float64)
+    y = (ids // 10).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"pid": ids, "x": x, "y": y})).repartition(4)
+    got = dbscan(ds, "pid", eps=0.1, minpts=MINPTS, nb=16).to_pandas()
+    assert len(got) == 100
+    assert (got["cluster"] == -1).all()
+
+
 def test_kmv_distinct_sketch(rd):
     """KMV estimate: exact below K, within ~3/sqrt(K) above it, and
     bit-deterministic across runs."""
