@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "orders_profile",
     "user_gapfill",
     "county_coverage",
+    "minhash_dedup_incr",
 ]
 
 

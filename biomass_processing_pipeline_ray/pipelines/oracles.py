@@ -909,6 +909,64 @@ def sql_minhash_pairs() -> str:
     return f"SELECT a, b, jaccard FROM read_parquet('{minhash_oracle_path()}')"
 
 
+def minhash_incr_oracle_path() -> str:
+    return os.path.join(ORACLE_DIR, "minhash_incr_sf001_v1.parquet")
+
+
+def ensure_minhash_incr_oracle(threshold: float = 0.7, mod: int = 5) -> str:
+    """Incremental-dedup reference: the same brute-force per-band
+    buckets as :func:`ensure_minhash_oracle`, restricted to DELTA ×
+    CORPUS pairs (delta = doc_id % mod == 0, corpus = the rest) and
+    oriented (a = delta id, b = corpus id) — mirrors
+    ``stages/dedup.dedup_against_index`` over the materialized band
+    store."""
+    from collections import defaultdict
+
+    from ..stages.dedup import BANDS, ROWS_PER_BAND
+
+    path = minhash_incr_oracle_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    docs = _read_docs(ORACLE_SF_DIR)
+    shingles = {d: _py_shingles(t) for d, t in docs}
+    sigs = {d: _py_minhash_sig(s) for d, s in shingles.items()}
+    cand: set[tuple[int, int]] = set()
+    for b in range(BANDS):
+        buckets: dict[tuple, list[int]] = defaultdict(list)
+        for d, sig in sigs.items():
+            buckets[tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])].append(d)
+        for members in buckets.values():
+            for d in members:
+                if d % mod != 0:
+                    continue
+                for c in members:
+                    if c % mod != 0 and c != d:
+                        cand.add((d, c))
+    rows = []
+    for a, b in sorted(cand):
+        j = _py_jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((a, b, j))
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_minhash_incr() -> str:
+    return (
+        f"SELECT a, b, jaccard FROM read_parquet('{minhash_incr_oracle_path()}')"
+    )
+
+
 def _py_char_shingles(text: str, k: int = 8) -> list[int]:
     import zlib
 

@@ -3300,6 +3300,53 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_neardup_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+DEDUP_INCR_MOD = 5  # delta slice = doc_id % 5 == 0, corpus = the rest
+
+
+def q_minhash_dedup_incr(sf_dir: str):
+    """Incremental near-dup: the DELTA slice dedupes against a
+    MATERIALIZED band index of the corpus slice — the daily-crawl
+    maintenance path: corpus text is never re-shingled, and the index
+    read is PRUNED to the band partitions the delta's own keys name
+    (``stages/dedup.build_band_index`` / ``dedup_against_index``; the
+    dedup-family analog of the IVF/IVF-PQ vector stores).  Output
+    (a = delta doc, b = corpus doc, jaccard ≥ 0.7); oracle
+    ``ensure_minhash_incr_oracle`` — the brute-force band buckets
+    restricted to delta × corpus pairs."""
+    from ..stages.dedup import build_band_index, dedup_against_index
+
+    def side_filter(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            m = (
+                ids % DEDUP_INCR_MOD == 0
+                if keep_delta
+                else ids % DEDUP_INCR_MOD != 0
+            )
+            return b.filter(pa.array(m))
+
+        return f
+
+    corpus = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        side_filter(False), batch_format="pyarrow"
+    )
+    delta = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        side_filter(True), batch_format="pyarrow"
+    )
+    idx_dir = os.path.join(
+        TILE_CACHE,
+        f"bandidx_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_m{DEDUP_INCR_MOD}_v1",
+    )
+    build_band_index(corpus, idx_dir)
+    return dedup_against_index(
+        delta,
+        idx_dir,
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding queries
 # ---------------------------------------------------------------------------
@@ -6144,6 +6191,7 @@ def ensure_generated_oracles() -> None:
         ensure_pq_oracle,
         ensure_kmeans_oracle,
         ensure_knn_idw_oracle,
+        ensure_minhash_incr_oracle,
         ensure_minhash_oracle,
         ensure_overlap_oracle,
         ensure_ngram_oracle,
@@ -6166,6 +6214,7 @@ def ensure_generated_oracles() -> None:
     ensure_pip_jittered_oracle(_N_ORACLE)
     ensure_simplify_oracle()
     ensure_minhash_oracle()
+    ensure_minhash_incr_oracle(mod=DEDUP_INCR_MOD)
     ensure_ngram_oracle()
     ensure_simhash_oracle()
     ensure_fingerprint_oracle()
@@ -6203,6 +6252,7 @@ def build_queries() -> dict:
         sql_kmeans_assign,
         sql_knn_idw_full,
         sql_image_thumbs,
+        sql_minhash_incr,
         sql_minhash_pairs,
         sql_ngram_jaccard_pairs,
         sql_phash_neardup,
@@ -6404,4 +6454,5 @@ def build_queries() -> dict:
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
+        "minhash_dedup_incr": (q_minhash_dedup_incr, sql_minhash_incr()),
     }

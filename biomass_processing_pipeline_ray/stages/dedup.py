@@ -183,6 +183,18 @@ def minhash_lsh_pairs(
     pairs = bands.groupby("coarse").map_groups(
         coarse_bucket_pairs, batch_format="pandas"
     )
+    return verify_jaccard_pairs(pairs, docs_ds, threshold, n_coarse, shingler)
+
+
+def verify_jaccard_pairs(
+    pairs, docs_ds, threshold: float, n_coarse: int = 256, shingler=None
+):
+    """Exact-Jaccard verification of candidate (a, b) doc-id pairs via
+    the broadcast-free co-partitioned two-hop join (extracted from
+    :func:`minhash_lsh_pairs` so index-backed candidate generators —
+    :func:`dedup_against_index` — share it verbatim)."""
+    if shingler is None:
+        shingler = shingle_set
 
     # -- verify hop 1: co-partition pair sides with the documents table
     def explode_pairs(b: pa.Table) -> pa.Table:
@@ -270,6 +282,140 @@ def minhash_lsh_pairs(
         .groupby("pair_coarse")
         .map_groups(verify_bucket, batch_format="pandas")
     )
+
+
+# -- incremental dedup against a MATERIALIZED band index ----------------------
+#
+# The corpus-maintenance path: at 100 TB the corpus is deduped once and
+# its LSH band rows persist as a hive-partitioned store; each new crawl
+# batch (the delta) shingles only ITSELF, derives the band partitions
+# its own keys name, and reads ONLY those partitions of the index —
+# the corpus text is never re-shingled and the index is never scanned
+# whole.  Mirrors the pruned-read design of the IVF/IVF-PQ vector
+# stores (`stages/ann.py`) for the dedup family.  (The reference stops
+# at per-key result upsert — `result_writer_v3.py`; index-backed
+# incremental dedup is part of the beyond-reference corpus toolkit.)
+
+
+def build_band_index(docs_ds, out_dir: str, n_parts: int = 64, shingler=None) -> str:
+    """Materialize the LSH band index of a corpus: (band_key, doc_id)
+    rows hive-partitioned by ``band_part = band_key mod n_parts``.
+    Idempotent (``_SUCCESS`` marker); the build is one streamed pass —
+    shingle → signature → band keys per batch, partitioned write."""
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = minhash_bands_batch(b, shingler=shingler)
+        bk = t["band_key"].to_numpy()
+        return pa.table(
+            {
+                "band_key": t["band_key"],
+                "doc_id": t["doc_id"],
+                "band_part": pa.array(bk % n_parts, pa.int64()),
+            }
+        )
+
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs_ds.map_batches(rows, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["band_part"]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    with open(marker, "w"):
+        pass
+    return out_dir
+
+
+def dedup_against_index(
+    delta_docs,
+    index_dir: str,
+    docs_ds,
+    threshold: float = 0.7,
+    n_parts: int = 64,
+    n_coarse: int = 256,
+    shingler=None,
+):
+    """Near-dup pairs (a = delta doc, b = indexed corpus doc, jaccard)
+    of a DELTA batch against :func:`build_band_index` output.
+
+    Scale shape: the delta's band rows are bounded by the delta (BANDS
+    rows/doc); the touched-partition set is bounded by ``n_parts``
+    integers on the driver; the index read is PRUNED to exactly those
+    partitions; the candidate join co-partitions both sides on
+    ``coarse(band_key)`` (one shuffle of delta bands + the pruned index
+    slice); verification is the shared broadcast-free two-hop
+    :func:`verify_jaccard_pairs`."""
+    import os
+
+    import ray.data as rd
+
+    delta_bands = delta_docs.map_batches(
+        lambda b: minhash_bands_batch(b, shingler=shingler),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: touched-partition scan + join
+
+    def parts_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["band_key"].to_numpy() % n_parts)
+        return pa.table({"band_part": pa.array(u, pa.int64())})
+
+    # bounded pull: ≤ n_parts ints per block partial
+    touched = sorted(
+        pd.unique(
+            delta_bands.map_batches(parts_partial, batch_format="pyarrow")
+            .to_pandas()["band_part"]
+        ).tolist()
+    )
+    paths = []
+    for p in touched:
+        part_dir = os.path.join(index_dir, f"band_part={p}")
+        if os.path.isdir(part_dir):
+            paths.extend(
+                os.path.join(part_dir, f)
+                for f in sorted(os.listdir(part_dir))
+                if f.endswith(".parquet")
+            )
+    idx = rd.read_parquet(paths, columns=["band_key", "doc_id"])
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            bk = b["band_key"].to_numpy()
+            return pa.table(
+                {
+                    "band_key": b["band_key"],
+                    "doc_id": b["doc_id"],
+                    "coarse": pa.array(bk % n_coarse, pa.int64()),
+                    "side": pa.array(np.full(len(bk), side, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    unioned = idx.map_batches(tag(0), batch_format="pyarrow").union(
+        delta_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def cand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_key", "doc_id", "side"])
+        d = g[g["side"] == 1]
+        c = g[g["side"] == 0]
+        m = d.merge(c, on="band_key")
+        out = pd.DataFrame(
+            {
+                "a": m["doc_id_x"].to_numpy(dtype=np.int64, na_value=0),
+                "b": m["doc_id_y"].to_numpy(dtype=np.int64, na_value=0),
+            }
+        )
+        out = out[out["a"] != out["b"]]
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = unioned.groupby("coarse").map_groups(cand, batch_format="pandas")
+    return verify_jaccard_pairs(pairs, docs_ds, threshold, n_coarse, shingler)
 
 
 # -- banded Hamming near-dup (shared machinery) -------------------------------

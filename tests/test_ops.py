@@ -6,6 +6,8 @@ cosine top-k, and text fingerprints.  Small inputs, one shared Ray
 session (conftest).
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -123,6 +125,91 @@ def test_minhash_copartitioned_verify_vs_bruteforce(rd):
         (a, b) for a, b, _ in exp
     ]
     assert np.allclose(got["jaccard"].to_numpy(), [j for _, _, j in exp], atol=0)
+
+
+def test_dedup_against_band_index(rd, tmp_path):
+    """Incremental dedup against a materialized band index: delta docs
+    find their planted corpus near-dups, the index read is pruned to
+    the delta's own band partitions, and the build is idempotent."""
+    from biomass_processing_pipeline_ray.pipelines.oracles import (
+        _py_jaccard,
+        _py_minhash_sig,
+        _py_shingles,
+    )
+    from biomass_processing_pipeline_ray.stages.dedup import (
+        BANDS,
+        ROWS_PER_BAND,
+        build_band_index,
+        dedup_against_index,
+        minhash_bands_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=60).tolist()) for _ in range(40)]
+    for j in range(6):  # delta docs 40..45 are edits of corpus docs 0..5
+        words = texts[j].split()
+        words[7] = "EDITED"
+        texts.append(" ".join(words))
+    ids = np.arange(len(texts), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    corpus = df[df.doc_id < 40]
+    delta = df[df.doc_id >= 40]
+
+    n_parts = 64
+    idx = str(tmp_path / "bandidx")
+    build_band_index(rd.from_pandas(corpus), idx, n_parts=n_parts)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(idx, p)) for p in os.listdir(idx)
+    }
+    build_band_index(rd.from_pandas(corpus), idx, n_parts=n_parts)  # no-op
+    assert mtimes == {
+        p: os.path.getmtime(os.path.join(idx, p)) for p in os.listdir(idx)
+    }
+
+    got = (
+        dedup_against_index(
+            rd.from_pandas(delta), idx, rd.from_pandas(df),
+            threshold=0.5, n_parts=n_parts,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    # sequential reference restricted to delta x corpus band collisions
+    sh = {int(r.doc_id): _py_shingles(r.text) for r in df.itertuples()}
+    sigs = {d: _py_minhash_sig(s) for d, s in sh.items()}
+    cand = set()
+    for b in range(BANDS):
+        buckets: dict = {}
+        for d, sig in sigs.items():
+            buckets.setdefault(
+                tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]), []
+            ).append(d)
+        for mem in buckets.values():
+            for d in mem:
+                if d >= 40:
+                    cand.update((d, c) for c in mem if c < 40)
+    exp = sorted(
+        (a, b, _py_jaccard(sh[a], sh[b]))
+        for a, b in cand
+        if _py_jaccard(sh[a], sh[b]) >= 0.5
+    )
+    assert len(exp) >= 6  # every planted delta edit collides
+    assert [tuple(r) for r in got[["a", "b"]].to_numpy()] == [
+        (a, b) for a, b, _ in exp
+    ]
+    assert np.allclose(got["jaccard"].to_numpy(), [j for _, _, j in exp], atol=0)
+
+    # the pruned read is STRICT: a one-doc delta names at most BANDS of
+    # the index's band partitions
+    one = minhash_bands_batch(
+        pa.table({"doc_id": ids[40:41], "text": [texts[40]]})
+    )
+    touched = set(np.unique(one["band_key"].to_numpy() % n_parts).tolist())
+    existing = sum(1 for p in os.listdir(idx) if p.startswith("band_part="))
+    assert len(touched) <= BANDS < existing
 
 
 def test_banded_hamming_pairs_exact(rd):
