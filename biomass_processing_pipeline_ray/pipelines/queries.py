@@ -6354,6 +6354,7 @@ def build_queries() -> dict:
         "user_gapfill": (q_user_gapfill, _SQL_USER_GAPFILL),
         "county_coverage": (q_county_coverage, _sql_county_coverage(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
+        "minhash_dedup_incr": (q_minhash_dedup_incr, sql_minhash_incr()),
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
         "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),
@@ -6454,5 +6455,4 @@ def build_queries() -> dict:
         "sliding_event_stats": (q_sliding_event_stats, _SQL_SLIDING),
         "user_sessions": (q_user_sessions, _SQL_SESSIONS),
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
-        "minhash_dedup_incr": (q_minhash_dedup_incr, sql_minhash_incr()),
     }
