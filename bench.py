@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "user_gapfill",
     "county_coverage",
     "minhash_dedup_incr",
+    "minhash_dedup_lifecycle",
 ]
 
 

@@ -3303,6 +3303,60 @@ def q_simhash_pairs(sf_dir: str):
 DEDUP_INCR_MOD = 5  # delta slice = doc_id % 5 == 0, corpus = the rest
 
 
+def _doc_slice(sf_dir: str, pred):
+    """Column-pruned documents read filtered by a vectorized doc_id
+    predicate."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(pred(b["doc_id"].to_numpy())))
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_minhash_dedup_lifecycle(sf_dir: str):
+    """Band-index LIFECYCLE: build the index over the base corpus slice
+    (doc_id % 5 ∈ {2,3,4}), APPEND the day-1 delta's band rows
+    (doc_id % 5 == 1, `stages/dedup.append_to_band_index` — staged
+    partitioned write + unique-name moves, readers correct throughout),
+    then dedupe the day-2 delta (doc_id % 5 == 0) against the GROWN
+    index.  The append claim is exact: the grown index answers
+    identically to an index built one-shot over corpus ∪ delta1, so the
+    oracle is the SAME delta×rest reference as ``minhash_dedup_incr``
+    (the IVM-style equivalence gate, cf. ``monthly_stats_incremental``).
+    A missing lifecycle marker rebuilds the store from scratch — crash
+    between build and append can never double-append."""
+    from ..stages.dedup import (
+        append_to_band_index,
+        build_band_index,
+        dedup_against_index,
+    )
+
+    m = DEDUP_INCR_MOD
+    lc_dir = os.path.join(
+        TILE_CACHE,
+        f"bandidx_lc_{os.path.basename(os.path.normpath(sf_dir))}_m{m}_v1",
+    )
+    marker = os.path.join(lc_dir, "_LIFECYCLE_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(lc_dir, ignore_errors=True)
+        build_band_index(_doc_slice(sf_dir, lambda i: i % m >= 2), lc_dir)
+        append_to_band_index(
+            _doc_slice(sf_dir, lambda i: i % m == 1), lc_dir, tag="d1"
+        )
+        with open(marker, "w"):
+            pass
+    return dedup_against_index(
+        _doc_slice(sf_dir, lambda i: i % m == 0),
+        lc_dir,
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.7,
+    )
+
+
 def q_minhash_dedup_incr(sf_dir: str):
     """Incremental near-dup: the DELTA slice dedupes against a
     MATERIALIZED band index of the corpus slice — the daily-crawl
@@ -6355,6 +6409,10 @@ def build_queries() -> dict:
         "county_coverage": (q_county_coverage, _sql_county_coverage(_N_ORACLE)),
         # -- r3-green representatives: flagship + heaviest machinery --
         "minhash_dedup_incr": (q_minhash_dedup_incr, sql_minhash_incr()),
+        "minhash_dedup_lifecycle": (
+            q_minhash_dedup_lifecycle,
+            sql_minhash_incr(),  # append claim: grown index == one-shot
+        ),
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
         "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),

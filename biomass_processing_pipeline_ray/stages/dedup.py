@@ -332,6 +332,52 @@ def build_band_index(docs_ds, out_dir: str, n_parts: int = 64, shingler=None) ->
     return out_dir
 
 
+def append_to_band_index(
+    delta_docs, index_dir: str, n_parts: int = 64, shingler=None, tag: str = ""
+) -> str:
+    """Append a delta batch's band rows into an EXISTING index: rows
+    stage to a scratch dir partitioned the same way, then move into
+    their partitions under unique names (new partitions are created as
+    needed).  Readers are correct throughout — a partition listing sees
+    either the old or the old+new file set, both valid band-row sets.
+    NOT idempotent by itself (re-appending doubles rows — harmless for
+    candidate generation, which dedups pairs, but callers gate re-runs
+    with a completion marker; the ``q_minhash_dedup_lifecycle``
+    pattern rebuilds from scratch when its marker is missing)."""
+    import os
+    import shutil
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = minhash_bands_batch(b, shingler=shingler)
+        bk = t["band_key"].to_numpy()
+        return pa.table(
+            {
+                "band_key": t["band_key"],
+                "doc_id": t["doc_id"],
+                "band_part": pa.array(bk % n_parts, pa.int64()),
+            }
+        )
+
+    stage = f"{index_dir}.delta.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    delta_docs.map_batches(rows, batch_format="pyarrow").write_parquet(
+        stage, partition_cols=["band_part"]
+    )
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith("band_part="):
+            continue
+        part_dir = os.path.join(index_dir, entry)
+        os.makedirs(part_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(stage, entry)))):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage, entry, f),
+                    os.path.join(part_dir, f"delta-{tag or os.getpid()}-{i}-{f}"),
+                )
+    shutil.rmtree(stage, ignore_errors=True)
+    return index_dir
+
+
 def dedup_against_index(
     delta_docs,
     index_dir: str,
