@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "county_coverage",
     "minhash_dedup_incr",
     "minhash_dedup_lifecycle",
+    "ann_ivf_lifecycle",
 ]
 
 

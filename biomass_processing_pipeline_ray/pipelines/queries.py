@@ -3575,6 +3575,72 @@ def q_ann_ivf_indexed(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_ann_ivf_lifecycle(sf_dir: str):
+    """IVF vector-store LIFECYCLE: build the cell-partitioned index
+    over the base slice (vec_id % 5 != 0), APPEND the delta slice with
+    ``stages/ann.append_to_ivf_index`` — the delta assigns to cells
+    with the index's own stored centroids, so the grown index is
+    content-identical to the one-shot full-table build — then answer
+    top-k from the grown store (probed-partitions-only reads).  The
+    oracle is therefore the SAME sequential IVF reference as
+    ``ann_ivf_indexed`` (the append-equivalence gate, the vector-store
+    twin of ``minhash_dedup_lifecycle``).  A missing lifecycle marker
+    rebuilds from scratch — no double-append window."""
+    import ray
+
+    from ..stages.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+        kmeans_centroids,
+    )
+
+    qref = _query_vectors(sf_dir)
+    queries = ray.get(qref)
+    cents = kmeans_centroids(np.asarray(queries["sample"], dtype=np.float64), 16)
+    lc_dir = os.path.join(
+        TILE_CACHE,
+        f"ivf_lc_{os.path.basename(os.path.normpath(sf_dir))}_nl16_v1",
+    )
+    marker = os.path.join(lc_dir, "_LIFECYCLE_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(lc_dir, ignore_errors=True)
+
+        def vec_slice(keep_delta: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["vec_id"].to_numpy()
+                m = ids % 5 == 0 if keep_delta else ids % 5 != 0
+                return b.filter(pa.array(m))
+
+            return f
+
+        emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(
+            emb.map_batches(vec_slice(False), batch_format="pyarrow"),
+            lc_dir,
+            cents,
+        )
+        append_to_ivf_index(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+                vec_slice(True), batch_format="pyarrow"
+            ),
+            lc_dir,
+            tag="d1",
+        )
+        with open(marker, "w"):
+            pass
+    out = ivf_topk_from_index(lc_dir, qref, nprobe=4, k=10)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos"] = round_away(b["cos"].to_numpy(), 6)
+        return b[["query_id", "vec_id", "rank", "cos"]]
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def q_ann_ivfpq_indexed(sf_dir: str):
     """IVF-PQ store: top-k against a MATERIALIZED coarse-cell-
     partitioned index holding only (vec_id, m=8 int8 PQ codes) — 64
@@ -6412,6 +6478,10 @@ def build_queries() -> dict:
         "minhash_dedup_lifecycle": (
             q_minhash_dedup_lifecycle,
             sql_minhash_incr(),  # append claim: grown index == one-shot
+        ),
+        "ann_ivf_lifecycle": (
+            q_ann_ivf_lifecycle,
+            sql_ivf_topk(),  # append claim: grown index == one-shot
         ),
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),

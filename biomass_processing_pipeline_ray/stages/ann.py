@@ -230,6 +230,45 @@ def build_ivf_index(ds, out_dir: str, centroids: np.ndarray) -> str:
     return out_dir
 
 
+def append_to_ivf_index(ds, index_dir: str, tag: str = "") -> str:
+    """Append a delta batch into an EXISTING IVF index: vectors assign
+    to cells with the index's OWN stored centroids (so the grown index
+    is content-identical to a one-shot build over the union), stage as
+    a partitioned write, and move into their ``ivf_cell=N`` dirs under
+    unique names — readers see either the old or old+new file set, both
+    valid.  NOT idempotent by itself; callers gate re-runs with a
+    completion marker (the ``q_ann_ivf_lifecycle`` pattern rebuilds
+    from scratch when its marker is missing)."""
+    import os
+    import shutil
+
+    import ray
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents_ref = ray.put(np.asarray(cents, dtype=np.float64))
+    stage = f"{index_dir}.delta.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).write_parquet(stage, partition_cols=["ivf_cell"])
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith("ivf_cell="):
+            continue
+        cell_dir = os.path.join(index_dir, entry)
+        os.makedirs(cell_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(stage, entry)))):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage, entry, f),
+                    os.path.join(cell_dir, f"delta-{tag or os.getpid()}-{i}-{f}"),
+                )
+    shutil.rmtree(stage, ignore_errors=True)
+    return index_dir
+
+
 def ivf_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4, k: int = 10):
     """Query a materialized IVF index: pick probed cells from the stored
     centroids, then ``read_parquet`` ONLY those partition directories —

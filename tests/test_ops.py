@@ -266,6 +266,60 @@ def test_band_index_append_equivalence(rd, tmp_path):
     assert (got_grown["b"] >= 30).any()
 
 
+def test_ivf_index_append_equivalence(rd, tmp_path, ray_session):
+    """An IVF index grown by append (delta assigned with the stored
+    centroids) answers top-k bit-identically to a one-shot build over
+    the union — the vector-store lifecycle gate."""
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(41)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+
+    def ds_of(mask):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[mask], pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs[mask]), pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    cents = kmeans_centroids(vecs[:64], 8)
+    qref = ray.put({"qid": ids[:5], "mat": vecs[:5]})
+
+    grown = str(tmp_path / "grown")
+    build_ivf_index(ds_of(ids % 5 != 0), grown, cents)
+    append_to_ivf_index(ds_of(ids % 5 == 0), grown, tag="d1")
+    oneshot = str(tmp_path / "oneshot")
+    build_ivf_index(ds_of(ids >= 0), oneshot, cents)
+
+    def run(idx):
+        return (
+            ivf_topk_from_index(idx, qref, nprobe=3, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(grown), run(oneshot)
+    assert len(a) == 25
+    pd.testing.assert_frame_equal(a, b)
+    # appended vectors ARE reachable from the grown store
+    assert (a["vec_id"] % 5 == 0).any()
+
+
 def test_banded_hamming_pairs_exact(rd):
     from biomass_processing_pipeline_ray.image.phash import hamming_i64
     from biomass_processing_pipeline_ray.stages.dedup import banded_hamming_pairs
