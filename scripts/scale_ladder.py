@@ -73,6 +73,13 @@ LADDER = {
     # the co-purchase cosine join over 5 disjoint basket-graph replicas
     "tile_dbscan": "tiles",
     "part_cosine_pairs": "lineitem",
+    # round-4 session-5: incremental dedup against the materialized
+    # band index (the Caesar replicas keep within-replica shingle
+    # structure, so delta x corpus candidate density per row matches
+    # sf0.1; trial0 pays the one-time index build, so the min-of-2
+    # lands on the warm-index run at BOTH levels — the steady-state
+    # maintenance cost the operator exists for)
+    "minhash_dedup_incr": "documents",
 }
 
 
