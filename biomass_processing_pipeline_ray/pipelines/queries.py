@@ -3315,6 +3315,24 @@ def _doc_slice(sf_dir: str, pred):
     )
 
 
+def _docs_n(sf_dir: str) -> int:
+    """Documents row count from parquet FOOTER metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+
+def _dedup_n_coarse(sf_dir: str) -> int:
+    """Coarse-group count for the dedup candidate/verify shuffles,
+    scaled to corpus size: per-group dispatch dominates when groups
+    shrink below ~64 docs, while group count still grows with N for
+    shuffle parallelism (grouping is result-invariant — buckets only
+    partition work)."""
+    return int(np.clip(_docs_n(sf_dir) // 64, 64, 4096))
+
+
 def q_minhash_dedup_lifecycle(sf_dir: str):
     """Band-index LIFECYCLE: build the index over the base corpus slice
     (doc_id % 5 ∈ {2,3,4}), APPEND the day-1 delta's band rows
@@ -3354,6 +3372,7 @@ def q_minhash_dedup_lifecycle(sf_dir: str):
         lc_dir,
         _tbl(sf_dir, "documents", ["doc_id", "text"]),
         threshold=0.7,
+        n_coarse=_dedup_n_coarse(sf_dir),
     )
 
 
@@ -3398,6 +3417,7 @@ def q_minhash_dedup_incr(sf_dir: str):
         idx_dir,
         _tbl(sf_dir, "documents", ["doc_id", "text"]),
         threshold=0.7,
+        n_coarse=_dedup_n_coarse(sf_dir),
     )
 
 
