@@ -378,6 +378,75 @@ def append_to_band_index(
     return index_dir
 
 
+def compact_band_index(index_dir: str, gc_grace_sec: float | None = None) -> int:
+    """Compact each multi-file band partition to one sorted file — the
+    LSM maintenance pass after many delta appends.  Returns the number
+    of partitions compacted.
+
+    Readers are correct THROUGHOUT without a manifest: merged files
+    land under fresh names while the sources stay in place, and a
+    reader that lists a partition mid-compaction sees sources, merged,
+    or BOTH — duplicate band rows are semantically harmless here
+    because candidate generation dedups pairs (``cand`` /
+    ``attach_text`` drop_duplicates), so the verified pair set is
+    identical in every window.  Sources are recorded in a tombstone
+    sidecar and unlinked only by a later call after ``gc_grace_sec``
+    (pass 0 to GC immediately).  The IVF vector store deliberately has
+    NO such compactor: duplicate vectors WOULD change top-k output, so
+    compacting it safely needs the manifest-swap design of
+    ``geoindex.compact_store``."""
+    import json
+    import os
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    stones_path = os.path.join(index_dir, "_tombstones.json")
+    stones: dict[str, float] = {}
+    if os.path.exists(stones_path):
+        with open(stones_path) as f:
+            stones = json.load(f)
+
+    # GC tombstoned sources whose grace has elapsed
+    now = time.time()
+    if gc_grace_sec is not None:
+        for rel, ts in list(stones.items()):
+            if now - ts >= gc_grace_sec:
+                try:
+                    os.remove(os.path.join(index_dir, rel))
+                except FileNotFoundError:
+                    pass
+                del stones[rel]
+
+    compacted = 0
+    for entry in sorted(os.listdir(index_dir)):
+        if not entry.startswith("band_part="):
+            continue
+        part_dir = os.path.join(index_dir, entry)
+        files = [
+            f
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet") and f"{entry}/{f}" not in stones
+        ]
+        if len(files) <= 1:
+            continue
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(part_dir, f)) for f in files]
+        ).sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        out_name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(merged, os.path.join(part_dir, out_name))
+        for f in files:
+            stones[f"{entry}/{f}"] = now
+        compacted += 1
+
+    tmp = f"{stones_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(stones, f)
+    os.replace(tmp, stones_path)
+    return compacted
+
+
 def dedup_against_index(
     delta_docs,
     index_dir: str,

@@ -266,6 +266,64 @@ def test_band_index_append_equivalence(rd, tmp_path):
     assert (got_grown["b"] >= 30).any()
 
 
+def test_band_index_compaction(rd, tmp_path):
+    """Compaction keeps the verified pair set identical in EVERY window
+    — sources+merged coexisting (pre-GC), and after GC each partition
+    is a single file."""
+    from biomass_processing_pipeline_ray.stages.dedup import (
+        append_to_band_index,
+        build_band_index,
+        compact_band_index,
+        dedup_against_index,
+    )
+
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=60).tolist()) for _ in range(40)]
+    for j in range(4):
+        words = texts[j].split()
+        words[9] = "EDITED"
+        texts.append(" ".join(words))
+    ids = np.arange(len(texts), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    idx = str(tmp_path / "idx")
+    build_band_index(rd.from_pandas(df[df.doc_id < 20]), idx, n_parts=8)
+    append_to_band_index(
+        rd.from_pandas(df[(df.doc_id >= 20) & (df.doc_id < 40)]),
+        idx, n_parts=8, tag="d1",
+    )
+
+    def run():
+        return (
+            dedup_against_index(
+                rd.from_pandas(df[df.doc_id >= 40]), idx,
+                rd.from_pandas(df), threshold=0.5, n_parts=8,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    before = run()
+    assert len(before) >= 3
+    n_comp = compact_band_index(idx)  # no GC: sources + merged coexist
+    assert n_comp > 0
+    mid = run()  # duplicate band rows must not change the pair set
+    pd.testing.assert_frame_equal(before, mid)
+    assert compact_band_index(idx, gc_grace_sec=0.0) == 0  # idempotent
+    after = run()
+    pd.testing.assert_frame_equal(before, after)
+    for entry in os.listdir(idx):
+        if entry.startswith("band_part="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, entry))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (entry, files)
+
+
 def test_ivf_index_append_equivalence(rd, tmp_path, ray_session):
     """An IVF index grown by append (delta assigned with the stored
     centroids) answers top-k bit-identically to a one-shot build over
