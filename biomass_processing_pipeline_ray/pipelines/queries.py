@@ -3344,10 +3344,15 @@ def q_minhash_dedup_lifecycle(sf_dir: str):
     oracle is the SAME delta×rest reference as ``minhash_dedup_incr``
     (the IVM-style equivalence gate, cf. ``monthly_stats_incremental``).
     A missing lifecycle marker rebuilds the store from scratch — crash
-    between build and append can never double-append."""
+    between build and append can never double-append.  After the append
+    the store COMPACTS (merge + tombstone + immediate GC,
+    ``compact_band_index``) so the driver-gated result also covers the
+    LSM maintenance pass — pair set provably invariant in every
+    compaction window."""
     from ..stages.dedup import (
         append_to_band_index,
         build_band_index,
+        compact_band_index,
         dedup_against_index,
     )
 
@@ -3365,6 +3370,8 @@ def q_minhash_dedup_lifecycle(sf_dir: str):
         append_to_band_index(
             _doc_slice(sf_dir, lambda i: i % m == 1), lc_dir, tag="d1"
         )
+        compact_band_index(lc_dir)  # merged + tombstoned sources coexist
+        compact_band_index(lc_dir, gc_grace_sec=0.0)  # grace over: GC
         with open(marker, "w"):
             pass
     return dedup_against_index(

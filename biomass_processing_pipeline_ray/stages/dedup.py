@@ -495,6 +495,18 @@ def dedup_against_index(
                 for f in sorted(os.listdir(part_dir))
                 if f.endswith(".parquet")
             )
+    if not paths:
+        # zero overlap between the delta's band partitions and the
+        # index (or an empty delta): no candidates, typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     idx = rd.read_parquet(paths, columns=["band_key", "doc_id"])
 
     def tag(side: int):
