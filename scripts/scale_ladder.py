@@ -80,6 +80,8 @@ LADDER = {
     # lands on the warm-index run at BOTH levels — the steady-state
     # maintenance cost the operator exists for)
     "minhash_dedup_incr": "documents",
+    "minhash_dedup_lifecycle": "documents",
+    "ann_ivf_lifecycle": "embeddings",
 }
 
 
