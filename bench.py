@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "minhash_dedup_incr",
     "minhash_dedup_lifecycle",
     "ann_ivf_lifecycle",
+    "leakage_safe_split",
 ]
 
 

@@ -4235,6 +4235,105 @@ def _sql_phash_pairs_numeric(n: int, max_hamming: int = 3) -> str:
     )"""
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val split: near-dup CLUSTERS — not documents
+    — are the assignment unit, so near-duplicates can never straddle
+    the split (the eval-contamination gate every training pipeline
+    needs).  Cluster labels come from the MinHash-pair connected
+    components; every unpaired doc is its own cluster; the split is a
+    deterministic 90/10 hash of the CLUSTER representative.  Assembly
+    is a broadcast-free co-partitioned coalesce keyed on doc_id."""
+    from ..stages.cluster import connected_components_auto
+    from ..stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.7,
+        n_coarse=_dedup_n_coarse(sf_dir),
+    )
+    labels = connected_components_auto(pairs)
+    nb = 64
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "pri": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "lbl": pa.array(ids, pa.int64()),
+                "bk": pa.array(ids % nb, pa.int64()),
+            }
+        )
+
+    def cc_rows(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "pri": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+                "lbl": b["lbl"],
+                "bk": pa.array(ids % nb, pa.int64()),
+            }
+        )
+
+    def coalesce_split(g: pd.DataFrame) -> pa.Table:
+        ids = g["id"].to_numpy(np.int64)
+        pri = g["pri"].to_numpy(np.int64)
+        lbl = g["lbl"].to_numpy(np.int64)
+        o = np.lexsort((-pri, ids))
+        ids, lbl = ids[o], lbl[o]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        ids, lbl = ids[first], lbl[first]
+        split = np.where(G.derive_key(lbl) % 10 < 9, "train", "val")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_rep": pa.array(lbl, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(labels.map_batches(cc_rows, batch_format="pyarrow"))
+        .repartition(nb // 4)
+        .groupby("bk")
+        .map_groups(coalesce_split, batch_format="pandas")
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    """Transitive closure over the SAME verified pair set the
+    ``minhash_pairs`` oracle records, LEFT-joined onto the documents
+    roster (unpaired docs label themselves), split by the engine's
+    Knuth-hash rule on the cluster representative."""
+    from ..functions.georef import SQL_KEY
+    from .oracles import minhash_oracle_path
+
+    key = SQL_KEY.format(id="l.cluster_rep")
+    return f"""
+    WITH RECURSIVE
+    pe AS (SELECT a, b FROM read_parquet('{minhash_oracle_path()}')),
+    edges AS (SELECT a AS u, b AS v FROM pe UNION SELECT b AS u, a AS v FROM pe),
+    walk(u, lbl) AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v AS u, w.lbl FROM walk w JOIN edges e ON e.u = w.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY u),
+    l AS (
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.cluster_rep AS BIGINT) AS cluster_rep,
+           CASE WHEN ({key}) % 10 < 9 THEN 'train' ELSE 'val' END AS split
+    FROM l
+    """
+
+
 def _sql_image_dup_clusters(n: int) -> str:
     fmt_id = "'img' || lpad(CAST({c} AS VARCHAR), 12, '0')"
     return f"""
@@ -6510,6 +6609,7 @@ def build_queries() -> dict:
             q_ann_ivf_lifecycle,
             sql_ivf_topk(),  # append claim: grown index == one-shot
         ),
+        "leakage_safe_split": (q_leakage_safe_split, _sql_leakage_safe_split()),
         "zonal_biomass_px": (q_zonal_biomass_px, sql_zonal_px(_N_ORACLE)),
         "knn_idw_sharded": (q_knn_idw_sharded, sql_knn_idw_full(_N_ORACLE)),
         "ann_ivf_indexed": (q_ann_ivf_indexed, sql_ivf_topk()),

@@ -324,6 +324,32 @@ def test_band_index_compaction(rd, tmp_path):
             assert len(files) == 1, (entry, files)
 
 
+def test_leakage_safe_split_property(rd, ray_session):
+    """The split's defining invariant on real fixture data: every
+    near-dup pair lands in ONE split (no train/val contamination),
+    every doc is assigned exactly once, and the hash rule yields a
+    ~90/10 ratio."""
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        q_leakage_safe_split,
+        q_minhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = q_leakage_safe_split(sf).to_pandas()
+    pairs = q_minhash_pairs(sf).to_pandas()
+
+    assert split["doc_id"].is_unique
+    by_id = split.set_index("doc_id")["split"]
+    assert len(pairs) > 0  # fixture plants near-dups
+    for a, b in pairs[["a", "b"]].itertuples(index=False):
+        assert by_id[a] == by_id[b], (a, b)
+    # same cluster -> same split, and reps label themselves
+    g = split.groupby("cluster_rep")["split"].nunique()
+    assert (g == 1).all()
+    frac = (split["split"] == "train").mean()
+    assert 0.8 < frac < 0.98
+
+
 def test_ivf_index_append_equivalence(rd, tmp_path, ray_session):
     """An IVF index grown by append (delta assigned with the stored
     centroids) answers top-k bit-identically to a one-shot build over
