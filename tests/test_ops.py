@@ -935,6 +935,69 @@ def test_connected_components_vs_bruteforce(rd):
         assert int(r["cluster_size"]) == size
 
 
+@pytest.mark.parametrize("seed", [3, 17, 101, 255, 1024])
+def test_connected_components_random_graphs(rd, seed):
+    """Distributed min-label rounds (WITH shortcut retirement) ==
+    sequential union-find across random adversarial graphs — chains
+    (high diameter, the retirement stress case), stars (hub fan-out),
+    cliques (duplicate-pair collapse) and sparse noise mixed."""
+    from biomass_processing_pipeline_ray.stages.cluster import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(seed)
+    edges: list[tuple[int, int]] = []
+    base = 0
+    # a chain of random length
+    ln = int(rng.integers(20, 80))
+    edges += [(base + i, base + i + 1) for i in range(ln - 1)]
+    base += ln
+    # a star
+    k = int(rng.integers(5, 30))
+    edges += [(base, base + i) for i in range(1, k)]
+    base += k
+    # a clique (every pair appears -> heavy duplicate shortcuts)
+    c = int(rng.integers(4, 10))
+    edges += [
+        (base + i, base + j) for i in range(c) for j in range(i + 1, c)
+    ]
+    base += c
+    # sparse random edges over a wider id range
+    ra = rng.integers(base, base + 200, 60)
+    rb = rng.integers(base, base + 200, 60)
+    edges += [(int(x), int(y)) for x, y in zip(ra, rb) if x != y]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    exp: dict[int, int] = {}
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    for members in comp.values():
+        rep = min(members)
+        for mm in members:
+            exp[mm] = rep
+
+    tbl = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    got = connected_components(rd.from_arrow(tbl), n_buckets=8).to_pandas()
+    assert len(got) == len(exp)
+    got_map = dict(zip(got["node"].astype(int), got["lbl"].astype(int)))
+    assert got_map == exp
+
+
 def test_connected_components_empty_pairs(rd):
     """Both CC paths return the typed empty (node, lbl) contract on an
     empty pair set — the all-noise DBSCAN regime (zero cores) feeds
