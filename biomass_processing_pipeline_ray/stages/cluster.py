@@ -249,6 +249,212 @@ def with_cluster_sizes(labels, n_buckets: int | None = None):
 
 
 # ---------------------------------------------------------------------------
+# alternating star rounds (round 4) — the STATE-BOUNDED big-graph path.
+#
+# The min-label + hash-to-min rounds above are fast on the tiny-diameter
+# components near-dup graphs actually have, but on an EXTREME-diameter
+# graph (measured: a 10^6-node path + 5M random edges) the shortcut set
+# grows superlinearly mid-convergence (30M → 116M state rows by round 9
+# even with retirement) — a known hash-to-min property.  Alternating
+# large-star / small-star (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC '14) keeps the round state ≤ the CURRENT
+# edge multiset (≤ 2|E| rows, shrinking as components contract), groups
+# on NODES (degree skew only — a component never concentrates into one
+# bucket, unlike pointer-jumping-by-label), and converges in O(log² n)
+# worst-case / ~log n observed rounds.  Fixpoint = a star per component
+# centered on its minimum node, which IS the output labeling.
+# ---------------------------------------------------------------------------
+
+
+def connected_components_star(
+    pairs,
+    a: str = "a",
+    b: str = "b",
+    n_buckets: int | None = None,
+    max_iters: int = 200,
+    on_round=None,
+):
+    """Bit-identical output contract to :func:`connected_components`
+    (pytest-enforced): (node, lbl = component-min node id), nodes
+    appearing in ``pairs`` only."""
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        ua = np.asarray(batch[a].to_numpy(), dtype=np.int64)
+        ub = np.asarray(batch[b].to_numpy(), dtype=np.int64)
+        m = ua != ub
+        lo = np.minimum(ua[m], ub[m])
+        hi = np.maximum(ua[m], ub[m])
+        # canonical (small, large); self pairs contribute isolated
+        # nodes, carried separately below
+        return pa.table({"u": pa.array(lo, pa.int64()), "v": pa.array(hi, pa.int64())})
+
+    state = pairs.map_batches(init_state, batch_format="pyarrow").materialize()
+    nb = n_buckets or _adaptive_buckets(max(state.count(), 1))
+
+    def large_star(t: pa.Table) -> pa.Table:
+        # explode both directions; group key = the node whose
+        # neighborhood we examine
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        k = np.concatenate([u, v])
+        val = np.concatenate([v, u])
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "bk": pa.array(_bucket_of(k, nb), pa.int64()),
+            }
+        )
+
+    def large_reduce(g: pd.DataFrame) -> pa.Table:
+        k = g["k"].to_numpy(np.int64)
+        val = g["val"].to_numpy(np.int64)
+        o = np.lexsort((val, k))
+        k, val = k[o], val[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        # m(k) = min(neighborhood ∪ {k}) = min(first val, k) since vals
+        # sorted within key
+        m = np.minimum(val[starts], k[starts])
+        sizes = ends - starts
+        m_rep = np.repeat(m, sizes)
+        keep = val > np.repeat(k[starts], sizes)  # strictly larger nbrs
+        uu, vv = m_rep[keep], val[keep]
+        # dedup emitted (m, v) pairs within the group
+        oo = np.lexsort((vv, uu))
+        uu, vv = uu[oo], vv[oo]
+        first = np.r_[True, (uu[1:] != uu[:-1]) | (vv[1:] != vv[:-1])]
+        return pa.table(
+            {
+                "u": pa.array(uu[first], pa.int64()),
+                "v": pa.array(vv[first], pa.int64()),
+            }
+        )
+
+    def small_star(t: pa.Table) -> pa.Table:
+        # orient to the LARGER endpoint: k = max, val = min
+        u = t["u"].to_numpy()  # u < v by construction
+        v = t["v"].to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(v, pa.int64()),
+                "val": pa.array(u, pa.int64()),
+                "bk": pa.array(_bucket_of(v, nb), pa.int64()),
+            }
+        )
+
+    def small_reduce(g: pd.DataFrame) -> pa.Table:
+        k = g["k"].to_numpy(np.int64)
+        val = g["val"].to_numpy(np.int64)
+        o = np.lexsort((val, k))
+        k, val = k[o], val[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        m = val[starts]  # all vals < k, so min(vals ∪ {k}) = first val
+        sizes = ends - starts
+        m_rep = np.repeat(m, sizes)
+        # connect every smaller neighbor (≠ m) AND k itself to m
+        keep = val != m_rep
+        uu = np.concatenate([m_rep[keep], m])
+        vv = np.concatenate([val[keep], k[starts]])
+        oo = np.lexsort((vv, uu))
+        uu, vv = uu[oo], vv[oo]
+        first = np.r_[True, (uu[1:] != uu[:-1]) | (vv[1:] != vv[:-1])]
+        return pa.table(
+            {
+                "u": pa.array(uu[first], pa.int64()),
+                "v": pa.array(vv[first], pa.int64()),
+            }
+        )
+
+    def fingerprint(ds):
+        # (count, order-free checksum) — star fixpoint detector
+        def fp(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy().astype(np.uint64)
+            v = t["v"].to_numpy().astype(np.uint64)
+            h = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pa.table(
+                {
+                    "n": pa.array([len(u)], pa.int64()),
+                    "s": pa.array([int(h.sum(dtype=np.uint64) & np.uint64((1 << 63) - 1))], pa.int64()),
+                }
+            )
+
+        t = ds.map_batches(fp, batch_format="pyarrow")
+        return int(t.sum("n") or 0), int(t.sum("s") or 0)
+
+    import time as _time
+
+    prev = None
+    for _ in range(max_iters):
+        _t0 = _time.time()
+        state = (
+            state.map_batches(large_star, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(large_reduce, batch_format="pandas")
+            .map_batches(small_star, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(small_reduce, batch_format="pandas")
+            .materialize()
+        )
+        cur = fingerprint(state)
+        if on_round:
+            on_round(cur[0], -1 if prev is None else int(cur != prev), _time.time() - _t0)
+        if cur == prev:
+            break
+        prev = cur
+
+    # star fixpoint → labels: every edge is (center=min, leaf); leaves
+    # label with the center, centers label themselves.  Self pairs in
+    # the input contribute isolated nodes labeling themselves.  One
+    # bucketed dedup keyed on node collapses duplicates.
+    def star_labels(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        node = np.concatenate([v, u])
+        lbl = np.concatenate([u, u])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "lbl": pa.array(lbl, pa.int64()),
+                "bk": pa.array(_bucket_of(node, nb), pa.int64()),
+            }
+        )
+
+    def self_nodes(batch: pa.Table) -> pa.Table:
+        ua = np.asarray(batch[a].to_numpy(), dtype=np.int64)
+        ub = np.asarray(batch[b].to_numpy(), dtype=np.int64)
+        x = ua[ua == ub]
+        return pa.table(
+            {
+                "node": pa.array(x, pa.int64()),
+                "lbl": pa.array(x, pa.int64()),
+                "bk": pa.array(_bucket_of(x, nb), pa.int64()),
+            }
+        )
+
+    def dedup_nodes(g: pd.DataFrame) -> pa.Table:
+        node = g["node"].to_numpy(np.int64)
+        lbl = g["lbl"].to_numpy(np.int64)
+        o = np.lexsort((lbl, node))
+        node, lbl = node[o], lbl[o]
+        first = np.r_[True, node[1:] != node[:-1]]
+        return pa.table(
+            {
+                "node": pa.array(node[first], pa.int64()),
+                "lbl": pa.array(lbl[first], pa.int64()),
+            }
+        )
+
+    return (
+        state.map_batches(star_labels, batch_format="pyarrow")
+        .union(pairs.map_batches(self_nodes, batch_format="pyarrow"))
+        .groupby("bk")
+        .map_groups(dedup_nodes, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # broadcast fast path (round 4) — same pattern as graph.pagerank_broadcast:
 # the PAIR graph of a near-dup job is a tiny, bounded side product of the
 # corpus (edges ≈ planted dups, ~0.1% of rows), so below a cap it is
@@ -314,8 +520,11 @@ def connected_components_auto(
 ):
     """Dispatch on the materialized edge count: ≤ ``edge_cap`` edges →
     driver-side vectorized labeling (zero propagation shuffles); above
-    it → the co-partitioned min-label rounds."""
+    it → the state-bounded alternating star rounds (the min-label +
+    hash-to-min rounds remain available as
+    :func:`connected_components` for tiny-diameter graphs where their
+    single shuffle per round wins)."""
     pairs = pairs.materialize()
     if pairs.count() <= edge_cap:
         return connected_components_broadcast(pairs, a, b)
-    return connected_components(pairs, a, b, **kw)
+    return connected_components_star(pairs, a, b, **kw)

@@ -935,15 +935,20 @@ def test_connected_components_vs_bruteforce(rd):
         assert int(r["cluster_size"]) == size
 
 
+@pytest.mark.parametrize("impl", ["minlabel", "star"])
 @pytest.mark.parametrize("seed", [3, 17, 101, 255, 1024])
-def test_connected_components_random_graphs(rd, seed):
-    """Distributed min-label rounds (WITH shortcut retirement) ==
-    sequential union-find across random adversarial graphs — chains
-    (high diameter, the retirement stress case), stars (hub fan-out),
-    cliques (duplicate-pair collapse) and sparse noise mixed."""
+def test_connected_components_random_graphs(rd, seed, impl):
+    """BOTH distributed CC implementations — min-label rounds with
+    shortcut retirement, and the state-bounded alternating star rounds
+    — equal sequential union-find across random adversarial graphs:
+    chains (high diameter), stars (hub fan-out), cliques
+    (duplicate-pair collapse) and sparse noise mixed."""
     from biomass_processing_pipeline_ray.stages.cluster import (
         connected_components,
+        connected_components_star,
     )
+
+    cc_fn = connected_components if impl == "minlabel" else connected_components_star
 
     rng = np.random.default_rng(seed)
     edges: list[tuple[int, int]] = []
@@ -992,7 +997,7 @@ def test_connected_components_random_graphs(rd, seed):
             "b": pa.array([v for _, v in edges], pa.int64()),
         }
     )
-    got = connected_components(rd.from_arrow(tbl), n_buckets=8).to_pandas()
+    got = cc_fn(rd.from_arrow(tbl), n_buckets=8).to_pandas()
     assert len(got) == len(exp)
     got_map = dict(zip(got["node"].astype(int), got["lbl"].astype(int)))
     assert got_map == exp
