@@ -289,7 +289,8 @@ def connected_components_star(
         return pa.table({"u": pa.array(lo, pa.int64()), "v": pa.array(hi, pa.int64())})
 
     state = pairs.map_batches(init_state, batch_format="pyarrow").materialize()
-    nb = n_buckets or _adaptive_buckets(max(state.count(), 1))
+    n_edges = state.count()
+    nb = n_buckets or _adaptive_buckets(max(n_edges, 1))
 
     def large_star(t: pa.Table) -> pa.Table:
         # explode both directions; group key = the node whose
@@ -386,7 +387,7 @@ def connected_components_star(
     import time as _time
 
     prev = None
-    for _ in range(max_iters):
+    for _ in range(max_iters if n_edges else 0):
         _t0 = _time.time()
         state = (
             state.map_batches(large_star, batch_format="pyarrow")
@@ -446,12 +447,29 @@ def connected_components_star(
             }
         )
 
-    return (
+    labeled = (
         state.map_batches(star_labels, batch_format="pyarrow")
         .union(pairs.map_batches(self_nodes, batch_format="pyarrow"))
         .groupby("bk")
         .map_groups(dedup_nodes, batch_format="pandas")
     )
+    if n_edges == 0:
+        # degenerate input (no a≠b pairs): an all-empty map_groups
+        # chain loses its schema — materialize the tiny result and
+        # return the typed empty contract when nothing survives
+        labeled = labeled.materialize()
+        if labeled.count() == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "lbl": pa.array([], pa.int64()),
+                    }
+                )
+            )
+    return labeled
 
 
 # ---------------------------------------------------------------------------

@@ -1010,12 +1010,17 @@ def test_connected_components_empty_pairs(rd):
     from biomass_processing_pipeline_ray.stages.cluster import (
         connected_components_auto,
         connected_components_broadcast,
+        connected_components_star,
     )
 
     empty = rd.from_arrow(
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
-    for fn in (connected_components_broadcast, connected_components_auto):
+    for fn in (
+        connected_components_broadcast,
+        connected_components_auto,
+        connected_components_star,
+    ):
         got = fn(empty)
         assert got.count() == 0
         assert set(got.schema().names) == {"node", "lbl"}
