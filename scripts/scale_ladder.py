@@ -82,6 +82,8 @@ LADDER = {
     "minhash_dedup_incr": "documents",
     "minhash_dedup_lifecycle": "documents",
     "ann_ivf_lifecycle": "embeddings",
+    # session-5: pairs + components + coalesce + hash split in one query
+    "leakage_safe_split": "documents",
 }
 
 
