@@ -2,8 +2,12 @@
 
 Default mode: runs the headline pixel pipeline (tiles → decode → cells →
 PIP → kNN → zonal biomass) plus a representative query set over
-``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
-line.  Fixture generation (cached under /tmp) is excluded from timings.
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).  The FINAL stdout line
+is a compact JSON record (headline + a query subset + pointer to
+``BENCH_FULL.json`` holding every per-query timing) sized to survive the
+driver's bounded tail capture; the complete record is printed on an
+earlier line and written to the file.  Fixture generation (cached under
+/tmp) is excluded from timings.
 
 ``--scaling``: runs the headline pipeline twice in fresh processes at
 num_cpus=8 and num_cpus=32 on the same input and reports throughput at
@@ -116,6 +120,42 @@ BENCH_QUERIES = [
     "leakage_safe_split",
 ]
 
+# Entries whose first call pays a one-time marker-cached index build;
+# bench times a second pass as `<name>_query` and reports
+# `<name>_build` = first - second.
+LIFECYCLE_QUERIES = {
+    "minhash_dedup_incr",
+    "minhash_dedup_lifecycle",
+    "ann_ivf_lifecycle",
+}
+
+# Names whose timings ride in the compact FINAL stdout line (the driver
+# captures only a bounded tail of stdout, so the final line must stay
+# small — BENCH_r04 lost its headline to a >2 KB line).  The full
+# per-query dict goes to --queries-out (default BENCH_FULL.json, kept
+# in the repo) and is also printed as an earlier, non-final line.
+HEADLINE_QUERY_SUBSET = [
+    "zonal_biomass",
+    "pip_assign",
+    "knn_idw_sharded",
+    "county_clip_stats",
+    "curation_sweep",
+    "phash_neardup",
+    "neardup_clusters",
+    "kmeans_embeddings",
+    "event_percent_rank",
+    "hex_ring_smooth",
+    "revenue_by_nation",
+    "bloom_semi_join",
+    "tfidf_top_terms",
+    "ann_pq_topk",
+    "minhash_dedup_lifecycle_build",
+    "minhash_dedup_lifecycle_query",
+    "minhash_dedup_incr_query",
+    "ann_ivf_lifecycle_query",
+    "leakage_safe_split",
+]
+
 
 def _consume(res) -> int:
     import pandas as pd
@@ -206,6 +246,19 @@ def bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             # entries pay spill churn (measured 2-4x inflation on the
             # tail of the list vs the same queries run solo).
             gc.collect()
+            if name in LIFECYCLE_QUERIES:
+                # Lifecycle entries pay a one-time index build (marker-
+                # cached) inside the first call; a second timed pass is
+                # the steady-state query so the record separates
+                # maintenance cost from query latency (VERDICT r4 #7).
+                t0 = time.time()
+                _consume(fn(sf_dir))
+                warm = round(time.time() - t0, 3)
+                out["queries"][name + "_query"] = warm
+                out["queries"][name + "_build"] = round(
+                    max(0.0, out["queries"][name] - warm), 3
+                )
+                gc.collect()
     ray.shutdown()
     return out
 
@@ -315,8 +368,34 @@ def scaling(sf_dir: str, cpus=(8, 32), rounds=2) -> dict:
     }
 
 
+def _emit(out: dict) -> None:
+    """Print the result so the driver's bounded tail capture can parse
+    the FINAL line.  Full per-query timings: earlier line + file; final
+    line: headline + a small query subset + pointer to the file."""
+    full_line = json.dumps(out)
+    if len(full_line) < 1500 or not out.get("queries"):
+        print(full_line)
+        return
+    print(full_line)  # complete record for humans / logs (non-final)
+    qfile = os.environ.get("GRAFT_QUERIES_OUT", "BENCH_FULL.json")
+    try:
+        with open(qfile, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        qfile = None
+    q = out["queries"]
+    compact = {
+        **{k: v for k, v in out.items() if k != "queries"},
+        "queries": {n: q[n] for n in HEADLINE_QUERY_SUBSET if n in q},
+        "n_queries": len(q),
+        "queries_total_sec": round(sum(q.values()), 1),
+        "queries_file": qfile,
+    }
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling(SF_DIR)))
     else:
-        print(json.dumps(bench(SF_DIR, NUM_CPUS, "--headline-only" in sys.argv)))
+        _emit(bench(SF_DIR, NUM_CPUS, "--headline-only" in sys.argv))

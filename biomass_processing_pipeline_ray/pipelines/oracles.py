@@ -909,8 +909,11 @@ def sql_minhash_pairs() -> str:
     return f"SELECT a, b, jaccard FROM read_parquet('{minhash_oracle_path()}')"
 
 
-def minhash_incr_oracle_path() -> str:
-    return os.path.join(ORACLE_DIR, "minhash_incr_sf001_v1.parquet")
+def minhash_incr_oracle_path(threshold: float = 0.7, mod: int = 5) -> str:
+    # mod/threshold are part of the filename so calling the ensure with
+    # different params can never silently reuse a stale cached oracle
+    t = str(threshold).replace(".", "p")
+    return os.path.join(ORACLE_DIR, f"minhash_incr_sf001_m{mod}_t{t}_v1.parquet")
 
 
 def ensure_minhash_incr_oracle(threshold: float = 0.7, mod: int = 5) -> str:
@@ -924,7 +927,7 @@ def ensure_minhash_incr_oracle(threshold: float = 0.7, mod: int = 5) -> str:
 
     from ..stages.dedup import BANDS, ROWS_PER_BAND
 
-    path = minhash_incr_oracle_path()
+    path = minhash_incr_oracle_path(threshold, mod)
     if os.path.exists(path):
         return path
     os.makedirs(ORACLE_DIR, exist_ok=True)
@@ -961,9 +964,10 @@ def ensure_minhash_incr_oracle(threshold: float = 0.7, mod: int = 5) -> str:
     return path
 
 
-def sql_minhash_incr() -> str:
+def sql_minhash_incr(threshold: float = 0.7, mod: int = 5) -> str:
     return (
-        f"SELECT a, b, jaccard FROM read_parquet('{minhash_incr_oracle_path()}')"
+        "SELECT a, b, jaccard FROM read_parquet("
+        f"'{minhash_incr_oracle_path(threshold, mod)}')"
     )
 
 

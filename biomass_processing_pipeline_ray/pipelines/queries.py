@@ -3587,9 +3587,10 @@ def q_ann_ivf_indexed(sf_dir: str):
     cents = kmeans_centroids(np.asarray(queries["sample"], dtype=np.float64), 16)
     # _v2: index content depends on the centroid training sample (now
     # hashed, round 3) — the version token keeps a stale cached index
-    # built under the old sampling from being reused
+    # built under the old sampling from being reused; _v3: store gained
+    # a manifest (reads plan from it, enabling safe compaction)
     idx = os.path.join(
-        TILE_CACHE, f"ivf_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16_v2"
+        TILE_CACHE, f"ivf_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16_v3"
     )
     build_ivf_index(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), idx, cents)
     out = ivf_topk_from_index(idx, qref, nprobe=4, k=10)
@@ -3608,16 +3609,24 @@ def q_ann_ivf_lifecycle(sf_dir: str):
     ``stages/ann.append_to_ivf_index`` — the delta assigns to cells
     with the index's own stored centroids, so the grown index is
     content-identical to the one-shot full-table build — then answer
-    top-k from the grown store (probed-partitions-only reads).  The
-    oracle is therefore the SAME sequential IVF reference as
-    ``ann_ivf_indexed`` (the append-equivalence gate, the vector-store
-    twin of ``minhash_dedup_lifecycle``).  A missing lifecycle marker
-    rebuilds from scratch — no double-append window."""
+    top-k from the grown store (probed-partitions-only reads).  After
+    the append the store COMPACTS (``stages/ann.compact_ivf_index`` —
+    manifest swap first, tombstone + grace-GC after, the
+    ``geoindex.compact_store`` design) so the driver-gated result also
+    covers the maintenance pass where duplicate vectors WOULD change
+    top-k: a second compact call with grace 0 reclaims the tombstoned
+    sources, and the answer must still equal the one-shot oracle.  The
+    oracle is the SAME sequential IVF reference as ``ann_ivf_indexed``
+    (the append-equivalence gate, the vector-store twin of
+    ``minhash_dedup_lifecycle``).  A missing lifecycle marker rebuilds
+    from scratch — no double-append window."""
     import ray
 
     from ..stages.ann import (
         append_to_ivf_index,
         build_ivf_index,
+        compact_ivf_index,
+        gc_ivf_index,
         ivf_topk_from_index,
         kmeans_centroids,
     )
@@ -3627,7 +3636,8 @@ def q_ann_ivf_lifecycle(sf_dir: str):
     cents = kmeans_centroids(np.asarray(queries["sample"], dtype=np.float64), 16)
     lc_dir = os.path.join(
         TILE_CACHE,
-        f"ivf_lc_{os.path.basename(os.path.normpath(sf_dir))}_nl16_v1",
+        # _v2: store gained a manifest + post-append compaction
+        f"ivf_lc_{os.path.basename(os.path.normpath(sf_dir))}_nl16_v2",
     )
     marker = os.path.join(lc_dir, "_LIFECYCLE_DONE")
     if not os.path.exists(marker):
@@ -3656,6 +3666,8 @@ def q_ann_ivf_lifecycle(sf_dir: str):
             lc_dir,
             tag="d1",
         )
+        compact_ivf_index(lc_dir)  # merged + tombstoned sources coexist
+        gc_ivf_index(lc_dir, grace_sec=0.0)  # grace over: reclaim
         with open(marker, "w"):
             pass
     out = ivf_topk_from_index(lc_dir, qref, nprobe=4, k=10)
@@ -3692,7 +3704,8 @@ def q_ann_ivfpq_indexed(sf_dir: str):
     books = pq_train(sample, m=8, ks=16)
     idx = os.path.join(
         TILE_CACHE,
-        f"ivfpq_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16_m8_v1",
+        # _v2: store gained a manifest (reads plan from it)
+        f"ivfpq_idx_{os.path.basename(os.path.normpath(sf_dir))}_nl16_m8_v2",
     )
     build_ivfpq_index(
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), idx, cents, books

@@ -219,6 +219,7 @@ def build_ivf_index(ds, out_dir: str, centroids: np.ndarray) -> str:
     )
     assigned.write_parquet(tmp, partition_cols=["ivf_cell"])
     np.save(os.path.join(tmp, "centroids.npy"), np.asarray(centroids))
+    write_ivf_manifest(tmp, _list_ivf_cells(tmp))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
@@ -230,15 +231,128 @@ def build_ivf_index(ds, out_dir: str, centroids: np.ndarray) -> str:
     return out_dir
 
 
+IVF_MANIFEST = "_MANIFEST.parquet"
+IVF_TOMBSTONES = "_tombstones.json"
+
+
+def _list_ivf_cells(index_dir: str) -> dict[int, list[str]]:
+    """(cell -> sorted file names) from a directory listing."""
+    import os
+
+    out: dict[int, list[str]] = {}
+    for entry in sorted(os.listdir(index_dir)):
+        if not entry.startswith("ivf_cell="):
+            continue
+        cell = int(entry.split("=", 1)[1])
+        files = sorted(
+            f
+            for f in os.listdir(os.path.join(index_dir, entry))
+            if f.endswith(".parquet")
+        )
+        if files:
+            out[cell] = files
+    return out
+
+
+def write_ivf_manifest(index_dir: str, cells: dict[int, list[str]]) -> None:
+    """Atomic manifest swap (temp + os.replace): readers plan the whole
+    scan from this ONE small file, so a mid-compaction reader sees the
+    pre-swap file set or the post-swap set, never both — the property
+    that makes compacting a store whose duplicate rows WOULD change
+    query output (top-k) safe.  Mirrors ``geoindex._refresh_manifest``
+    (reference analog: the blob catalog, src/core/blob_manager.py)."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    ks = sorted(cells)
+    tbl = pa.table(
+        {
+            "ivf_cell": pa.array(ks, pa.int64()),
+            "files": pa.array([cells[c] for c in ks], pa.list_(pa.string())),
+        }
+    )
+    tmp = os.path.join(index_dir, f"{IVF_MANIFEST}.tmp.{os.getpid()}")
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(index_dir, IVF_MANIFEST))
+
+
+def load_ivf_manifest(index_dir: str) -> dict[int, list[str]] | None:
+    """None for legacy (pre-manifest) stores — readers fall back to a
+    directory listing, and ``compact_ivf_index`` refuses them."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    path = os.path.join(index_dir, IVF_MANIFEST)
+    if not os.path.exists(path):
+        return None
+    t = papq.read_table(path)
+    return {
+        int(c): list(fs)
+        for c, fs in zip(t["ivf_cell"].to_pylist(), t["files"].to_pylist())
+    }
+
+
+def _ivf_cell_paths(index_dir: str, cells) -> list[str]:
+    """Planned file paths for the probed cells: manifest when present
+    (one small file read plans the scan), directory listing for legacy
+    stores."""
+    import os
+
+    manifest = load_ivf_manifest(index_dir)
+    paths: list[str] = []
+    for c in cells:
+        c = int(c)
+        if manifest is not None:
+            paths.extend(
+                os.path.join(index_dir, f"ivf_cell={c}", f)
+                for f in manifest.get(c, [])
+            )
+        else:
+            cell_dir = os.path.join(index_dir, f"ivf_cell={c}")
+            if os.path.isdir(cell_dir):
+                paths.extend(
+                    os.path.join(cell_dir, f)
+                    for f in sorted(os.listdir(cell_dir))
+                    if f.endswith(".parquet")
+                )
+    return paths
+
+
+def _load_ivf_tombstones(index_dir: str) -> dict[str, float]:
+    import json
+    import os
+
+    path = os.path.join(index_dir, IVF_TOMBSTONES)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _save_ivf_tombstones(index_dir: str, stones: dict[str, float]) -> None:
+    import json
+    import os
+
+    path = os.path.join(index_dir, IVF_TOMBSTONES)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(stones, f)
+    os.replace(tmp, path)
+
+
 def append_to_ivf_index(ds, index_dir: str, tag: str = "") -> str:
     """Append a delta batch into an EXISTING IVF index: vectors assign
     to cells with the index's OWN stored centroids (so the grown index
     is content-identical to a one-shot build over the union), stage as
     a partitioned write, and move into their ``ivf_cell=N`` dirs under
     unique names — readers see either the old or old+new file set, both
-    valid.  NOT idempotent by itself; callers gate re-runs with a
-    completion marker (the ``q_ann_ivf_lifecycle`` pattern rebuilds
-    from scratch when its marker is missing)."""
+    valid.  The manifest is swapped AFTER all moves land (a reader
+    planning mid-append sees the complete pre-append set).  NOT
+    idempotent by itself; callers gate re-runs with a completion marker
+    (the ``q_ann_ivf_lifecycle`` pattern rebuilds from scratch when its
+    marker is missing)."""
     import os
     import shutil
 
@@ -254,19 +368,112 @@ def append_to_ivf_index(ds, index_dir: str, tag: str = "") -> str:
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).write_parquet(stage, partition_cols=["ivf_cell"])
+    manifest = load_ivf_manifest(index_dir)
     for entry in sorted(os.listdir(stage)):
         if not entry.startswith("ivf_cell="):
             continue
+        cell = int(entry.split("=", 1)[1])
         cell_dir = os.path.join(index_dir, entry)
         os.makedirs(cell_dir, exist_ok=True)
         for i, f in enumerate(sorted(os.listdir(os.path.join(stage, entry)))):
             if f.endswith(".parquet"):
+                name = f"delta-{tag or os.getpid()}-{i}-{f}"
                 os.replace(
                     os.path.join(stage, entry, f),
-                    os.path.join(cell_dir, f"delta-{tag or os.getpid()}-{i}-{f}"),
+                    os.path.join(cell_dir, name),
                 )
+                if manifest is not None:
+                    manifest.setdefault(cell, []).append(name)
     shutil.rmtree(stage, ignore_errors=True)
+    if manifest is not None:
+        # delta names appended EXPLICITLY (not re-listed) so files a
+        # prior compaction tombstoned can never rejoin the manifest
+        write_ivf_manifest(index_dir, manifest)
     return index_dir
+
+
+def compact_ivf_index(index_dir: str, gc_grace_sec: float | None = None) -> int:
+    """Merge each multi-file cell of an IVF/IVF-PQ store to one sorted
+    file — the LSM maintenance pass after delta appends.  Returns the
+    number of cells compacted.
+
+    Unlike the band index (``dedup.compact_band_index``), duplicate
+    rows here are NOT harmless: a vector present twice would occupy two
+    top-k slots.  So this uses the manifest-swap design of
+    ``geoindex.compact_store:300-336``: merged files land under fresh
+    names while sources stay in place, the MANIFEST swaps atomically to
+    reference only the merged files, and sources become tombstones
+    GC'd after ``gc_grace_sec`` (None = leave for a later
+    ``gc_ivf_index`` call).  A reader planning from the manifest sees
+    sources-only (pre-swap) or merged-only (post-swap) — never both —
+    so top-k output is invariant in every compaction window
+    (pytest-enforced: tests/test_ops.py mid-compaction equality).
+    Refuses legacy stores without a manifest (their readers plan from
+    directory listings, which WOULD observe duplicates mid-swap)."""
+    import os
+    import time
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    manifest = load_ivf_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(
+            f"compact_ivf_index: {index_dir} has no {IVF_MANIFEST}; "
+            "legacy listing-planned stores cannot be compacted safely — "
+            "rebuild the store (build_ivf_index writes a manifest)"
+        )
+    todo = {c: fs for c, fs in manifest.items() if len(fs) > 1}
+    if not todo:
+        return 0
+    new_manifest = dict(manifest)
+    replaced: list[str] = []
+    for cell, files in sorted(todo.items()):
+        cell_dir = os.path.join(index_dir, f"ivf_cell={cell}")
+        merged = pa.concat_tables(
+            [papq.read_table(os.path.join(cell_dir, f)) for f in files]
+        ).sort_by([("vec_id", "ascending")])
+        out_name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        papq.write_table(merged, os.path.join(cell_dir, out_name))
+        new_manifest[cell] = [out_name]
+        replaced.extend(f"ivf_cell={cell}/{f}" for f in files)
+    # manifest swap FIRST, tombstones after: a crash in between leaves
+    # never-GC'd orphans (a space leak), never a dangling reference
+    write_ivf_manifest(index_dir, new_manifest)
+    now = time.time()
+    stones = _load_ivf_tombstones(index_dir)
+    stones.update(dict.fromkeys(replaced, now))
+    _save_ivf_tombstones(index_dir, stones)
+    if gc_grace_sec is not None:
+        gc_ivf_index(index_dir, grace_sec=gc_grace_sec)
+    return len(todo)
+
+
+def gc_ivf_index(index_dir: str, grace_sec: float = 0.0) -> int:
+    """Unlink tombstoned (compacted-away) files older than
+    ``grace_sec``.  Safe any time after every reader that might hold a
+    pre-swap plan has finished or re-planned; the manifest stopped
+    referencing them at compaction time.  Returns files removed."""
+    import os
+    import time
+
+    stones = _load_ivf_tombstones(index_dir)
+    if not stones:
+        return 0
+    cutoff = time.time() - grace_sec
+    keep: dict[str, float] = {}
+    removed = 0
+    for rel, ts in stones.items():
+        if ts <= cutoff:
+            try:
+                os.remove(os.path.join(index_dir, rel))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+            removed += 1
+        else:
+            keep[rel] = ts
+    _save_ivf_tombstones(index_dir, keep)
+    return removed
 
 
 def ivf_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4, k: int = 10):
@@ -282,15 +489,7 @@ def ivf_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4, k: int = 1
     queries = ray.get(queries_ref)
     qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
     probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
-    paths = []
-    for c in probed:
-        cell_dir = os.path.join(index_dir, f"ivf_cell={int(c)}")
-        if os.path.isdir(cell_dir):
-            paths.extend(
-                os.path.join(cell_dir, f)
-                for f in sorted(os.listdir(cell_dir))
-                if f.endswith(".parquet")
-            )
+    paths = _ivf_cell_paths(index_dir, probed)
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     return cosine_topk(ds, queries_ref, k=k)
 
@@ -595,6 +794,7 @@ def build_ivfpq_index(ds, out_dir: str, centroids: np.ndarray,
     encoded.write_parquet(tmp, partition_cols=["ivf_cell"])
     np.save(os.path.join(tmp, "centroids.npy"), np.asarray(centroids))
     np.save(os.path.join(tmp, "books.npy"), np.asarray(books))
+    write_ivf_manifest(tmp, _list_ivf_cells(tmp))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
@@ -662,15 +862,7 @@ def ivfpq_topk_from_index(index_dir: str, queries_ref, nprobe: int = 4,
     queries = ray.get(queries_ref)
     qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
     probed = np.unique(np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe].ravel())
-    paths = []
-    for c in probed:
-        cell_dir = os.path.join(index_dir, f"ivf_cell={int(c)}")
-        if os.path.isdir(cell_dir):
-            paths.extend(
-                os.path.join(cell_dir, f)
-                for f in sorted(os.listdir(cell_dir))
-                if f.endswith(".parquet")
-            )
+    paths = _ivf_cell_paths(index_dir, probed)
     cols = ["vec_id"] + [f"c{mi}" for mi in range(m)]
     ds = rd.read_parquet(paths, columns=cols)
     state_ref = ray.put(

@@ -321,6 +321,13 @@ def connected_components_star(
         m_rep = np.repeat(m, sizes)
         keep = val > np.repeat(k[starts], sizes)  # strictly larger nbrs
         uu, vv = m_rep[keep], val[keep]
+        if len(uu) == 0:
+            # every key in this bucket had only smaller neighbors (the
+            # bucket holds only component maxima — common once a second
+            # large pass has contracted the state): typed empty
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
         # dedup emitted (m, v) pairs within the group
         oo = np.lexsort((vv, uu))
         uu, vv = uu[oo], vv[oo]
@@ -369,30 +376,55 @@ def connected_components_star(
         )
 
     def fingerprint(ds):
-        # (count, order-free checksum) — star fixpoint detector
+        # (count, checksum, checksum2) — star fixpoint detector.  TWO
+        # independent order-free 63-bit hashes (different odd
+        # multipliers AND a rotation on the second) make an aliasing
+        # collision — which would terminate the loop early with wrong
+        # labels, silently — negligible in a verifiable way: a false
+        # fixpoint needs BOTH sums to collide at the same round.
         def fp(t: pa.Table) -> pa.Table:
             u = t["u"].to_numpy().astype(np.uint64)
             v = t["v"].to_numpy().astype(np.uint64)
-            h = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
+            h1 = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xC2B2AE3D27D4EB4F))
+            m = u * np.uint64(0xD6E8FEB86659FD93) + v * np.uint64(0xA3B195354A39B70D)
+            h2 = (m << np.uint64(31)) | (m >> np.uint64(33))
+            mask = np.uint64((1 << 63) - 1)
             return pa.table(
                 {
                     "n": pa.array([len(u)], pa.int64()),
-                    "s": pa.array([int(h.sum(dtype=np.uint64) & np.uint64((1 << 63) - 1))], pa.int64()),
+                    "s": pa.array([int(h1.sum(dtype=np.uint64) & mask)], pa.int64()),
+                    "s2": pa.array([int(h2.sum(dtype=np.uint64) & mask)], pa.int64()),
                 }
             )
 
         t = ds.map_batches(fp, batch_format="pyarrow")
-        return int(t.sum("n") or 0), int(t.sum("s") or 0)
+        return int(t.sum("n") or 0), int(t.sum("s") or 0), int(t.sum("s2") or 0)
 
     import time as _time
 
-    prev = None
-    for _ in range(max_iters if n_edges else 0):
-        _t0 = _time.time()
-        state = (
-            state.map_batches(large_star, batch_format="pyarrow")
+    def large_pass(ds):
+        return (
+            ds.map_batches(large_star, batch_format="pyarrow")
             .groupby("bk")
             .map_groups(large_reduce, batch_format="pandas")
+        )
+
+    prev = None
+    converged = n_edges == 0
+    for _ in range(max_iters if n_edges else 0):
+        _t0 = _time.time()
+        # Round = large-star ×2, small-star ×1.  Each star operation
+        # individually preserves components and never grows the edge
+        # multiset (Kiveris et al., SoCC '14 — correctness holds for
+        # ANY large/small schedule reaching the joint fixpoint), and a
+        # second large pass is a pointer-jumping contraction: the mins
+        # computed by pass 1 are themselves re-attached to THEIR
+        # neighborhood mins, so path-shaped components contract ~2
+        # levels per round instead of 1 (measured: 42 → ~23 rounds on
+        # the 10^6-diameter adversarial instance for ~1.3× wall-clock
+        # win; see BASELINE.md).
+        state = (
+            large_pass(large_pass(state))
             .map_batches(small_star, batch_format="pyarrow")
             .groupby("bk")
             .map_groups(small_reduce, batch_format="pandas")
@@ -402,8 +434,15 @@ def connected_components_star(
         if on_round:
             on_round(cur[0], -1 if prev is None else int(cur != prev), _time.time() - _t0)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never return labels from a non-fixpoint state silently
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iters} "
+            f"rounds ({n_edges} input edges) — raise max_iters"
+        )
 
     # star fixpoint → labels: every edge is (center=min, leaf); leaves
     # label with the center, centers label themselves.  Self pairs in

@@ -340,10 +340,19 @@ def append_to_band_index(
     their partitions under unique names (new partitions are created as
     needed).  Readers are correct throughout — a partition listing sees
     either the old or the old+new file set, both valid band-row sets.
-    NOT idempotent by itself (re-appending doubles rows — harmless for
-    candidate generation, which dedups pairs, but callers gate re-runs
-    with a completion marker; the ``q_minhash_dedup_lifecycle``
-    pattern rebuilds from scratch when its marker is missing)."""
+
+    Idempotent per non-empty ``tag``: destination files are named
+    ``delta-{tag}-…`` and any existing files for the same tag are
+    unlinked before the new ones move in (replace semantics), so a
+    crash between append and the caller's completion marker re-appends
+    cleanly instead of doubling the tag's rows.  The replace guarantee
+    assumes no compaction ran between the two attempts of the SAME tag
+    (a compaction folds the first attempt's rows into a merged file the
+    tag sweep cannot see) — callers gate appends with a marker before
+    compacting, as ``q_minhash_dedup_lifecycle`` and
+    ``jobs/run_dedup_maintenance.py`` do.  With an empty tag the name
+    falls back to the pid and re-appending doubles rows (harmless for
+    candidate generation, which dedups pairs)."""
     import os
     import shutil
 
@@ -363,6 +372,17 @@ def append_to_band_index(
     delta_docs.map_batches(rows, batch_format="pyarrow").write_parquet(
         stage, partition_cols=["band_part"]
     )
+    prefix = f"delta-{tag or os.getpid()}-"
+    if tag:
+        # crash-retry idempotency: sweep any files a previous attempt
+        # of this tag already moved in before placing the new set
+        for entry in os.listdir(index_dir):
+            if not entry.startswith("band_part="):
+                continue
+            part_dir = os.path.join(index_dir, entry)
+            for f in os.listdir(part_dir):
+                if f.startswith(prefix):
+                    os.remove(os.path.join(part_dir, f))
     for entry in sorted(os.listdir(stage)):
         if not entry.startswith("band_part="):
             continue
@@ -372,7 +392,7 @@ def append_to_band_index(
             if f.endswith(".parquet"):
                 os.replace(
                     os.path.join(stage, entry, f),
-                    os.path.join(part_dir, f"delta-{tag or os.getpid()}-{i}-{f}"),
+                    os.path.join(part_dir, f"{prefix}{i}-{f}"),
                 )
     shutil.rmtree(stage, ignore_errors=True)
     return index_dir

@@ -9,9 +9,14 @@ Every run: dedupes the delta slice against the store with pruned
 partition reads, optionally appends the delta's band rows (so tomorrow's
 delta sees today's) and compacts multi-file partitions (merge +
 tombstone + grace GC — pair set provably invariant in every window).
-Resumable: the build is `_SUCCESS`-gated, appends are gated by a
-per-delta marker, and re-running any step is a no-op or a pure merge.
-Prints a one-line JSON summary.
+Resumable: the build is `_SUCCESS`-gated; appends are gated by a
+per-delta marker AND idempotent per tag (a crash between append and
+marker replaces, not doubles, the tag's rows on retry).  `--out` is
+written via temp-dir + atomic swap, so a re-run replaces rather than
+accumulates pair files.  Tombstoned compaction sources are GC'd only
+after `--gc-grace` seconds (default 24 h) so concurrent readers that
+listed a partition pre-compaction can still finish; pass `--gc-grace 0`
+ONLY for single-process bench runs.  Prints a one-line JSON summary.
 """
 
 from __future__ import annotations
@@ -33,6 +38,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--append", action="store_true", help="append the delta after deduping")
     ap.add_argument("--compact", action="store_true", help="compact the store after appending")
+    ap.add_argument(
+        "--gc-grace",
+        type=float,
+        default=86400.0,
+        help="seconds tombstoned compaction sources outlive the compaction "
+        "(readers in flight keep working); 0 = unlink immediately "
+        "(single-process runs only)",
+    )
     ap.add_argument("--out", default=None, help="optional pair output dir (parquet)")
     args = ap.parse_args(argv)
 
@@ -67,7 +80,19 @@ def main(argv: list[str] | None = None) -> int:
     ).materialize()
     n_pairs = pairs.count()
     if args.out:
-        pairs.write_parquet(args.out)
+        # temp-dir + atomic swap: a re-run REPLACES the previous pair
+        # set instead of appending new files alongside stale ones
+        import shutil
+
+        out = os.path.normpath(args.out)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pairs.write_parquet(tmp)
+        old = f"{out}.old.{os.getpid()}"
+        if os.path.exists(out):
+            os.replace(out, old)
+        os.replace(tmp, out)
+        shutil.rmtree(old, ignore_errors=True)
 
     appended = compacted = 0
     if args.append:
@@ -83,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
             appended = 1
     if args.compact:
         compacted = compact_band_index(args.store)
-        compact_band_index(args.store, gc_grace_sec=0.0)
+        # GC pass honors the grace window: sources tombstoned by THIS
+        # run survive it (unless --gc-grace 0); sources tombstoned by
+        # runs older than the grace are reclaimed here
+        compact_band_index(args.store, gc_grace_sec=args.gc_grace)
 
     print(
         json.dumps(

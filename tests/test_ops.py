@@ -404,6 +404,114 @@ def test_ivf_index_append_equivalence(rd, tmp_path, ray_session):
     assert (a["vec_id"] % 5 == 0).any()
 
 
+def test_ivf_index_compaction(rd, tmp_path, ray_session):
+    """IVF store compaction keeps top-k identical in EVERY window —
+    crucial here because (unlike the band index) a duplicate vector
+    WOULD occupy two top-k slots: the manifest swap guarantees a
+    reader plans sources-only or merged-only, never both, even while
+    tombstoned sources still exist on disk (pre-GC)."""
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        gc_ivf_index,
+        ivf_topk_from_index,
+        kmeans_centroids,
+        load_ivf_manifest,
+    )
+
+    rng = np.random.default_rng(43)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+
+    def ds_of(mask):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[mask], pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs[mask]), pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    cents = kmeans_centroids(vecs[:64], 8)
+    qref = ray.put({"qid": ids[:5], "mat": vecs[:5]})
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ds_of(ids % 5 != 0), idx, cents)
+    append_to_ivf_index(ds_of(ids % 5 == 0), idx, tag="d1")
+
+    def run():
+        return (
+            ivf_topk_from_index(idx, qref, nprobe=3, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    before = run()
+    n_comp = compact_ivf_index(idx)  # no GC: sources + merged coexist
+    assert n_comp > 0
+    # tombstoned source files really are still on disk in this window
+    assert any(
+        len([f for f in os.listdir(os.path.join(idx, e)) if f.endswith(".parquet")]) > 1
+        for e in os.listdir(idx)
+        if e.startswith("ivf_cell=")
+    )
+    mid = run()
+    pd.testing.assert_frame_equal(before, mid)
+    assert compact_ivf_index(idx) == 0  # idempotent: nothing multi-file
+    removed = gc_ivf_index(idx, grace_sec=0.0)
+    assert removed > 0
+    after = run()
+    pd.testing.assert_frame_equal(before, after)
+    # post-GC: every manifest-listed cell is a single compact file
+    manifest = load_ivf_manifest(idx)
+    assert manifest and all(len(fs) == 1 for fs in manifest.values())
+    for entry in os.listdir(idx):
+        if entry.startswith("ivf_cell="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, entry))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (entry, files)
+
+
+def test_ivf_compaction_refuses_legacy_store(rd, tmp_path, ray_session):
+    """A pre-manifest store's readers plan from directory listings and
+    WOULD observe duplicate vectors mid-compaction — compact must
+    refuse, not corrupt."""
+    import pytest as _pytest
+
+    from biomass_processing_pipeline_ray.stages.ann import (
+        IVF_MANIFEST,
+        build_ivf_index,
+        compact_ivf_index,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(44)
+    vecs = rng.normal(size=(60, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    )
+    idx = str(tmp_path / "legacy")
+    build_ivf_index(ds, idx, kmeans_centroids(vecs, 4))
+    os.remove(os.path.join(idx, IVF_MANIFEST))  # simulate legacy layout
+    with _pytest.raises(ValueError, match="manifest"):
+        compact_ivf_index(idx)
+
+
 def test_banded_hamming_pairs_exact(rd):
     from biomass_processing_pipeline_ray.image.phash import hamming_i64
     from biomass_processing_pipeline_ray.stages.dedup import banded_hamming_pairs
