@@ -399,6 +399,111 @@ def sql_image_thumbs(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# audio feature oracle: the REAL WAV path.  Decodes the same stdlib-wave
+# payloads with the `array` module (no numpy) and computes the features
+# with Python ints + math.sqrt — independent of the engine's
+# np.frombuffer/int64 path, bit-identical because both sides define the
+# features on the exact int16 sample domain (integer sums, one float
+# division + sqrt at the end).
+# ---------------------------------------------------------------------------
+
+
+def audio_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"audio_n{n}_v1.parquet")
+
+
+def _audio_oracle_chunk(ids: np.ndarray) -> pa.Table:
+    import array as _array
+    import io
+    import math
+    import wave as _wave
+
+    from ..functions.rounding import round_away
+    from ..sources.audio import synth_wav
+
+    rows: list[tuple] = []
+    for i in np.asarray(ids, dtype=np.int64):
+        with _wave.open(io.BytesIO(synth_wav(int(i))), "rb") as w:
+            nch = w.getnchannels()
+            sr = w.getframerate()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+        samples = _array.array("h")
+        samples.frombytes(raw)  # little-endian int16 (WAV is LE)
+        ss = 0
+        pk = 0
+        for s in samples:
+            ss += s * s
+            if abs(s) > pk:
+                pk = abs(s)
+        zc = 0
+        prev_neg = samples[0] < 0
+        for k in range(nch, len(samples), nch):  # channel 0 only
+            neg = samples[k] < 0
+            if neg != prev_neg:
+                zc += 1
+            prev_neg = neg
+        rows.append(
+            (
+                int(i),
+                sr,
+                nch,
+                nf / sr,
+                math.sqrt(ss / (nf * nch)) / 32768.0,
+                zc / (nf - 1) if nf > 1 else 0.0,
+                pk / 32768.0,
+            )
+        )
+    return pa.table(
+        {
+            "aud_id": pa.array([r[0] for r in rows], pa.int64()),
+            "sample_rate": pa.array([r[1] for r in rows], pa.int32()),
+            "n_channels": pa.array([r[2] for r in rows], pa.int32()),
+            "duration_s": pa.array(round_away(np.asarray([r[3] for r in rows]), 6)),
+            "rms": pa.array(round_away(np.asarray([r[4] for r in rows]), 6)),
+            "zero_crossing_rate": pa.array(
+                round_away(np.asarray([r[5] for r in rows]), 6)
+            ),
+            "peak": pa.array(round_away(np.asarray([r[6] for r in rows]), 6)),
+        }
+    )
+
+
+def ensure_audio_oracle(n: int, chunk: int = 1024) -> str:
+    path = audio_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_audio_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_audio_oracle_chunk(c) for c in chunks]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_audio_features(n: int) -> str:
+    return (
+        "SELECT aud_id, sample_rate, n_channels, duration_s, rms, "
+        "zero_crossing_rate, peak "
+        f"FROM read_parquet('{audio_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # polygon-overlap oracle: area(jittered quad ∩ base rect county) by an
 # INDEPENDENT construction — candidate vertex set (quad vertices in the
 # box, box corners in the quad, all edge×edge crossings) ordered by

@@ -155,52 +155,122 @@ class ImageGradientStageFused(ImageGradientStage):
         )
 
 
-# -- audio: stubbed decode, real features ------------------------------------
+# -- audio: REAL RIFF/PCM decode (stdlib wave), stub only for non-WAV --------
 
 
 def _fake_pcm_decode(buf: bytes, n_samples: int = 16000) -> np.ndarray:
-    """STUB audio decoder: deterministic float32 waveform seeded from the
-    payload's crc32.  Replace with soundfile/ffmpeg when available."""
+    """STUB decoder for NON-WAV payloads (mp3/flac/… — no codec libs in
+    this container): deterministic float32 waveform seeded from the
+    payload's crc32.  WAV payloads never reach this — see
+    :func:`wav_decode`."""
     seed = zlib.crc32(buf)
     rng = np.random.Generator(np.random.PCG64(seed))
     return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
 
 
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL RIFF/PCM WAV decode via the stdlib ``wave`` module:
+    ``(frames[n_frames, n_channels] int16, sample_rate, n_channels)``.
+    Only 16-bit PCM is accepted (the fixture's format; reference
+    analog: the raster header check, src/core/image_utils_v3.py)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(buf), "rb") as w:
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"expected 16-bit PCM, got {w.getsampwidth() * 8}-bit")
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    frames = np.frombuffer(raw, dtype="<i2").reshape(n, nch)
+    return frames, sr, nch
+
+
 class AudioFeatureStage:
-    """audio_bytes → (duration_s, rms, zero_crossing_rate, peak).
+    """audio_bytes → (sample_rate, n_channels, duration_s, rms,
+    zero_crossing_rate, peak).
 
-    ``strict=True`` raises :class:`DecodeIsStubbed` instead of using the
-    fake decoder — the flag a production deployment would flip."""
+    RIFF payloads decode for REAL (:func:`wav_decode`).  Features are
+    defined on the exact int16 sample domain — sum of squares and peak
+    in int64, one float division/sqrt at the end — so a sequential
+    oracle recomputing them from the same bytes is bit-identical
+    regardless of summation order.  ``strict=True`` raises
+    :class:`DecodeIsStubbed` for non-RIFF payloads instead of falling
+    back to the fake decoder — the flag a production deployment with
+    mixed formats would flip."""
 
-    def __init__(self, sample_rate: int = 16000, strict: bool = False):
-        self.sr = sample_rate
+    def __init__(self, id_col: str = "aud_id", strict: bool = False):
+        self.id_col = id_col
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise DecodeIsStubbed(
-                "no audio codec in this environment; _fake_pcm_decode is a stub"
-            )
         bufs = batch["bytes"].to_pylist()
         n = len(bufs)
+        srs = np.empty(n, dtype=np.int32)
+        nchs = np.empty(n, dtype=np.int32)
         dur = np.empty(n)
         rms = np.empty(n)
         zcr = np.empty(n)
         peak = np.empty(n)
         for k, buf in enumerate(bufs):
-            wav = _fake_pcm_decode(buf, self.sr)
-            dur[k] = len(wav) / self.sr
-            rms[k] = float(np.sqrt(np.mean(wav.astype(np.float64) ** 2)))
-            zcr[k] = float(np.mean(np.signbit(wav[1:]) != np.signbit(wav[:-1])))
-            peak[k] = float(np.abs(wav).max())
+            if buf[:4] == b"RIFF":
+                frames, sr, nch = wav_decode(buf)
+            elif self.strict:
+                raise DecodeIsStubbed(
+                    "non-WAV payload and no audio codec in this environment "
+                    "(decode stub disabled by strict)"
+                )
+            else:
+                fake = _fake_pcm_decode(buf)
+                frames = np.clip(fake * 32767.0, -32768, 32767).astype(
+                    np.int16
+                ).reshape(-1, 1)
+                sr, nch = 16000, 1
+            x = frames.astype(np.int64)
+            nf = frames.shape[0]
+            srs[k], nchs[k] = sr, nch
+            dur[k] = nf / sr
+            # exact int64 sum of squares: nf*nch*32768^2 < 2^63 for any
+            # clip shorter than ~2.4e8 samples
+            rms[k] = float(np.sqrt(int((x * x).sum()) / (nf * nch))) / 32768.0
+            ch0 = frames[:, 0]
+            zcr[k] = (
+                float(int(np.count_nonzero((ch0[1:] < 0) != (ch0[:-1] < 0))))
+                / (nf - 1)
+                if nf > 1
+                else 0.0
+            )
+            peak[k] = int(np.abs(x).max()) / 32768.0
         return pa.table(
             {
-                "image_id": batch["image_id"],
+                self.id_col: batch[self.id_col],
+                "sample_rate": pa.array(srs, pa.int32()),
+                "n_channels": pa.array(nchs, pa.int32()),
                 "duration_s": pa.array(dur),
                 "rms": pa.array(rms),
                 "zero_crossing_rate": pa.array(zcr),
                 "peak": pa.array(peak),
             }
+        )
+
+
+class AudioFeatureStageFused(AudioFeatureStage):
+    """AudioFeatureStage with the parquet read fused into the actor
+    (WAV payloads never enter the object store — the
+    ``ImageResizeStageFused`` pattern)."""
+
+    COLUMNS = ["aud_id", "bytes"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=self.COLUMNS)
+            for p in batch["item"].to_pylist()
+        ]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         )
 
 

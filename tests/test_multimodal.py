@@ -62,7 +62,10 @@ def test_audio_stage_stub_and_features(ray_session, tiles_small):
 
     ds = rd.read_parquet(tiles_small, columns=["image_id", "bytes"]).limit(32)
     out = ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 2)
+        AudioFeatureStage,
+        fn_constructor_kwargs={"id_col": "image_id"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
     ).to_pandas()
     assert len(out) == 32
     assert (out.duration_s == 1.0).all()
@@ -72,11 +75,61 @@ def test_audio_stage_stub_and_features(ray_session, tiles_small):
     with pytest.raises(Exception) as ei:
         ds.map_batches(
             AudioFeatureStage,
-            fn_constructor_kwargs={"strict": True},
+            fn_constructor_kwargs={"id_col": "image_id", "strict": True},
             batch_format="pyarrow",
             concurrency=1,
         ).to_pandas()
     assert "stub" in str(ei.value)
+
+
+def test_audio_wav_real_decode_roundtrip(ray_session, tmp_path):
+    """The REAL audio path: stdlib-wave WAV payloads round-trip through
+    the actor-pool feature stage — decoded params match the generator's
+    arithmetic spec and features match a direct recompute; strict mode
+    is satisfied (no stub involved)."""
+    import ray.data as rd
+
+    from biomass_processing_pipeline_ray.sources.audio import (
+        audio_params,
+        generate_audio_parquet,
+        synth_wav,
+    )
+    from biomass_processing_pipeline_ray.stages.multimodal import (
+        AudioFeatureStage,
+        wav_decode,
+    )
+
+    # direct decode: generator spec round-trips exactly
+    frames, sr, nch = wav_decode(synth_wav(3))
+    esr, ench, enf = audio_params(3)
+    assert (sr, nch, frames.shape) == (esr, ench, (enf, ench))
+
+    fx = generate_audio_parquet(96, str(tmp_path / "aud"))
+    out = (
+        rd.read_parquet(fx, columns=["aud_id", "bytes"])
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"strict": True},  # real codec only
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("aud_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 96
+    for i in (0, 1, 6, 95):
+        r = out[out.aud_id == i].iloc[0]
+        sr, nch, nf = audio_params(i)
+        assert int(r.sample_rate) == sr and int(r.n_channels) == nch
+        assert r.duration_s == nf / sr
+        f, _, _ = wav_decode(synth_wav(i))
+        x = f.astype(np.int64)
+        assert r.rms == float(np.sqrt(int((x * x).sum()) / x.size)) / 32768.0
+        assert r.peak == int(np.abs(x).max()) / 32768.0
+    # a sine-dominated signal has moderate zcr, real (non-stub) rms
+    assert ((out.rms > 0.1) & (out.rms < 0.7)).all()
+    assert (out.peak <= 1.0).all() and (out.peak > 0.3).all()
 
 
 def test_video_stage_explodes_frames(ray_session, tiles_small):
