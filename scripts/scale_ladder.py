@@ -84,6 +84,13 @@ LADDER = {
     "ann_ivf_lifecycle": "embeddings",
     # session-5: pairs + components + coalesce + hash split in one query
     "leakage_safe_split": "documents",
+    # round-5 (r4 verdict #2): the two timing-flagged iterative/window
+    # shapes.  kmeans over 5x-replicated vectors follows the IDENTICAL
+    # centroid trajectory (sums and counts both scale 5x, means are
+    # unchanged) so per-round work is exactly 5x; percent_rank's
+    # event_type partitions grow 5x (offset ids, values verbatim).
+    "kmeans_embeddings": "embeddings",
+    "event_percent_rank": "events",
 }
 
 
@@ -121,6 +128,28 @@ def build_twin(src_dir: str = "/root/testdata/sf0.1") -> str:
             for r in range(REPLICAS)
         ]
         pq.write_table(pa.concat_tables(li_parts), li_path)
+    # events twin (round-5 add, same existence guard): replicas offset
+    # event_id + user_id; event_type and value are kept verbatim, so
+    # each PERCENT_RANK partition (event_type) is honestly 5x larger —
+    # exactly the partition-growth regime the value-range-bucketed
+    # window implementation claims to survive
+    ev_path = os.path.join(LADDER_DIR, "events.parquet")
+    if not os.path.exists(ev_path):
+        ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
+        ev_parts = [
+            pa.table(
+                {
+                    "event_id": pa.compute.add(ev["event_id"], r * _ID_OFF),
+                    "ts": ev["ts"],
+                    "user_id": pa.compute.add(ev["user_id"], r * _ID_OFF),
+                    "event_type": ev["event_type"],
+                    "value": ev["value"],
+                    "props": ev["props"],
+                }
+            )
+            for r in range(REPLICAS)
+        ]
+        pq.write_table(pa.concat_tables(ev_parts), ev_path)
     marker = os.path.join(LADDER_DIR, "_SUCCESS")
     if os.path.exists(marker):
         return LADDER_DIR
