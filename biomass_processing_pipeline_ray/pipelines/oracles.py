@@ -504,6 +504,133 @@ def sql_audio_features(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# video frame oracle: the REAL y4m path.  Parses the same YUV4MPEG2
+# payloads with pure-Python bytes slicing (no numpy decode) and
+# recomputes per-sampled-frame brightness + dHash with Python ints —
+# independent of the engine's np.frombuffer / dhash_stack path,
+# bit-identical because both sides define the features on the exact
+# uint8 luma domain: block sums are exact integers (< 2^53, so any
+# summation order yields the same float64), brightness/grid means are
+# ONE IEEE division of exact values, and the dHash bits compare those
+# identically-rounded quotients.
+# ---------------------------------------------------------------------------
+
+
+def video_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"video_n{n}_st4_v1.parquet")
+
+
+def _py_dhash_gray_int(y_rows: list[list[int]], h: int, w: int) -> int:
+    """Pure-Python dHash of an integer luma grid — mirrors
+    image/phash.dhash_stack bit-for-bit (8x9 area-mean grid via exact
+    int block sums, float division, left-to-right gradient bits)."""
+    H, W = 8, 9
+    row_edges = [(r * h) // H for r in range(H + 1)]
+    col_edges = [(c * w) // W for c in range(W + 1)]
+    g = [[0.0] * W for _ in range(H)]
+    for br in range(H):
+        for bc in range(W):
+            s = 0
+            for y in range(row_edges[br], row_edges[br + 1]):
+                row = y_rows[y]
+                for x in range(col_edges[bc], col_edges[bc + 1]):
+                    s += row[x]
+            cnt = (row_edges[br + 1] - row_edges[br]) * (
+                col_edges[bc + 1] - col_edges[bc]
+            )
+            g[br][bc] = s / cnt
+    val = 0
+    for br in range(H):
+        for bc in range(W - 1):
+            val = (val << 1) | (1 if g[br][bc + 1] > g[br][bc] else 0)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _video_oracle_chunk(ids: np.ndarray, stride: int = 4) -> pa.Table:
+    from ..functions.rounding import round_away
+    from ..sources.video import synth_y4m
+
+    out_ids: list[int] = []
+    out_fi: list[int] = []
+    out_ph: list[int] = []
+    out_br: list[float] = []
+    for i in np.asarray(ids, dtype=np.int64):
+        buf = synth_y4m(int(i))
+        nl = buf.index(b"\n")
+        toks = buf[:nl].split(b" ")
+        assert toks[0] == b"YUV4MPEG2"
+        w = h = 0
+        cs = "C420"
+        for t in toks[1:]:
+            if t[:1] == b"W":
+                w = int(t[1:])
+            elif t[:1] == b"H":
+                h = int(t[1:])
+            elif t[:1] == b"C":
+                cs = t.decode()
+        ysz = w * h
+        csz = 2 * ysz if cs.startswith("C444") else ysz // 2
+        pos = nl + 1
+        fi = 0
+        while pos < len(buf):
+            fnl = buf.index(b"\n", pos)
+            assert buf[pos : pos + 5] == b"FRAME"
+            pos = fnl + 1
+            if fi % stride == 0:
+                plane = buf[pos : pos + ysz]
+                y_rows = [
+                    list(plane[r * w : (r + 1) * w]) for r in range(h)
+                ]
+                out_ids.append(int(i))
+                out_fi.append(fi)
+                out_ph.append(_py_dhash_gray_int(y_rows, h, w))
+                out_br.append(sum(plane) / float(ysz))
+            pos += ysz + csz
+            fi += 1
+    return pa.table(
+        {
+            "video_id": pa.array(out_ids, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "frame_phash": pa.array(out_ph, pa.int64()),
+            "brightness": pa.array(round_away(np.asarray(out_br), 6)),
+        }
+    )
+
+
+def ensure_video_oracle(n: int, chunk: int = 256) -> str:
+    path = video_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_video_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_video_oracle_chunk(c) for c in chunks]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_video_frame_stats(n: int) -> str:
+    return (
+        "SELECT video_id, frame_idx, frame_phash, brightness "
+        f"FROM read_parquet('{video_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # polygon-overlap oracle: area(jittered quad ∩ base rect county) by an
 # INDEPENDENT construction — candidate vertex set (quad vertices in the
 # box, box corners in the quad, all edge×edge crossings) ordered by

@@ -88,6 +88,21 @@ def audio_path(sf_dir: str) -> str:
     return generate_audio_parquet(n, os.path.join(TILE_CACHE, f"audio_n{n}_s77_v1"))
 
 
+VIDEO_PER_SF = TILES_PER_SF // 100  # clips are ~100x heavier per row
+
+
+def video_n(sf_dir: str) -> int:
+    return max(1, int(round(VIDEO_PER_SF * sf_of(sf_dir))))
+
+
+def video_path(sf_dir: str) -> str:
+    """Generate (once, cached) the y4m clip fixture sized to sf_dir."""
+    from ..sources.video import generate_video_parquet
+
+    n = video_n(sf_dir)
+    return generate_video_parquet(n, os.path.join(TILE_CACHE, f"video_n{n}_s99_v1"))
+
+
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -1666,6 +1681,47 @@ def q_audio_features(sf_dir: str):
                     round_away(b["zero_crossing_rate"].to_numpy(), 6)
                 ),
                 "peak": pa.array(round_away(b["peak"].to_numpy(), 6)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Multimodal video frame sampling over REAL YUV4MPEG2 payloads:
+    container parse → every 4th frame → (frame_idx, Y-plane dHash,
+    exact int-domain brightness), one row per sampled frame (the 1→N
+    explode a frame-level training pipeline consumes), as a fused
+    actor-pool stage (payload bytes never enter the object store;
+    ``strict=True`` — the real parser path, no stub involved).  The
+    pure-Python oracle (``ensure_video_oracle``) is bit-identical
+    because every feature is one IEEE division of exact integer sums.
+    Closes the r4 'video kernel is fake' gap for the raw-frame format
+    the container CAN parse; compressed formats remain behind
+    ``DecodeIsStubbed``."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.multimodal import VideoFrameSampleStageFused
+    from .biomass import _parquet_files
+
+    paths = _parquet_files(video_path(sf_dir))
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    out = rd.from_items(paths).map_batches(
+        VideoFrameSampleStageFused,
+        fn_constructor_kwargs={"stride": 4, "id_col": "vid_id", "strict": True},
+        batch_format="pyarrow",
+        concurrency=(max(1, ncpus // 2), max(2, ncpus)),
+        batch_size=1,  # one file per task: retry/backpressure unit
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "video_id": b["video_id"],
+                "frame_idx": b["frame_idx"],
+                "frame_phash": b["frame_phash"],
+                "brightness": pa.array(round_away(b["brightness"].to_numpy(), 6)),
             }
         )
 
@@ -6492,10 +6548,12 @@ def q_ann_pq_topk(sf_dir: str):
 
 # Round-5 driver gate window (first 50 registry positions).  Derived
 # from CORRECTNESS_r01–r04: positions 1–33 are every entry whose NEWEST
-# driver-green row is r1/r2 (three-plus rounds stale by now), position
-# 34 the round-5 addition, 35–50 r3-green fills — the flagship/heaviest
-# machinery plus the five r4 timing-flagged queries so their
-# re-attestation rides the same gate.
+# driver-green row is r1/r2 (three-plus rounds stale by now), positions
+# 34–35 the round-5 additions (real-codec audio + video), then r3-green
+# fills — the flagship/heaviest machinery plus the five r4
+# timing-flagged queries so their re-attestation rides the same gate
+# (the one fill past position 50, bbox_search_lifecycle, keeps its
+# r3-green row).
 _R5_GATE_WINDOW = [
     # newest green row r1/r2 (oldest attestation first group)
     "fingerprints",
@@ -6533,6 +6591,7 @@ _R5_GATE_WINDOW = [
     "anti_join_customers",
     # new in round 5
     "audio_features",
+    "video_frame_stats",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6554,6 +6613,7 @@ _R5_GATE_WINDOW = [
 
 _N_ORACLE = int(round(TILES_PER_SF * ORACLE_SF))
 _N_AUDIO_ORACLE = int(round(AUDIO_PER_SF * ORACLE_SF))
+_N_VIDEO_ORACLE = int(round(VIDEO_PER_SF * ORACLE_SF))
 
 
 def ensure_generated_oracles() -> None:
@@ -6563,6 +6623,7 @@ def ensure_generated_oracles() -> None:
     engine side first."""
     from .oracles import (
         ensure_audio_oracle,
+        ensure_video_oracle,
         ensure_cell_oracle,
         ensure_clip_oracle,
         ensure_dbscan_oracle,
@@ -6612,6 +6673,7 @@ def ensure_generated_oracles() -> None:
     ensure_dbscan_oracle(_N_ORACLE)
     ensure_hull_oracle(_N_ORACLE)
     ensure_audio_oracle(_N_AUDIO_ORACLE)
+    ensure_video_oracle(_N_VIDEO_ORACLE)
 
 
 def build_queries() -> dict:
@@ -6623,6 +6685,7 @@ def build_queries() -> dict:
     )
     from .oracles import (
         sql_audio_features,
+        sql_video_frame_stats,
         sql_cell_index,
         sql_county_clip_stats,
         sql_county_gradient,
@@ -6845,6 +6908,10 @@ def build_queries() -> dict:
         "order_events_range_join": (q_order_events_range_join, _SQL_RANGE_JOIN),
         # -- new in round 5 ---------------------------------------------
         "audio_features": (q_audio_features, sql_audio_features(_N_AUDIO_ORACLE)),
+        "video_frame_stats": (
+            q_video_frame_stats,
+            sql_video_frame_stats(_N_VIDEO_ORACLE),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

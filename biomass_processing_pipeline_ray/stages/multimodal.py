@@ -274,36 +274,107 @@ class AudioFeatureStageFused(AudioFeatureStage):
         )
 
 
-# -- video: stubbed decode, real frame sampling -------------------------------
+# -- video: REAL YUV4MPEG2 (y4m) decode, stub only for compressed formats ----
 
 
 def _fake_video_decode(buf: bytes, n_frames: int = 16, h: int = 8, w: int = 8):
-    """STUB video decoder: deterministic uint8 frames seeded from the
-    payload's crc32.  Replace with ffmpeg/pyav when available."""
+    """STUB decoder for NON-y4m payloads (mp4/webm/… — no codec libs in
+    this container): deterministic uint8 frames seeded from the
+    payload's crc32.  y4m payloads never reach this — see
+    :func:`y4m_decode`."""
     seed = zlib.crc32(buf) ^ 0x5EED
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_decode(buf: bytes) -> tuple[np.ndarray, str]:
+    """REAL YUV4MPEG2 container parse: ``(y_frames[n, h, w] uint8,
+    colorspace)``.  y4m is the public raw-frame interchange format of
+    the ffmpeg/x264 toolchain — a text stream header (``YUV4MPEG2 W..
+    H.. ..``) followed by ``FRAME`` markers and raw planar YUV, no
+    entropy coding — so parsing it needs no codec library.  Supports
+    C444 and C420* (the two plane layouts the fixture emits); only the
+    Y plane is materialized (features are luma-defined), chroma is
+    skipped by offset arithmetic."""
+    nl = buf.index(b"\n")
+    header = buf[:nl].split(b" ")
+    if header[0] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs = "C420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok.decode()
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    y_size = w * h
+    chroma_size = 2 * y_size if cs.startswith("C444") else y_size // 2
+    frames = []
+    pos = nl + 1
+    n = len(buf)
+    while pos < n:
+        fnl = buf.index(b"\n", pos)
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m: missing FRAME marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(buf, dtype=np.uint8, count=y_size, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += y_size + chroma_size
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), cs
 
 
 class VideoFrameSampleStage:
     """video_bytes → every ``stride``-th frame's phash + brightness.
 
     One output row per SAMPLED FRAME (1→N explode), the layout a
-    frame-level training pipeline consumes."""
+    frame-level training pipeline consumes.  y4m payloads decode for
+    REAL (:func:`y4m_decode`); brightness is the exact int-domain luma
+    mean (int64 sum, one f64 division — order-free, so a sequential
+    oracle is bit-identical) and frame_phash the Y-plane dHash (luma
+    replicated across channels: ``(3Y)/3`` is exact in f64, so the
+    gray plane IS Y).  ``strict=True`` raises :class:`DecodeIsStubbed`
+    for non-y4m payloads instead of falling back to the fake decoder."""
 
-    def __init__(self, stride: int = 4, strict: bool = False):
+    def __init__(
+        self, stride: int = 4, id_col: str = "image_id", strict: bool = False
+    ):
         self.stride = stride
+        self.id_col = id_col
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise DecodeIsStubbed(
-                "no video codec in this environment; _fake_video_decode is a stub"
-            )
         ids, frame_idx, phashes, bright = [], [], [], []
         for vid, buf in zip(
-            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+            batch[self.id_col].to_pylist(), batch["bytes"].to_pylist()
         ):
+            if buf[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+                ys, _ = y4m_decode(buf)
+                sampled = ys[:: self.stride]
+                sidx = range(0, len(ys), self.stride)
+                stack = np.repeat(sampled[:, :, :, None], 3, axis=3)
+                ph = _ph.dhash_stack(stack) if len(sampled) else []
+                denom = float(ys.shape[1] * ys.shape[2])
+                for k, fi in enumerate(sidx):
+                    ids.append(vid)
+                    frame_idx.append(fi)
+                    phashes.append(int(ph[k]))
+                    bright.append(int(sampled[k].astype(np.int64).sum()) / denom)
+                continue
+            if self.strict:
+                raise DecodeIsStubbed(
+                    "non-y4m payload and no video codec in this environment "
+                    "(decode stub disabled by strict)"
+                )
             frames = _fake_video_decode(buf)
             for fi in range(0, len(frames), self.stride):
                 ids.append(vid)
@@ -312,9 +383,28 @@ class VideoFrameSampleStage:
                 bright.append(float(frames[fi].mean()))
         return pa.table(
             {
-                "video_id": pa.array(ids, pa.string()),
+                "video_id": pa.array(ids),
                 "frame_idx": pa.array(np.asarray(frame_idx, dtype=np.int64)),
                 "frame_phash": pa.array(np.asarray(phashes, dtype=np.int64)),
                 "brightness": pa.array(np.asarray(bright)),
             }
+        )
+
+
+class VideoFrameSampleStageFused(VideoFrameSampleStage):
+    """VideoFrameSampleStage with the parquet read fused into the actor
+    (y4m payloads never enter the object store — the
+    ``ImageResizeStageFused`` pattern)."""
+
+    COLUMNS = ["vid_id", "bytes"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=self.COLUMNS)
+            for p in batch["item"].to_pylist()
+        ]
+        return super().__call__(
+            pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         )
