@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "minhash_dedup_lifecycle",
     "ann_ivf_lifecycle",
     "leakage_safe_split",
+    "audio_features",
+    "video_frame_stats",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -85,7 +85,7 @@ def audio_path(sf_dir: str) -> str:
     from ..sources.audio import generate_audio_parquet
 
     n = audio_n(sf_dir)
-    return generate_audio_parquet(n, os.path.join(TILE_CACHE, f"audio_n{n}_s77_v1"))
+    return generate_audio_parquet(n, os.path.join(TILE_CACHE, f"audio_n{n}_s77_v2"))
 
 
 VIDEO_PER_SF = TILES_PER_SF // 100  # clips are ~100x heavier per row
@@ -100,7 +100,7 @@ def video_path(sf_dir: str) -> str:
     from ..sources.video import generate_video_parquet
 
     n = video_n(sf_dir)
-    return generate_video_parquet(n, os.path.join(TILE_CACHE, f"video_n{n}_s99_v1"))
+    return generate_video_parquet(n, os.path.join(TILE_CACHE, f"video_n{n}_s99_v2"))
 
 
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):

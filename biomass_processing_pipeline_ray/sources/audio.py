@@ -86,7 +86,9 @@ def generate_audio_parquet(
         shutil.rmtree(out_dir, ignore_errors=True)
     tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
-    ds = rd.range(n, override_num_blocks=num_blocks or max(1, n // 4096))
+    # enough output files that the fused reader (one file per task) can
+    # fan out across a 32-CPU node even at sf0.01 fixture sizes
+    ds = rd.range(n, override_num_blocks=num_blocks or max(4, n // 1024))
 
     def gen(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy()

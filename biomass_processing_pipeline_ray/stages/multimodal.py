@@ -354,21 +354,20 @@ class VideoFrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_idx, phashes, bright = [], [], [], []
+        # sampled y4m frames accumulate per (h, w) shape and hash/reduce
+        # in ONE dhash_stack + ONE sum per group — per-clip numpy-call
+        # overhead dominates a per-clip loop at ~20-frame clip lengths
+        groups: dict[tuple[int, int], list] = {}
         for vid, buf in zip(
             batch[self.id_col].to_pylist(), batch["bytes"].to_pylist()
         ):
             if buf[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
                 ys, _ = y4m_decode(buf)
                 sampled = ys[:: self.stride]
-                sidx = range(0, len(ys), self.stride)
-                stack = np.repeat(sampled[:, :, :, None], 3, axis=3)
-                ph = _ph.dhash_stack(stack) if len(sampled) else []
-                denom = float(ys.shape[1] * ys.shape[2])
-                for k, fi in enumerate(sidx):
-                    ids.append(vid)
-                    frame_idx.append(fi)
-                    phashes.append(int(ph[k]))
-                    bright.append(int(sampled[k].astype(np.int64).sum()) / denom)
+                if len(sampled):
+                    groups.setdefault(ys.shape[1:], []).append(
+                        (vid, range(0, len(ys), self.stride), sampled)
+                    )
                 continue
             if self.strict:
                 raise DecodeIsStubbed(
@@ -381,6 +380,23 @@ class VideoFrameSampleStage:
                 frame_idx.append(fi)
                 phashes.append(_ph.dhash(frames[fi]))
                 bright.append(float(frames[fi].mean()))
+        for (h, w), items in groups.items():
+            stack_y = np.concatenate([s for _, _, s in items])
+            ph = _ph.dhash_stack(np.repeat(stack_y[:, :, :, None], 3, axis=3))
+            # exact int-domain brightness: int64 plane sums (order-free,
+            # < 2^53) then one f64 division — bit-identical to the
+            # sequential per-frame recompute
+            br = stack_y.reshape(len(stack_y), -1).sum(
+                axis=1, dtype=np.int64
+            ) / float(h * w)
+            k = 0
+            for vid, sidx, s in items:
+                for fi in sidx:
+                    ids.append(vid)
+                    frame_idx.append(fi)
+                    phashes.append(int(ph[k]))
+                    bright.append(br[k])
+                    k += 1
         return pa.table(
             {
                 "video_id": pa.array(ids),
