@@ -187,14 +187,65 @@ def minhash_lsh_pairs(
 
 
 def verify_jaccard_pairs(
-    pairs, docs_ds, threshold: float, n_coarse: int = 256, shingler=None
+    pairs, docs_ds, threshold: float, n_coarse: int = 256, shingler=None,
+    prefilter: bool = True,
 ):
     """Exact-Jaccard verification of candidate (a, b) doc-id pairs via
-    the broadcast-free co-partitioned two-hop join (extracted from
+    the co-partitioned two-hop join (extracted from
     :func:`minhash_lsh_pairs` so index-backed candidate generators —
-    :func:`dedup_against_index` — share it verbatim)."""
+    :func:`dedup_against_index` — share it verbatim).
+
+    ``prefilter=True`` drops corpus docs that appear in no candidate
+    pair BEFORE the text shuffle, via a constant-size Bloom bitmap over
+    the pair key set (``relational.bloom_build`` — 1 MiB broadcast
+    regardless of pair count, no text broadcast): at 100 TB the corpus
+    side is the whole documents table while candidate-pair members are
+    a sparse subset, so the hop-1 exchange shrinks from O(corpus text)
+    to O(pair-member text).  False positives only admit extra docs that
+    the exact inner merge in ``attach_text`` then discards — the result
+    is bit-identical (gated by the minhash/ngram pair oracles).  Costs
+    one materialize of the (bounded, candidate-sized) pairs dataset,
+    which hop 1 consumes a second time anyway."""
     if shingler is None:
         shingler = shingle_set
+
+    if prefilter:
+        from .relational import BloomPrefilter, bloom_build
+
+        pairs = pairs.materialize()  # consumed twice: bloom build + hop 1
+        if pairs.count() == 0:  # metadata-cheap on materialized data
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            )
+
+        def pair_keys(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pa.array(
+                        np.concatenate(
+                            [b["a"].to_numpy(), b["b"].to_numpy()]
+                        ).astype(np.int64)
+                    )
+                }
+            )
+
+        bloom_ref = bloom_build(
+            pairs.map_batches(pair_keys, batch_format="pyarrow"), "key"
+        )
+        docs_ds = docs_ds.map_batches(
+            BloomPrefilter,
+            fn_constructor_kwargs={"bloom_ref": bloom_ref, "col": "doc_id"},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
 
     # -- verify hop 1: co-partition pair sides with the documents table
     def explode_pairs(b: pa.Table) -> pa.Table:

@@ -127,6 +127,64 @@ def test_minhash_copartitioned_verify_vs_bruteforce(rd):
     assert np.allclose(got["jaccard"].to_numpy(), [j for _, _, j in exp], atol=0)
 
 
+def test_verify_jaccard_prefilter_equivalence(rd):
+    """The Bloom docs-side prefilter in verify_jaccard_pairs is a pure
+    pruning: results are bit-identical with prefilter on/off, and an
+    empty candidate set yields the typed empty (a, b, jaccard) frame on
+    both paths (no schema drift from skipped-empty-bundle map UDFs)."""
+    from biomass_processing_pipeline_ray.stages.dedup import (
+        verify_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=50).tolist()) for _ in range(30)
+    ]
+    texts[5] = texts[3]  # exact dup pair (3, 5)
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    cand = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": np.array([3, 0, 10], dtype=np.int64),
+                "b": np.array([5, 1, 11], dtype=np.int64),
+            }
+        )
+    )
+    outs = {}
+    for pf in (True, False):
+        got = (
+            verify_jaccard_pairs(cand, docs, threshold=0.5, prefilter=pf)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        outs[pf] = got
+    assert outs[True].equals(outs[False])
+    assert [tuple(r) for r in outs[True][["a", "b"]].to_numpy()] == [(3, 5)]
+    assert outs[True]["jaccard"].iloc[0] == 1.0
+
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": np.array([], dtype=np.int64),
+                "b": np.array([], dtype=np.int64),
+            }
+        )
+    )
+    got_ds = verify_jaccard_pairs(empty, docs, threshold=0.5)
+    # typed at the Dataset level (to_pandas drops schema on zero rows —
+    # the known Ray empty-bundle behavior; consumers guard that)
+    sch = got_ds.schema()
+    assert sch.names == ["a", "b", "jaccard"]
+    assert [str(t) for t in sch.types] == ["int64", "int64", "double"]
+    assert got_ds.count() == 0
+
+
 def test_dedup_against_band_index(rd, tmp_path):
     """Incremental dedup against a materialized band index: delta docs
     find their planted corpus near-dups, the index read is pruned to
