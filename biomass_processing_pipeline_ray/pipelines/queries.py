@@ -3409,6 +3409,76 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, docs, threshold=0.5, shingler=char_shingle_set)
 
 
+DECONTAM_N = 4  # word n-gram size; eval shard = doc_id % DECONTAM_MOD == 0
+DECONTAM_MOD = 50
+
+
+def q_benchmark_decontam(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appx C / Llama style): flag
+    every corpus document sharing a word 4-gram with a small held-out
+    eval set.  The eval shard (``doc_id % 50 == 0``) stands in for a
+    fixed benchmark — O(1) size wrt corpus scale — so its distinct
+    grams are collected distributed, pulled once (bounded), broadcast
+    via ``ray.put``, and the corpus pass is a single zero-shuffle
+    actor-pool ``map_batches``: no join, no all-to-all, the only
+    decontamination shape that survives 100 TB.  Replaces the
+    reference's row-at-a-time psycopg2 scans (reference
+    src/pipeline/run.py) with a broadcast scan."""
+    import ray
+
+    from ..stages.textstages import DecontamScan, eval_gram_rows
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_shard(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return eval_gram_rows(b.filter(pa.array(ids % DECONTAM_MOD == 0)), DECONTAM_N)
+
+    # bounded pull: the eval benchmark is fixed-size at any corpus scale
+    grams = frozenset(
+        r["gram"]
+        for r in docs.map_batches(eval_shard, batch_format="pyarrow").take_all()
+    )
+    ref = ray.put(grams)
+
+    def corpus_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % DECONTAM_MOD != 0))
+
+    return docs.map_batches(corpus_only, batch_format="pyarrow").map_batches(
+        DecontamScan,
+        fn_constructor_kwargs={"grams_ref": ref, "n": DECONTAM_N},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+
+
+def _sql_benchmark_decontam() -> str:
+    m = DECONTAM_N - 1
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(w[i:i+{m}], ' ') AS gram
+        FROM tok, UNNEST(range(1, len(w) - {m - 1})) AS t(i)
+        WHERE len(w) >= {DECONTAM_N}
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECONTAM_MOD} = 0),
+    hits AS (
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+        FROM grams g JOIN ev USING (gram)
+        WHERE g.doc_id % {DECONTAM_MOD} <> 0
+        GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {DECONTAM_MOD} <> 0
+    """
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6592,6 +6662,7 @@ _R5_GATE_WINDOW = [
     # new in round 5
     "audio_features",
     "video_frame_stats",
+    "benchmark_decontam",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6912,6 +6983,7 @@ def build_queries() -> dict:
             q_video_frame_stats,
             sql_video_frame_stats(_N_VIDEO_ORACLE),
         ),
+        "benchmark_decontam": (q_benchmark_decontam, _sql_benchmark_decontam()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -710,3 +710,61 @@ def edit1_pairs(ds, col: str, nb: int = 256):
         .groupby("bk")
         .map_groups(pair_bucket, batch_format="pandas")
     )
+
+
+# -- benchmark decontamination (eval-set word-n-gram overlap) -----------------
+#
+# The GPT-3/Llama-style training-data decontamination operator: a small
+# held-out eval set's word n-grams are collected once and broadcast; the
+# corpus scan is a single zero-shuffle map_batches.  The eval set is O(1)
+# with respect to corpus scale (a benchmark has a fixed number of
+# questions), so the driver pull of its distinct grams is bounded no
+# matter how large the corpus grows — the 100 TB shape is broadcast +
+# embarrassingly parallel scan, never a join.
+
+
+def word_ngram_set(text: str, n: int = 4) -> set:
+    """Distinct word n-grams (single-space tokenization, matching
+    DuckDB ``string_split(text, ' ')``)."""
+    w = text.split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def eval_gram_rows(batch: pa.Table, n: int = 4) -> pa.Table:
+    """Per-batch DISTINCT word n-grams of the (tiny) eval shard."""
+    grams: set = set()
+    for t in batch["text"].to_pylist():
+        grams |= word_ngram_set(t, n)
+    return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+
+class DecontamScan:
+    """Actor-pool stage: per document, count DISTINCT word n-grams that
+    collide with the broadcast eval-gram set.
+
+    The gram set is fetched once per actor in ``__init__`` (zero-copy
+    from the object store for the ray.put'd frozenset), never per
+    batch; ``__call__`` is a pure scan — no shuffle, no join."""
+
+    def __init__(self, grams_ref, n: int = 4):
+        import ray
+
+        self.grams: frozenset = ray.get(grams_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        hits = np.fromiter(
+            (len(word_ngram_set(t, self.n) & self.grams) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array((hits > 0).astype(np.int64)),
+            }
+        )

@@ -3105,3 +3105,68 @@ def test_dbscan_matches_bruteforce(rd, ray_session):
     ccenter = len(X) - 6
     assert core[ccenter] and lbl[ccenter] == ccenter
     assert (lbl[ccenter + 1 :] == ccenter).all()
+
+
+def test_benchmark_decontam_vs_bruteforce(rd, ray_session):
+    """The broadcast decontamination scan equals the O(n·m) exact
+    definition (distinct word 4-grams shared with the eval shard),
+    independent of block layout, with planted overlaps detected and
+    clean docs untouched."""
+    import ray
+
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        DecontamScan,
+        eval_gram_rows,
+        word_ngram_set,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = list("abcdefgh")
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(2, 20))) for _ in range(100)
+    ]
+    # eval shard = every 10th doc; plant verbatim eval excerpts in 3 docs
+    texts[13] = texts[0] + " " + texts[13]            # leading overlap
+    texts[47] = texts[47] + " " + texts[20]           # trailing overlap
+    texts[88] = texts[30]                             # full duplicate
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64), "text": texts})
+
+    eval_mask = df["doc_id"] % 10 == 0
+    ev_grams = frozenset().union(
+        *(word_ngram_set(t, 4) for t in df.loc[eval_mask, "text"])
+    )
+    exp = {
+        int(r.doc_id): len(word_ngram_set(r.text, 4) & ev_grams)
+        for r in df[~eval_mask].itertuples()
+    }
+
+    ds = rd.from_pandas(df).repartition(7)
+
+    def eval_shard(b):
+        ids = b["doc_id"].to_numpy()
+        return eval_gram_rows(b.filter(pa.array(ids % 10 == 0)), 4)
+
+    got_grams = frozenset(
+        r["gram"]
+        for r in ds.map_batches(eval_shard, batch_format="pyarrow").take_all()
+    )
+    assert got_grams == ev_grams
+
+    def corpus_only(b):
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % 10 != 0))
+
+    out = (
+        ds.map_batches(corpus_only, batch_format="pyarrow")
+        .map_batches(
+            DecontamScan,
+            fn_constructor_kwargs={"grams_ref": ray.put(got_grams), "n": 4},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    got = dict(zip(out["doc_id"].astype(int), out["n_hits"].astype(int)))
+    assert got == exp
+    assert got[13] > 0 and got[47] > 0 and got[88] > 0
+    assert (out["contaminated"] == (out["n_hits"] > 0).astype(np.int64)).all()
