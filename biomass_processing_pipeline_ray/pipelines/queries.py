@@ -3479,6 +3479,19 @@ def _sql_benchmark_decontam() -> str:
     """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filter: per document, the count of its
+    most frequent word bigram and the integer-exact keep rule (top
+    bigram ≤ 20% of all bigrams).  Stateless single-pass
+    ``map_batches``; every doc gets a verdict (docs too short for
+    bigrams keep trivially)."""
+    from ..stages.textstages import repetition_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6663,6 +6676,7 @@ _R5_GATE_WINDOW = [
     "audio_features",
     "video_frame_stats",
     "benchmark_decontam",
+    "doc_repetition",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6751,6 +6765,7 @@ def build_queries() -> dict:
     from ..stages.textstages import (
         sql_langid,
         sql_quality,
+        sql_repetition,
         sql_text_stats,
         sql_token_counts,
     )
@@ -6984,6 +6999,7 @@ def build_queries() -> dict:
             sql_video_frame_stats(_N_VIDEO_ORACLE),
         ),
         "benchmark_decontam": (q_benchmark_decontam, _sql_benchmark_decontam()),
+        "doc_repetition": (q_doc_repetition, sql_repetition()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -768,3 +768,54 @@ class DecontamScan:
                 "contaminated": pa.array((hits > 0).astype(np.int64)),
             }
         )
+
+
+# -- repetition quality signal (Gopher-style) ---------------------------------
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Most-frequent-word-bigram count per document (the Gopher
+    'repetitious document' signal, Rae et al. 2021 §A1.1): a doc whose
+    top bigram covers too much of the text is boilerplate/spam.  All
+    integer outputs — the keep rule (top bigram ≤ 20% of bigrams) is
+    evaluated in exact integer arithmetic so the gate hash is
+    float-free."""
+    from collections import Counter
+
+    texts = batch["text"].to_pylist()
+    mx = np.zeros(len(texts), np.int64)
+    tot = np.zeros(len(texts), np.int64)
+    for k, t in enumerate(texts):
+        w = t.split(" ")
+        if len(w) < 2:
+            continue
+        c = Counter(zip(w, w[1:]))
+        mx[k] = max(c.values())
+        tot[k] = len(w) - 1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "top_bigram_count": pa.array(mx),
+            "n_bigrams": pa.array(tot),
+            "keep": pa.array((mx * 5 <= tot).astype(np.int64)),
+        }
+    )
+
+
+def sql_repetition(table: str = "documents") -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    bi AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    agg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(a.mx, 0) AS BIGINT) AS top_bigram_count,
+           CAST(COALESCE(a.tot, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN COALESCE(a.mx, 0) * 5 <= COALESCE(a.tot, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM {table} d LEFT JOIN agg a USING (doc_id)
+    """

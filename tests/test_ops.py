@@ -3170,3 +3170,37 @@ def test_benchmark_decontam_vs_bruteforce(rd, ray_session):
     assert got == exp
     assert got[13] > 0 and got[47] > 0 and got[88] > 0
     assert (out["contaminated"] == (out["n_hits"] > 0).astype(np.int64)).all()
+
+
+def test_doc_repetition_vs_bruteforce(rd, ray_session):
+    """The repetition signal equals the literal Counter definition per
+    document, covers every doc (too-short docs keep trivially), and the
+    keep rule is exact-integer."""
+    from collections import Counter
+
+    from biomass_processing_pipeline_ray.stages.textstages import repetition_batch
+
+    rng = np.random.default_rng(23)
+    vocab = list("abcde")
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30))) for _ in range(80)]
+    texts[7] = "a b " * 20 + "a b"          # pathological repeat: filtered
+    texts[11] = "a"                          # too short for bigrams: kept
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+
+    out = (
+        rd.from_pandas(df)
+        .repartition(5)
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 80
+    for r in df.itertuples():
+        w = r.text.split(" ")
+        c = Counter(zip(w, w[1:]))
+        mx, tot = (max(c.values()), len(w) - 1) if len(w) >= 2 else (0, 0)
+        assert out.loc[r.doc_id, "top_bigram_count"] == mx
+        assert out.loc[r.doc_id, "n_bigrams"] == tot
+        assert out.loc[r.doc_id, "keep"] == int(mx * 5 <= tot)
+    assert out.loc[7, "keep"] == 0 and out.loc[11, "keep"] == 1
