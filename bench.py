@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "audio_features",
     "video_frame_stats",
+    "benchmark_decontam",
+    "doc_repetition",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;
