@@ -237,3 +237,70 @@ def test_dhash_stack_bit_identical_to_scalar(seed):
     fast = np.asarray(dhash_stack(stack)).astype(np.int64)
     slow = np.array([np.int64(dhash(stack[i])) for i in range(b)])
     assert np.array_equal(fast, slow)
+
+
+# -- Python ↔ DuckDB tokenization parity (decontam / repetition twins) --------
+#
+# The benchmark_decontam and doc_repetition oracles rest on
+# ``text.split(' ')`` ≡ DuckDB ``string_split(text, ' ')`` and on the
+# n-gram construction matching ``array_to_string(w[i:i+k], ' ')`` over
+# ``UNNEST(range(...))``.  The synthetic corpus is single-spaced, so the
+# gate never exercises double/leading/trailing spaces or empty strings —
+# these properties pin the equivalence on exactly those adversarial
+# shapes.
+
+word_soup = st.text(alphabet=" abc", max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(word_soup, st.integers(2, 5))
+def test_word_ngrams_match_duckdb(text, n):
+    import duckdb
+
+    from biomass_processing_pipeline_ray.stages.textstages import word_ngram_set
+
+    got = word_ngram_set(text, n)
+    exp = set(
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            WITH tok AS (SELECT string_split(?, ' ') AS w),
+            g AS (
+                SELECT array_to_string(w[i:i+{n - 1}], ' ') AS gram
+                FROM tok, UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+                WHERE len(w) >= {n}
+            )
+            SELECT DISTINCT gram FROM g
+            """,
+            params=[text],
+        ).fetchall()
+    )
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(word_soup)
+def test_repetition_counts_match_duckdb(text):
+    import duckdb
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.stages.textstages import repetition_batch
+
+    out = repetition_batch(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])})
+    )
+    row = duckdb.sql(
+        """
+        WITH tok AS (SELECT string_split(?, ' ') AS w),
+        bi AS (
+            SELECT array_to_string(w[i:i+1], ' ') AS g
+            FROM tok, UNNEST(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        cnt AS (SELECT g, COUNT(*) AS c FROM bi GROUP BY 1)
+        SELECT COALESCE(MAX(c), 0), COALESCE(SUM(c), 0) FROM cnt
+        """,
+        params=[text],
+    ).fetchone()
+    assert out["top_bigram_count"][0].as_py() == row[0]
+    assert out["n_bigrams"][0].as_py() == row[1]
