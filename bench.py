@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "video_frame_stats",
     "benchmark_decontam",
     "doc_repetition",
+    "dup_gram_frac",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

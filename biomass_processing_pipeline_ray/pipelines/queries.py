@@ -3492,6 +3492,62 @@ def q_doc_repetition(sf_dir: str):
     )
 
 
+DUPGRAM_N = 4  # word n-gram size for the cross-document duplication signal
+
+
+def q_dup_gram_frac(sf_dir: str):
+    """Cross-document duplicated-gram fraction (RefinedWeb
+    ``dup_ngram_frac`` family, Penedo et al. 2023 §4.2): per document,
+    the share of its DISTINCT word 4-grams that also occur in at least
+    one OTHER document — the intra-corpus complement of
+    ``doc_repetition`` (intra-document) and ``benchmark_decontam``
+    (corpus vs fixed eval set).  Dataflow: in-batch distinct-gram
+    explode (documents are row-atomic) → ONE gram-keyed coarse shuffle
+    (crc32 bucket partitions work; in-bucket grouping is by the gram
+    STRING, so buckets cannot merge grams and the result is
+    hash-exact) → per-document partials → doc-keyed ``bucketed_agg``
+    sum → vectorized fraction.  Two bounded shuffles total, the
+    vocabulary never reaches the driver, nothing broadcasts — the only
+    shape of this metric that survives 100 TB.  Gram-less documents
+    ride a per-doc sentinel row so the output covers every document
+    (LEFT JOIN twin).  Replaces the reference's row-at-a-time psycopg2
+    scans (reference src/pipeline/run.py) for corpus hygiene."""
+    from ..stages.textstages import dupgram_bucket, dupgram_rows
+    from ..stages.zonal import bucketed_agg
+
+    rows = (
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda b: dupgram_rows(b, DUPGRAM_N), batch_format="pyarrow"
+        )
+        .groupby("bk")
+        .map_groups(dupgram_bucket, batch_format="pandas")
+    )
+    per_doc = bucketed_agg(
+        rows,
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "dup_grams": ("dup_grams", "sum")},
+        nb=64,
+    )
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        n = b["n_grams"].to_numpy(np.int64)
+        d = b["dup_grams"].to_numpy(np.int64)
+        frac = round_away(
+            np.where(n > 0, d / np.maximum(n, 1), 0.0), 6
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_grams": pa.array(n, pa.int64()),
+                "dup_grams": pa.array(d, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6677,6 +6733,7 @@ _R5_GATE_WINDOW = [
     "video_frame_stats",
     "benchmark_decontam",
     "doc_repetition",
+    "dup_gram_frac",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6763,6 +6820,7 @@ def ensure_generated_oracles() -> None:
 
 def build_queries() -> dict:
     from ..stages.textstages import (
+        sql_dup_gram_frac,
         sql_langid,
         sql_quality,
         sql_repetition,
@@ -7000,6 +7058,7 @@ def build_queries() -> dict:
         ),
         "benchmark_decontam": (q_benchmark_decontam, _sql_benchmark_decontam()),
         "doc_repetition": (q_doc_repetition, sql_repetition()),
+        "dup_gram_frac": (q_dup_gram_frac, sql_dup_gram_frac(DUPGRAM_N)),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

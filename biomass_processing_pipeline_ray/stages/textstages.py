@@ -819,3 +819,144 @@ def sql_repetition(table: str = "documents") -> str:
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM {table} d LEFT JOIN agg a USING (doc_id)
     """
+
+
+# -- cross-document duplicated-gram fraction (RefinedWeb-style) ---------------
+#
+# The intra-CORPUS complement of the two signals above: decontam
+# compares the corpus against a fixed eval set, repetition_batch looks
+# inside one document; this measures, per document, how much of it is
+# duplicated SOMEWHERE ELSE in the corpus (Penedo et al. 2023 §4.2
+# "dup_ngram_frac"; Rae et al. 2021 §A1.2).  Docs above a fraction
+# threshold are near-boilerplate even when no single pairwise near-dup
+# match fires.
+
+
+def dupgram_rows(batch: pa.Table, n: int = 4, nb: int = 256) -> pa.Table:
+    """Explode documents into DISTINCT word n-gram rows
+    ``(bk, gram, doc_id, real=1)``, plus ONE sentinel row (``real=0``,
+    gram = the doc_id's own digits — unique per doc, so sentinels can
+    never group across docs) for gram-less documents so every document
+    reaches the final aggregate.
+
+    ``bk = hash(gram) % nb`` only PARTITIONS the shuffle; grouping
+    inside a bucket is by the gram STRING, so the bucket hash cannot
+    merge distinct grams (the ``bucketed_agg`` invariant) and any
+    deterministic row hash will do — ``pd.util.hash_pandas_object``
+    keeps it vectorized.  Gram construction is a vectorized sliding
+    window over the flattened token stream (``Series.str.cat`` of the
+    n shifted views, masked where a window would cross a document
+    boundary) + one ``drop_duplicates`` for per-doc distinctness —
+    no per-gram Python loop.  Documents are row-atomic, hence per-doc
+    distinctness is exact in-batch."""
+    ids = np.asarray(batch["doc_id"].to_numpy(), dtype=np.int64)
+    texts = batch["text"].to_pylist()
+    toks = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in toks), np.int64, count=len(toks))
+    sent_ids = ids[lens < n]
+
+    flat = pd.Series(
+        [w for lst in toks for w in lst], dtype=object, copy=False
+    )
+    L = len(flat)
+    if L >= n:
+        doc_of = np.repeat(ids, lens)
+        first = flat.iloc[: L - (n - 1)].reset_index(drop=True)
+        rest = [
+            flat.iloc[k : L - (n - 1) + k].reset_index(drop=True)
+            for k in range(1, n)
+        ]
+        gram = first.str.cat(rest, sep=" ")
+        valid = doc_of[: L - (n - 1)] == doc_of[n - 1 :]
+        df = pd.DataFrame(
+            {"doc_id": doc_of[: L - (n - 1)][valid], "gram": gram[valid]}
+        ).drop_duplicates()
+        bk = (
+            pd.util.hash_pandas_object(df["gram"], index=False).to_numpy()
+            % nb
+        ).astype(np.int64)
+        gid = df["doc_id"].to_numpy(np.int64)
+        gstr = df["gram"].astype(str)
+    else:
+        bk = gid = np.empty(0, np.int64)
+        gstr = pd.Series([], dtype=str)
+    return pa.table(
+        {
+            "bk": pa.array(
+                np.concatenate([bk, sent_ids % nb]), pa.int64()
+            ),
+            "gram": pa.array(
+                [*gstr, *(str(int(d)) for d in sent_ids)], pa.string()
+            ),
+            "doc_id": pa.array(
+                np.concatenate([gid, sent_ids]), pa.int64()
+            ),
+            "real": pa.array(
+                np.concatenate(
+                    [np.ones(len(gid), np.int64), np.zeros(len(sent_ids), np.int64)]
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def dupgram_bucket(g: pd.DataFrame) -> pa.Table:
+    """Per-bucket kernel: a gram's row count here IS its corpus-wide
+    distinct-doc count (per-doc distinct at explode; a gram lives in
+    exactly one bucket), so ``count >= 2`` marks it duplicated.  Emits
+    per-document PARTIALS (n_grams, dup_grams) — a doc's grams span
+    buckets, the doc-keyed sum downstream folds them.  Typed Arrow out
+    (the dedup.py empty-bundle pattern)."""
+    r = g[g["real"] == 1]
+    if len(r):
+        cnt = r.groupby("gram")["doc_id"].transform("size").to_numpy(np.int64)
+        per = (
+            pd.DataFrame(
+                {
+                    "doc_id": r["doc_id"].to_numpy(np.int64),
+                    "n_grams": np.ones(len(r), np.int64),
+                    "dup_grams": (cnt >= 2).astype(np.int64),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        pid = per["doc_id"].to_numpy(np.int64)
+        png = per["n_grams"].to_numpy(np.int64)
+        pdg = per["dup_grams"].to_numpy(np.int64)
+    else:
+        pid = png = pdg = np.empty(0, np.int64)
+    sid = g.loc[g["real"] == 0, "doc_id"].to_numpy(np.int64)
+    zeros = np.zeros(len(sid), np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([pid, sid]), pa.int64()),
+            "n_grams": pa.array(np.concatenate([png, zeros]), pa.int64()),
+            "dup_grams": pa.array(np.concatenate([pdg, zeros]), pa.int64()),
+        }
+    )
+
+
+def sql_dup_gram_frac(n: int = 4, table: str = "documents") -> str:
+    m = n - 1
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+{m}], ' ') AS gram
+        FROM tok, UNNEST(range(1, len(w) - {m - 1})) AS t(i)
+        WHERE len(w) >= {n}
+    ),
+    cnt AS (SELECT gram, COUNT(*) AS nd FROM grams GROUP BY 1),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS dup_grams
+        FROM grams g JOIN cnt c USING (gram) GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+           ROUND(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                      ELSE p.dup_grams * 1.0 / p.n_grams END, 6) AS dup_frac
+    FROM {table} d LEFT JOIN per p USING (doc_id)
+    """

@@ -3204,3 +3204,59 @@ def test_doc_repetition_vs_bruteforce(rd, ray_session):
         assert out.loc[r.doc_id, "n_bigrams"] == tot
         assert out.loc[r.doc_id, "keep"] == int(mx * 5 <= tot)
     assert out.loc[7, "keep"] == 0 and out.loc[11, "keep"] == 1
+
+
+def test_dup_gram_frac_vs_bruteforce(rd, ray_session):
+    """The two-shuffle duplicated-gram pipeline equals the O(n²) exact
+    definition (distinct word 4-grams appearing in ≥2 documents),
+    independent of block layout, with gram-less and empty docs carried
+    by the sentinel path."""
+    from collections import Counter
+
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        dupgram_bucket,
+        dupgram_rows,
+        word_ngram_set,
+    )
+    from biomass_processing_pipeline_ray.stages.zonal import bucketed_agg
+
+    rng = np.random.default_rng(7)
+    vocab = list("abcdef")
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 30))) for _ in range(120)
+    ]
+    texts[5] = "a b c"                        # 3 words: gram-less
+    texts[6] = ""                             # degenerate
+    texts[40] = texts[10]                     # full duplicate
+    texts[41] = texts[11] + " " + texts[12]   # composite overlap
+
+    sets = [word_ngram_set(t, 4) for t in texts]
+    c = Counter(g for s in sets for g in s)   # per-doc distinct → doc count
+    exp = {
+        i: (len(s), sum(1 for g in s if c[g] >= 2)) for i, s in enumerate(sets)
+    }
+
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    rows = (
+        rd.from_pandas(df)
+        .repartition(9)
+        .map_batches(lambda b: dupgram_rows(b, 4), batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(dupgram_bucket, batch_format="pandas")
+    )
+    got = (
+        bucketed_agg(
+            rows,
+            ["doc_id"],
+            {"n_grams": ("n_grams", "sum"), "dup_grams": ("dup_grams", "sum")},
+            nb=16,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == 120
+    for i in range(120):
+        assert (got.loc[i, "n_grams"], got.loc[i, "dup_grams"]) == exp[i]
+    assert exp[40][1] == exp[40][0] > 0       # planted full dup: all grams dup
+    assert got.loc[5, "n_grams"] == 0 and got.loc[6, "n_grams"] == 0
