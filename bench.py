@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "benchmark_decontam",
     "doc_repetition",
     "dup_gram_frac",
+    "source_gram_overlap",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

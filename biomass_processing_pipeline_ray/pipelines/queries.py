@@ -3548,6 +3548,62 @@ def q_dup_gram_frac(sf_dir: str):
     return per_doc.map_batches(finish, batch_format="pandas")
 
 
+def q_source_gram_overlap(sf_dir: str):
+    """Cross-source contamination matrix: pairwise Jaccard of each
+    source's DISTINCT word 4-gram set — the corpus-hygiene view data
+    teams run before mixing crawl snapshots (which sources are
+    near-copies of each other?).  Dataflow: batch-distinct
+    (source, gram) explode → ONE gram-keyed coarse shuffle → per-gram
+    source-pair intersection partials (a gram shared by s sources
+    expands to s² rows, bounded by SOURCE cardinality, never corpus
+    size) + per-source size partials → doc-keyed ``bucketed_agg`` →
+    the final |S|²-row matrix assembles driver-side (bounded: source
+    cardinality is O(1) wrt corpus scale).  No doc×doc join anywhere
+    — the only all-pairs structure is over sources."""
+    from ..stages.textstages import srcgram_bucket, srcgram_rows
+    from ..stages.zonal import bucketed_agg
+
+    rows = (
+        _tbl(sf_dir, "documents", ["source", "text"])
+        .map_batches(
+            lambda b: srcgram_rows(b, DUPGRAM_N), batch_format="pyarrow"
+        )
+        .groupby("bk")
+        .map_groups(srcgram_bucket, batch_format="pandas")
+    )
+    agg = bucketed_agg(
+        rows, ["src_a", "src_b"], {"n": ("n", "sum")}, nb=8
+    ).to_pandas()  # bounded: ≤ |sources|² + |sources| rows
+
+    sizes = (
+        agg[agg["src_b"] == ""].set_index("src_a")["n"].astype(np.int64)
+    )
+    ov = agg[agg["src_b"] != ""].set_index(["src_a", "src_b"])["n"]
+    srcs = sorted(sizes.index)
+    sa = [a for i, a in enumerate(srcs) for _ in srcs[i + 1 :]]
+    sb = [b for i, _ in enumerate(srcs) for b in srcs[i + 1 :]]
+    na = sizes.reindex(sa).to_numpy(np.int64)
+    nb_ = sizes.reindex(sb).to_numpy(np.int64)
+    common = (
+        ov.reindex(pd.MultiIndex.from_arrays([sa, sb]))
+        .fillna(0)
+        .to_numpy(np.int64)
+    )
+    jac = round_away(
+        common.astype(np.float64) / (na + nb_ - common).astype(np.float64), 6
+    )
+    return pd.DataFrame(
+        {
+            "src_a": sa,
+            "src_b": sb,
+            "n_a": na,
+            "n_b": nb_,
+            "n_common": common,
+            "jaccard": jac,
+        }
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6734,6 +6790,7 @@ _R5_GATE_WINDOW = [
     "benchmark_decontam",
     "doc_repetition",
     "dup_gram_frac",
+    "source_gram_overlap",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6822,6 +6879,7 @@ def build_queries() -> dict:
     from ..stages.textstages import (
         sql_dup_gram_frac,
         sql_langid,
+        sql_source_gram_overlap,
         sql_quality,
         sql_repetition,
         sql_text_stats,
@@ -7059,6 +7117,10 @@ def build_queries() -> dict:
         "benchmark_decontam": (q_benchmark_decontam, _sql_benchmark_decontam()),
         "doc_repetition": (q_doc_repetition, sql_repetition()),
         "dup_gram_frac": (q_dup_gram_frac, sql_dup_gram_frac(DUPGRAM_N)),
+        "source_gram_overlap": (
+            q_source_gram_overlap,
+            sql_source_gram_overlap(DUPGRAM_N),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

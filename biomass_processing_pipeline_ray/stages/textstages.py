@@ -960,3 +960,113 @@ def sql_dup_gram_frac(n: int = 4, table: str = "documents") -> str:
                       ELSE p.dup_grams * 1.0 / p.n_grams END, 6) AS dup_frac
     FROM {table} d LEFT JOIN per p USING (doc_id)
     """
+
+
+def srcgram_rows(batch: pa.Table, n: int = 4, nb: int = 64) -> pa.Table:
+    """Explode documents into batch-distinct ``(bk, gram, source)``
+    rows for the cross-source overlap matrix.  Same vectorized
+    sliding-window construction as :func:`dupgram_rows`; in-batch
+    dedup is volume reduction only — the bucket kernel dedups
+    globally (a gram lives in exactly one bucket, so per-bucket
+    distinct (gram, source) IS globally distinct)."""
+    srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+    texts = batch["text"].to_pylist()
+    toks = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in toks), np.int64, count=len(toks))
+    flat = pd.Series(
+        [w for lst in toks for w in lst], dtype=object, copy=False
+    )
+    L = len(flat)
+    if L < n:
+        return pa.table(
+            {
+                "bk": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    src_of = np.repeat(srcs, lens)
+    first = flat.iloc[: L - (n - 1)].reset_index(drop=True)
+    rest = [
+        flat.iloc[k : L - (n - 1) + k].reset_index(drop=True)
+        for k in range(1, n)
+    ]
+    gram = first.str.cat(rest, sep=" ")
+    valid = src_of[: L - (n - 1)] == src_of[n - 1 :]
+    # windows crossing DOC boundaries within one source must not fuse:
+    # mask where the window crosses any doc boundary
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    valid &= doc_of[: L - (n - 1)] == doc_of[n - 1 :]
+    df = pd.DataFrame(
+        {"source": src_of[: L - (n - 1)][valid], "gram": gram[valid]}
+    ).drop_duplicates()
+    bk = (
+        pd.util.hash_pandas_object(df["gram"], index=False).to_numpy() % nb
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "bk": pa.array(bk, pa.int64()),
+            "gram": pa.array(df["gram"].astype(str), pa.string()),
+            "source": pa.array(df["source"].astype(str), pa.string()),
+        }
+    )
+
+
+def srcgram_bucket(g: pd.DataFrame) -> pa.Table:
+    """Per-bucket kernel for the source-overlap matrix: global dedup of
+    (gram, source), then per-source size partials (src_b = '' sentinel
+    rows) and per-gram source-pair intersection partials via a gram
+    self-merge — a gram shared by s sources expands to s² rows with
+    s ≤ |sources|, so the expansion is bounded by the (tiny) source
+    cardinality, never by corpus size."""
+    d = g.drop_duplicates(["gram", "source"])
+    sz = d.groupby("source", as_index=False).size()
+    m = d.merge(d, on="gram")
+    m = m[m["source_x"] < m["source_y"]]
+    pc = m.groupby(["source_x", "source_y"], as_index=False).size()
+    return pa.table(
+        {
+            "src_a": pa.array(
+                [*pc["source_x"].astype(str), *sz["source"].astype(str)],
+                pa.string(),
+            ),
+            "src_b": pa.array(
+                [*pc["source_y"].astype(str), *([""] * len(sz))],
+                pa.string(),
+            ),
+            "n": pa.array(
+                np.concatenate(
+                    [
+                        pc["size"].to_numpy(np.int64),
+                        sz["size"].to_numpy(np.int64),
+                    ]
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def sql_source_gram_overlap(n: int = 4, table: str = "documents") -> str:
+    m = n - 1
+    return f"""
+    WITH tok AS (SELECT source, string_split(text, ' ') AS w FROM {table}),
+    grams AS (
+        SELECT DISTINCT source, array_to_string(w[i:i+{m}], ' ') AS gram
+        FROM tok, UNNEST(range(1, len(w) - {m - 1})) AS t(i)
+        WHERE len(w) >= {n}
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY 1),
+    ov AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.source < b.source GROUP BY 1, 2
+    )
+    SELECT sa.source AS src_a, sb.source AS src_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(o.c, 0) AS BIGINT) AS n_common,
+           ROUND(COALESCE(o.c, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(o.c, 0)), 6) AS jaccard
+    FROM sz sa JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN ov o ON o.src_a = sa.source AND o.src_b = sb.source
+    """

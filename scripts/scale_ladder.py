@@ -91,6 +91,11 @@ LADDER = {
     # event_type partitions grow 5x (offset ids, values verbatim).
     "kmeans_embeddings": "embeddings",
     "event_percent_rank": "events",
+    # round-5: cross-document duplicated-gram fraction.  Caesar
+    # replicas keep within-replica gram structure (each doc's dup
+    # partners are its own replica's), so gram rows, dup counts and
+    # per-row work all scale exactly 5x.
+    "dup_gram_frac": "documents",
 }
 
 

@@ -3260,3 +3260,50 @@ def test_dup_gram_frac_vs_bruteforce(rd, ray_session):
         assert (got.loc[i, "n_grams"], got.loc[i, "dup_grams"]) == exp[i]
     assert exp[40][1] == exp[40][0] > 0       # planted full dup: all grams dup
     assert got.loc[5, "n_grams"] == 0 and got.loc[6, "n_grams"] == 0
+
+
+def test_source_gram_overlap_vs_bruteforce(rd, ray_session):
+    """The bucketed source-overlap matrix equals the exact per-source
+    distinct-gram-set Jaccard, independent of block layout, including
+    a planted near-copy source pair and a disjoint-vocabulary source
+    (zero intersection rows present via the size cross-product)."""
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        q_source_gram_overlap,
+    )
+    from biomass_processing_pipeline_ray.stages.textstages import word_ngram_set
+
+    rng = np.random.default_rng(3)
+    vocab = list("abcde")
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        rows.append((i, src, " ".join(rng.choice(vocab, rng.integers(4, 25)))))
+    # s3 = verbatim copy of s0's docs (near-copy source)
+    rows += [(100 + i, "s3", t) for i, (_, s, t) in enumerate(rows[:30]) if s == "s0"]
+    # s4 = disjoint vocabulary → zero overlap with everyone
+    rows += [(200 + i, "s4", " ".join(rng.choice(list("xyzw"), 10))) for i in range(5)]
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+
+    sets: dict[str, set] = {}
+    for r in df.itertuples():
+        sets.setdefault(r.source, set()).update(word_ngram_set(r.text, 4))
+    srcs = sorted(sets)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = q_source_gram_overlap(d).set_index(["src_a", "src_b"])
+
+    import itertools
+    n_pairs = 0
+    for a, b in itertools.combinations(srcs, 2):
+        inter = len(sets[a] & sets[b])
+        row = got.loc[(a, b)]
+        assert (row["n_a"], row["n_b"], row["n_common"]) == (
+            len(sets[a]), len(sets[b]), inter
+        )
+        n_pairs += 1
+    assert len(got) == n_pairs
+    assert got.loc[("s0", "s3"), "n_common"] > 0
+    assert (got.loc[("s0", "s3"), "jaccard"] > got["jaccard"].drop(("s0", "s3"))).all()
+    assert (got.xs("s4", level="src_b")["n_common"] == 0).all()
