@@ -3604,6 +3604,32 @@ def q_source_gram_overlap(sf_dir: str):
     )
 
 
+def q_unigram_lm_nll(sf_dir: str):
+    """CCNet-style unigram-LM quality score (Wenzek et al. 2020 §4.3):
+    per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the classic head/tail quality-filter axis.  Dataflow:
+    ONE vocabulary-sized count shuffle (per-batch partial Counters
+    combine in ``map_batches`` first), the micro-unit log-prob table
+    broadcast via ``ray.put``, then a single zero-shuffle actor-pool
+    scoring scan — no join, no all-to-all, the only LM-scoring shape
+    that survives 100 TB.  Per-token contributions are quantized to
+    integer micro-units (the BM25 determinism contract) so per-doc
+    sums are order-free and the DuckDB twin hashes equal."""
+    import ray
+
+    from ..stages.textstages import UnigramLMScorer, fit_unigram_units
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(fit_unigram_units(docs))
+    return docs.map_batches(
+        UnigramLMScorer,
+        fn_constructor_kwargs={"units_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6791,6 +6817,7 @@ _R5_GATE_WINDOW = [
     "doc_repetition",
     "dup_gram_frac",
     "source_gram_overlap",
+    "unigram_lm_nll",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6884,6 +6911,7 @@ def build_queries() -> dict:
         sql_repetition,
         sql_text_stats,
         sql_token_counts,
+        sql_unigram_lm_nll,
     )
     from .oracles import (
         sql_audio_features,
@@ -7121,6 +7149,7 @@ def build_queries() -> dict:
             q_source_gram_overlap,
             sql_source_gram_overlap(DUPGRAM_N),
         ),
+        "unigram_lm_nll": (q_unigram_lm_nll, sql_unigram_lm_nll()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -1070,3 +1070,128 @@ def sql_source_gram_overlap(n: int = 4, table: str = "documents") -> str:
     FROM sz sa JOIN sz sb ON sa.source < sb.source
     LEFT JOIN ov o ON o.src_a = sa.source AND o.src_b = sb.source
     """
+
+
+# -- unigram-LM quality scoring (CCNet-style) ---------------------------------
+
+
+def unigram_count_rows(batch: pa.Table) -> pa.Table:
+    """Per-batch partial unigram counts ``(tok, c)`` — the combiner
+    half of the corpus LM fit: one row per DISTINCT in-batch token, so
+    the downstream groupby shuffles vocabulary-sized data, never
+    corpus-sized.  Tokenization is the pinned gate convention
+    (``text.split(' ')`` ≡ DuckDB ``string_split(text, ' ')``)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        c.update(t.split(" "))
+    toks = list(c.keys())
+    return pa.table(
+        {
+            "tok": pa.array(toks, pa.string()),
+            "c": pa.array([c[t] for t in toks], pa.int64()),
+        }
+    )
+
+
+class UnigramLMScorer:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the CCNet quality signal (Wenzek et al. 2020 §4.3;
+    there a KenLM 5-gram, here the unigram member of the family so the
+    DuckDB oracle can mirror it exactly).  Low avg_nll = head-like
+    common text, high = gibberish/rare — the standard filter axis.
+
+    Determinism contract (the BM25 pattern): each vocab entry's
+    contribution ``-ln(c/N)`` is quantized ONCE to integer micro-units
+    (``ROUND(x * 1e6)``, half away from zero, scalar ``math.log`` =
+    host libm = DuckDB ``LN``) in the broadcast table; the per-document
+    SUM is an order-free int64; only the final mean is a float —
+    bit-identical to the oracle's arithmetic.
+
+    The unit table is vocabulary-bounded and fetched once per actor
+    (zero-copy ``ray.get`` in ``__init__``); scoring is a zero-shuffle
+    scan: split → flat token array → one vectorized hash lookup
+    (``pd.Index.get_indexer``) → ``np.add.reduceat`` per-doc sums.
+    Replaces the reference's row-at-a-time psycopg2 scans (reference
+    src/pipeline/run.py) for corpus quality scoring."""
+
+    def __init__(self, units_ref):
+        import ray
+
+        units: pd.Series = ray.get(units_ref)
+        self.idx = pd.Index(units.index)
+        self.units = units.to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "avg_nll": pa.array([], pa.float64()),
+                }
+            )
+        from ..functions.rounding import round_away
+
+        toks = pd.Series(batch["text"].to_pylist()).str.split(" ")
+        lens = toks.str.len().to_numpy().astype(np.int64)  # >= 1 always
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        u = self.units[self.idx.get_indexer(flat)]  # in-vocab by construction
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(u, offsets)
+        avg = round_away(sums.astype(np.float64) / 1000000.0 / lens, 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "avg_nll": pa.array(avg, pa.float64()),
+            }
+        )
+
+
+def fit_unigram_units(docs) -> pd.Series:
+    """Fit the corpus unigram LM and return the micro-unit table
+    (``tok -> int64 ROUND(-ln(c/N) * 1e6)``).  The count aggregation is
+    distributed (per-batch partial Counters → one vocabulary-sized
+    groupby); the pull is vocabulary-bounded — the same ≤2M-term
+    broadcast cap as the TF-IDF fast path (the co-partitioned
+    giant-vocab alternative lives there)."""
+    import math
+
+    from ..functions.rounding import round_away
+
+    cnt = (
+        docs.map_batches(unigram_count_rows, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("c")
+        .to_pandas()
+    )
+    c = cnt["sum(c)"].to_numpy().astype(np.float64)
+    n = float(c.sum())
+    u = np.fromiter(
+        (int(round_away(-math.log(ci / n) * 1000000.0, 0)) for ci in c),
+        dtype=np.int64,
+        count=len(c),
+    )
+    return pd.Series(u, index=cnt["tok"].to_numpy())
+
+
+def sql_unigram_lm_nll(table: str = "documents") -> str:
+    """DuckDB twin of the unigram-LM scorer (micro-unit arithmetic)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM {table}
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+    unit AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-LN(c.c / tot.n) * 1000000.0) AS BIGINT) AS u
+        FROM toks t JOIN cnt c USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(u) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
+    FROM unit GROUP BY doc_id
+    """

@@ -3262,6 +3262,71 @@ def test_dup_gram_frac_vs_bruteforce(rd, ray_session):
     assert got.loc[5, "n_grams"] == 0 and got.loc[6, "n_grams"] == 0
 
 
+def test_unigram_lm_nll_vs_bruteforce(rd, ray_session):
+    """The broadcast unigram-LM scorer equals the exact sequential
+    definition (Counter + math.log, micro-unit quantized), independent
+    of block layout; a planted all-unique-token gibberish doc scores
+    the corpus maximum and a planted all-common-token doc the minimum."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        UnigramLMScorer,
+        fit_unigram_units,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = list("abcdefgh")
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(2, 20))) for _ in range(80)
+    ]
+    texts[10] = " ".join(f"zq{i}x" for i in range(12))  # all-unique gibberish
+    texts[20] = " ".join(["a"] * 15)                     # head-like common run
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+
+    # sequential oracle
+    cnt: Counter = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    n = float(sum(cnt.values()))
+    units = {
+        w: int(round_away(-math.log(c / n) * 1000000.0, 0))
+        for w, c in cnt.items()
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        exp[i] = (
+            len(w),
+            float(round_away(sum(units[x] for x in w) / 1e6 / len(w), 6)),
+        )
+
+    ds = rd.from_pandas(df).repartition(7)
+    fitted = fit_unigram_units(ds)
+    assert dict(zip(fitted.index, fitted.to_numpy())) == units
+    out = (
+        ds.map_batches(
+            UnigramLMScorer,
+            fn_constructor_kwargs={"units_ref": ray.put(fitted)},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    got = {
+        int(i): (int(r["n_tokens"]), float(r["avg_nll"]))
+        for i, r in out.iterrows()
+    }
+    assert got == exp
+    assert out["avg_nll"].idxmax() == 10  # gibberish = rarest tokens
+    assert out["avg_nll"].idxmin() == 20  # common-token run = head-like
+
+
 def test_source_gram_overlap_vs_bruteforce(rd, ray_session):
     """The bucketed source-overlap matrix equals the exact per-source
     distinct-gram-set Jaccard, independent of block layout, including
