@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "dup_gram_frac",
     "source_gram_overlap",
+    "unigram_lm_nll",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;
