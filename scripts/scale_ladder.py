@@ -96,6 +96,12 @@ LADDER = {
     # partners are its own replica's), so gram rows, dup counts and
     # per-row work all scale exactly 5x.
     "dup_gram_frac": "documents",
+    # round-5: unigram-LM scoring.  Caesar replicas multiply the vocab
+    # ~5x (letters shift injectively) while per-doc token counts stay
+    # identical, so the count shuffle, broadcast table and scoring
+    # lookups all scale linearly with corpus size — the claim the
+    # ladder checks for a broadcast-fit operator.
+    "unigram_lm_nll": "documents",
 }
 
 
