@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dup_gram_frac",
     "source_gram_overlap",
     "unigram_lm_nll",
+    "dsir_weights",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

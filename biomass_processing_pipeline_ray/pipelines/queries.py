@@ -3630,6 +3630,34 @@ def q_unigram_lm_nll(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al., NeurIPS 2023): score every
+    document by how target-like it is — sum over tokens of the hashed-
+    bucket log-probability ratio between a bag-of-unigrams LM fit on
+    the target slice (``source = src0``) and one fit on the rest.  The
+    data-selection primitive for "pick pretraining data that looks
+    like the downstream corpus".  Dataflow: ONE bucket-bounded count
+    shuffle (≤65,536 hashed buckets whatever the vocabulary — per-batch
+    partial Counters combine first), the micro-unit log-ratio table
+    broadcast via ``ray.put``, then a single zero-shuffle actor-pool
+    scoring scan — the same only-shape-that-survives-100-TB as the
+    unigram-LM scorer, with the broadcast additionally capped by the
+    hash width rather than the vocabulary."""
+    import ray
+
+    from ..stages.textstages import DSIRScorer, fit_dsir_units
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    ref = ray.put(fit_dsir_units(docs))
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        DSIRScorer,
+        fn_constructor_kwargs={"units_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6818,6 +6846,7 @@ _R5_GATE_WINDOW = [
     "dup_gram_frac",
     "source_gram_overlap",
     "unigram_lm_nll",
+    "dsir_weights",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6904,6 +6933,7 @@ def ensure_generated_oracles() -> None:
 
 def build_queries() -> dict:
     from ..stages.textstages import (
+        sql_dsir_weights,
         sql_dup_gram_frac,
         sql_langid,
         sql_source_gram_overlap,
@@ -7150,6 +7180,7 @@ def build_queries() -> dict:
             sql_source_gram_overlap(DUPGRAM_N),
         ),
         "unigram_lm_nll": (q_unigram_lm_nll, sql_unigram_lm_nll()),
+        "dsir_weights": (q_dsir_weights, sql_dsir_weights()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -1195,3 +1195,185 @@ def sql_unigram_lm_nll(table: str = "documents") -> str:
            ROUND(CAST(SUM(u) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_nll
     FROM unit GROUP BY doc_id
     """
+
+
+# -- DSIR importance weighting (hashed-feature log-ratio) ----------------------
+
+DSIR_TARGET_SOURCE = "src0"  # fixed target corpus slice for the gated query
+
+
+def _md5_bucket4(toks) -> list:
+    """Hashed feature bucket: first 4 hex chars of md5 — ≤65,536 buckets
+    regardless of vocabulary size (the DSIR hashing trick, Xie et al.
+    2023 §2.2), chosen because DuckDB mirrors it exactly as
+    ``substr(md5(tok), 1, 4)``.  Callers pass DISTINCT tokens only, so
+    the md5 cost is vocabulary-bounded, never corpus-bounded."""
+    import hashlib
+
+    return [hashlib.md5(t.encode()).hexdigest()[:4] for t in toks]
+
+
+def dsir_count_rows(batch: pa.Table, target_source: str) -> pa.Table:
+    """Per-batch partial hashed-bucket counts ``(b, ct, cr)`` for the
+    target / raw corpus split — the combiner half of the DSIR fit: one
+    row per DISTINCT in-batch bucket, so the downstream groupby
+    shuffles ≤65,536 rows per batch whatever the corpus size."""
+    from collections import Counter
+
+    tok_t: Counter = Counter()
+    tok_r: Counter = Counter()
+    for text, src in zip(batch["text"].to_pylist(), batch["source"].to_pylist()):
+        (tok_t if src == target_source else tok_r).update(text.split(" "))
+    bt: Counter = Counter()
+    br: Counter = Counter()
+    for toks, out in ((tok_t, bt), (tok_r, br)):
+        uniq = list(toks.keys())
+        for tok, b in zip(uniq, _md5_bucket4(uniq)):
+            out[b] += toks[tok]
+    bs = sorted(set(bt) | set(br))
+    return pa.table(
+        {
+            "b": pa.array(bs, pa.string()),
+            "ct": pa.array([bt.get(b, 0) for b in bs], pa.int64()),
+            "cr": pa.array([br.get(b, 0) for b in bs], pa.int64()),
+        }
+    )
+
+
+def fit_dsir_units(docs, target_source: str = DSIR_TARGET_SOURCE) -> pd.Series:
+    """Fit the DSIR bucket log-ratio table ``b -> int64 micro-units``.
+
+    Bag-of-hashed-unigrams LMs for target and raw with +0.5 Laplace
+    smoothing over the v observed buckets; each bucket's weight
+    ``ln p_t(b) - ln p_r(b)`` is quantized ONCE to integer micro-units
+    (the unigram-LM determinism contract) so per-document sums are
+    order-free int64 and the DuckDB twin hashes equal.  The pull is
+    bucket-bounded (≤65,536 rows) — a constant, unlike the TF-IDF
+    vocabulary broadcast."""
+    import math
+
+    from ..functions.rounding import round_away
+
+    cnt = (
+        docs.map_batches(
+            dsir_count_rows,
+            fn_kwargs={"target_source": target_source},
+            batch_format="pyarrow",
+        )
+        .groupby("b")
+        .sum(["ct", "cr"])
+        .to_pandas()
+    )
+    ct = cnt["sum(ct)"].to_numpy().astype(np.float64)
+    cr = cnt["sum(cr)"].to_numpy().astype(np.float64)
+    nt, nr, v = float(ct.sum()), float(cr.sum()), float(len(cnt))
+    u = np.fromiter(
+        (
+            int(
+                round_away(
+                    (
+                        math.log((cti + 0.5) / (nt + 0.5 * v))
+                        - math.log((cri + 0.5) / (nr + 0.5 * v))
+                    )
+                    * 1000000.0,
+                    0,
+                )
+            )
+            for cti, cri in zip(ct, cr)
+        ),
+        dtype=np.int64,
+        count=len(cnt),
+    )
+    return pd.Series(u, index=cnt["b"].to_numpy())
+
+
+class DSIRScorer:
+    """Per-document DSIR importance weight: sum over tokens of the
+    hashed-bucket log-ratio ``ln p_target - ln p_raw`` (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023) — the standard pick-pretraining-data-that-looks-
+    like-the-target primitive, replacing the reference's fixed
+    source-table scans (reference src/pipeline/run.py) with a
+    selectable corpus.
+
+    Zero-shuffle scoring scan (the UnigramLMScorer shape): the
+    bucket-unit table arrives once per actor via ``ray.get``; per
+    batch, tokens are factorized so md5 runs only on the batch's
+    DISTINCT tokens, then one vectorized index lookup and
+    ``np.add.reduceat`` per-doc int64 sums.  Only the final micro→unit
+    conversion is float, bit-identical to the oracle's arithmetic."""
+
+    def __init__(self, units_ref):
+        import ray
+
+        units: pd.Series = ray.get(units_ref)
+        self.idx = pd.Index(units.index)
+        self.units = units.to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "dsir_w": pa.array([], pa.float64()),
+                }
+            )
+        from ..functions.rounding import round_away
+
+        toks = pd.Series(batch["text"].to_pylist()).str.split(" ")
+        lens = toks.str.len().to_numpy().astype(np.int64)  # >= 1 always
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        codes, uniq = pd.factorize(flat)
+        u_uniq = self.units[self.idx.get_indexer(_md5_bucket4(uniq))]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(u_uniq[codes], offsets)
+        w = round_away(sums.astype(np.float64) / 1000000.0, 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "dsir_w": pa.array(w, pa.float64()),
+            }
+        )
+
+
+def sql_dsir_weights(
+    target_source: str = DSIR_TARGET_SOURCE, table: str = "documents"
+) -> str:
+    """DuckDB twin of the DSIR scorer (micro-unit arithmetic;
+    ``substr(md5(tok), 1, 4)`` is the exact hashed-bucket mirror)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+        FROM {table}
+    ),
+    feat AS (
+        SELECT doc_id, source, substr(md5(tok), 1, 4) AS b FROM toks
+    ),
+    cnt AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN source = '{target_source}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS ct,
+               CAST(SUM(CASE WHEN source <> '{target_source}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS cr
+        FROM feat GROUP BY b
+    ),
+    tot AS (
+        SELECT SUM(ct) AS nt, SUM(cr) AS nr,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM cnt
+    ),
+    unit AS (
+        SELECT b,
+               CAST(ROUND((LN((ct + 0.5) / (nt + 0.5 * v))
+                         - LN((cr + 0.5) / (nr + 0.5 * v)))
+                         * 1000000.0) AS BIGINT) AS u
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(unit.u) AS DOUBLE) / 1000000.0, 6) AS dsir_w
+    FROM feat f JOIN unit USING (b)
+    GROUP BY f.doc_id
+    """

@@ -3372,3 +3372,96 @@ def test_source_gram_overlap_vs_bruteforce(rd, ray_session):
     assert got.loc[("s0", "s3"), "n_common"] > 0
     assert (got.loc[("s0", "s3"), "jaccard"] > got["jaccard"].drop(("s0", "s3"))).all()
     assert (got.xs("s4", level="src_b")["n_common"] == 0).all()
+
+
+def test_dsir_weights_vs_bruteforce(rd, ray_session):
+    """The hashed-bucket DSIR scorer equals the exact sequential
+    definition (md5-bucket Counters + math.log ratio, micro-unit
+    quantized), independent of block layout; a planted doc made of
+    target-exclusive tokens scores the maximum and one made of
+    raw-exclusive tokens the minimum."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import ray
+
+    from biomass_processing_pipeline_ray.functions.rounding import round_away
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        DSIRScorer,
+        fit_dsir_units,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = list("abcdefgh")
+    n_docs = 90
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(2, 18))) for _ in range(n_docs)
+    ]
+    srcs = ["tgt" if i % 3 == 0 else f"raw{i % 2}" for i in range(n_docs)]
+    # target-exclusive tokens appear ONLY in target docs → max log-ratio
+    texts[0] = "tonly1 tonly2 tonly1 tonly2 tonly1"
+    assert srcs[0] == "tgt"
+    # raw-exclusive tokens → min log-ratio
+    texts[1] = "ronly1 ronly2 ronly1 ronly2 ronly1"
+    assert srcs[1] != "tgt"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "source": srcs,
+        }
+    )
+
+    # sequential oracle
+    h4 = lambda t: hashlib.md5(t.encode()).hexdigest()[:4]  # noqa: E731
+    bt: Counter = Counter()
+    br: Counter = Counter()
+    for t, s in zip(texts, srcs):
+        for tok in t.split(" "):
+            (bt if s == "tgt" else br)[h4(tok)] += 1
+    buckets = sorted(set(bt) | set(br))
+    nt, nr, v = float(sum(bt.values())), float(sum(br.values())), float(len(buckets))
+    units = {
+        b: int(
+            round_away(
+                (
+                    math.log((bt.get(b, 0) + 0.5) / (nt + 0.5 * v))
+                    - math.log((br.get(b, 0) + 0.5) / (nr + 0.5 * v))
+                )
+                * 1000000.0,
+                0,
+            )
+        )
+        for b in buckets
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        exp[i] = (
+            len(w),
+            float(round_away(sum(units[h4(x)] for x in w) / 1e6, 6)),
+        )
+
+    ds = rd.from_pandas(df).repartition(7)
+    fitted = fit_dsir_units(ds, target_source="tgt")
+    assert dict(zip(fitted.index, fitted.to_numpy())) == units
+    out = (
+        ds.drop_columns(["source"])
+        .map_batches(
+            DSIRScorer,
+            fn_constructor_kwargs={"units_ref": ray.put(fitted)},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    got = {
+        int(i): (int(r["n_tokens"]), float(r["dsir_w"]))
+        for i, r in out.iterrows()
+    }
+    assert got == exp
+    assert out["dsir_w"].idxmax() == 0  # target-exclusive tokens
+    assert out["dsir_w"].idxmin() == 1  # raw-exclusive tokens
