@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "source_gram_overlap",
     "unigram_lm_nll",
     "dsir_weights",
+    "dsir_select",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

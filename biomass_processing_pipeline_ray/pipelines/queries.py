@@ -3658,6 +3658,40 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_dsir_select(sf_dir: str):
+    """End-to-end DSIR importance resampling (the actual data-selection
+    step, not just the score): keep exactly the top 10 % most
+    target-like documents by DSIR weight.  Both halves are
+    zero-data-shuffle — the scorer moves only the ≤65,536-bucket count
+    table + broadcast units, and the selector is the recursive
+    12-bit-prefix-histogram exact-threshold machinery
+    (``stages/sampling.top_frac_by_score``), moving bounded histograms
+    instead of sorting 10 % of a 10^12-row corpus.  Ties break by
+    doc_id ascending, matching the ROW_NUMBER twin; dsir_w floats are
+    bit-equal to SQL by the micro-unit gate, so the selected row set
+    is exact."""
+    from ..stages.sampling import top_frac_by_score
+
+    scored = q_dsir_weights(sf_dir).select_columns(["doc_id", "dsir_w"])
+    return top_frac_by_score(
+        scored, frac_pct=10, id_col="doc_id", score_col="dsir_w",
+        descending=True,
+    )
+
+
+def _sql_dsir_select() -> str:
+    from ..stages.textstages import sql_dsir_weights
+
+    return f"""
+    WITH q AS (SELECT doc_id, dsir_w FROM ({sql_dsir_weights()})),
+    n AS (SELECT GREATEST(1, COUNT(*) * 10 // 100) AS keep FROM q),
+    r AS (SELECT doc_id, dsir_w,
+                 ROW_NUMBER() OVER (ORDER BY dsir_w DESC, doc_id) AS rn
+          FROM q)
+    SELECT doc_id, dsir_w FROM r, n WHERE rn <= keep
+    """
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6847,6 +6881,7 @@ _R5_GATE_WINDOW = [
     "source_gram_overlap",
     "unigram_lm_nll",
     "dsir_weights",
+    "dsir_select",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7181,6 +7216,7 @@ def build_queries() -> dict:
         ),
         "unigram_lm_nll": (q_unigram_lm_nll, sql_unigram_lm_nll()),
         "dsir_weights": (q_dsir_weights, sql_dsir_weights()),
+        "dsir_select": (q_dsir_select, _sql_dsir_select()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

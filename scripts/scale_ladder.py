@@ -102,6 +102,13 @@ LADDER = {
     # lookups all scale linearly with corpus size — the claim the
     # ladder checks for a broadcast-fit operator.
     "unigram_lm_nll": "documents",
+    # round-5: DSIR importance weighting.  Caesar replicas push the
+    # hashed-bucket support toward its 65,536 cap while `source` is
+    # kept verbatim, so the target slice grows 5x with the corpus —
+    # count shuffle, broadcast table and scoring lookups all scale
+    # linearly, the same broadcast-fit claim as the LM scorer with the
+    # broadcast additionally constant-capped by the hash width.
+    "dsir_weights": "documents",
 }
 
 
