@@ -1607,15 +1607,13 @@ def kmeans_oracle_path(k: int = 8, n_iters: int = 4) -> str:
     return os.path.join(ORACLE_DIR, f"kmeans_sf001_k{k}_i{n_iters}_v1.parquet")
 
 
-def ensure_kmeans_oracle(k: int = 8, n_iters: int = 4) -> str:
+def _kmeans_fit_seq(k: int, n_iters: int):
+    """Sequential Lloyd fit over the sorted sf0.01 embeddings table with
+    the identical float contract as ``stages/kmeans.py`` → (ids, mat,
+    cents).  Shared by the k-means, SemDeDup and prototype oracles so
+    all three check against the SAME centroids."""
     from ..functions import georef as G
-    from ..functions.rounding import round_away
     from ..stages.kmeans import dots, prep_rows
-
-    path = kmeans_oracle_path(k, n_iters)
-    if os.path.exists(path):
-        return path
-    os.makedirs(ORACLE_DIR, exist_ok=True)
 
     t = pq.read_table(
         os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
@@ -1642,6 +1640,19 @@ def ensure_kmeans_oracle(k: int = 8, n_iters: int = 4) -> str:
                 # lattice sum / count
                 new[c] = members.sum(axis=0) / np.float64(len(members))
         _, cents = prep_rows(np.zeros(k), new)
+    return ids, mat, cents
+
+
+def ensure_kmeans_oracle(k: int = 8, n_iters: int = 4) -> str:
+    from ..functions.rounding import round_away
+    from ..stages.kmeans import dots
+
+    path = kmeans_oracle_path(k, n_iters)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    ids, mat, cents = _kmeans_fit_seq(k, n_iters)
 
     sims = dots(mat, cents)
     best = np.argmax(sims, axis=1)
@@ -1663,6 +1674,112 @@ def sql_kmeans_assign(k: int = 8, n_iters: int = 4) -> str:
         "SELECT vec_id, centroid, cos "
         f"FROM read_parquet('{kmeans_oracle_path(k, n_iters)}')"
     )
+
+
+def semdedup_oracle_path(
+    k: int = 8, n_iters: int = 4, tau: float = 0.3
+) -> str:
+    t = str(tau).replace(".", "p")
+    return os.path.join(
+        ORACLE_DIR, f"semdedup_sf001_k{k}_i{n_iters}_t{t}_v1.parquet"
+    )
+
+
+def ensure_semdedup_oracle(
+    k: int = 8, n_iters: int = 4, tau: float = 0.3, row_chunk: int = 1024
+) -> str:
+    """Sequential SemDeDup reference (Abbas et al. 2023): the shared
+    Lloyd fit (`_kmeans_fit_seq` — identical centroids as the k-means
+    gate), then per cluster the SAME blocked all-pairs kernel as the
+    engine (`stages/ann._exact_pairs_block`, identical row order +
+    chunking so the BLAS calls are bit-identical), union-find over
+    tau-pairs, and per duplicate group keep the member with the lowest
+    (centroid-cos, vec_id) — mirrors ``stages/ann.semdedup_flags``."""
+    from ..functions.rounding import round_away
+    from ..stages.ann import _exact_pairs_block
+    from ..stages.kmeans import dots
+
+    path = semdedup_oracle_path(k, n_iters, tau)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    ids, mat, cents = _kmeans_fit_seq(k, n_iters)
+    sims = dots(mat, cents)
+    best = np.argmax(sims, axis=1)
+    cos = sims[np.arange(len(best)), best]
+
+    out = []
+    for c in range(k):
+        # ids are globally vec_id-sorted, so each cluster slice is too
+        idx = np.flatnonzero(best == c)
+        if not len(idx):
+            continue
+        sub_ids, sub_cos = ids[idx], cos[idx]
+        n = len(idx)
+        ii, jj = _exact_pairs_block(mat[idx], np.arange(n), tau, row_chunk)
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        root = np.fromiter((find(i) for i in range(n)), np.int64, count=n)
+        order = np.argsort(sub_cos, kind="stable")
+        keep = np.zeros(n, dtype=np.int64)
+        seen: set = set()
+        for i in order.tolist():
+            r = int(root[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = 1
+        out.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(sub_ids, pa.int64()),
+                    "centroid": pa.array(np.full(n, c, np.int64)),
+                    "cos": pa.array(round_away(sub_cos, 6), pa.float64()),
+                    "grp": pa.array(sub_ids[root], pa.int64()),
+                    "keep": pa.array(keep, pa.int64()),
+                }
+            )
+        )
+
+    tbl = pa.concat_tables(out)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_semdedup(k: int = 8, n_iters: int = 4, tau: float = 0.3) -> str:
+    return (
+        "SELECT vec_id, centroid, cos, grp, keep "
+        f"FROM read_parquet('{semdedup_oracle_path(k, n_iters, tau)}')"
+    )
+
+
+def sql_prototype_select(
+    k: int = 8, n_iters: int = 4, frac_pct: int = 10
+) -> str:
+    """ROW_NUMBER twin of the SSL-prototype hard-example selection over
+    the k-means oracle parquet: the ``frac_pct`` % of vectors FARTHEST
+    from their assigned centroid (cos ASC, vec_id tie-break)."""
+    return f"""
+    WITH q AS (SELECT vec_id, cos
+               FROM read_parquet('{kmeans_oracle_path(k, n_iters)}')),
+    n AS (SELECT GREATEST(1, COUNT(*) * {frac_pct} // 100) AS keep FROM q),
+    r AS (SELECT vec_id, cos,
+                 ROW_NUMBER() OVER (ORDER BY cos ASC, vec_id) AS rn
+          FROM q)
+    SELECT vec_id, cos FROM r, n WHERE rn <= keep
+    """
 
 
 def pq_oracle_path(m: int = 8, ks: int = 16, k: int = 10) -> str:

@@ -3692,6 +3692,84 @@ def _sql_dsir_select() -> str:
     """
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Type–token ratio per document (lexical diversity, the Gopher
+    §A1.1 repetition-rule family): distinct-token / total-token counts
+    plus an exact-integer keep flag (TTR ≥ 0.2).  One column-pruned
+    scan, one vectorized ``map_batches`` — zero shuffle
+    (``stages/textstages.lexical_batch``; twin ``sql_lexical``)."""
+    from ..stages.textstages import lexical_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lexical_batch, batch_format="pyarrow"
+    )
+
+
+SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: the
+    distributed Lloyd fit (same trainer as ``kmeans_embeddings``)
+    partitions the space, then near-duplicate GROUPS are resolved
+    exactly WITHIN each cluster and every group keeps its least-
+    prototypical member (lowest centroid-cos, vec_id tie-break) — the
+    semantic-dedup curation step that makes corpus-wide embedding
+    dedup tractable: one groupby shuffle, per-cluster work bounded
+    because k scales with n (``stages/ann.semdedup_flags``; sequential
+    twin ``ensure_semdedup_oracle`` shares the fit + pair kernels)."""
+    from ..stages.ann import semdedup_flags
+    from ..stages.kmeans import kmeans_fit
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    return semdedup_flags(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        cents,
+        tau=SEMDEDUP_TAU,
+    )
+
+
+PROTO_FRAC = 10  # hardest-example fraction kept by prototype_select
+
+
+def q_prototype_select(sf_dir: str):
+    """SSL-prototype data pruning (Sorscher et al., "Beyond neural
+    scaling laws", NeurIPS 2022): score every embedding by cosine to
+    its k-means centroid (prototypicality) and keep exactly the
+    hardest ``PROTO_FRAC`` % — the LEAST prototypical examples, the
+    paper's keep-hard regime for large corpora.  Rides the shared
+    Lloyd fit plus the zero-shuffle recursive-prefix-histogram exact
+    selector (``top_frac_by_score`` ascending); scores are rounded
+    like the k-means gate so selection is bit-deterministic."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+    from ..stages.sampling import top_frac_by_score
+
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    out = kmeans_assign(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), cents
+    )
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cos": pa.array(
+                    round_away(b["cos"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return top_frac_by_score(
+        out.map_batches(rounded, batch_format="pyarrow"),
+        frac_pct=PROTO_FRAC,
+        id_col="vec_id",
+        score_col="cos",
+        descending=False,
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6882,6 +6960,9 @@ _R5_GATE_WINDOW = [
     "unigram_lm_nll",
     "dsir_weights",
     "dsir_select",
+    "lexical_diversity",
+    "semdedup",
+    "prototype_select",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -6923,6 +7004,7 @@ def ensure_generated_oracles() -> None:
         ensure_ivfpq_oracle,
         ensure_pq_oracle,
         ensure_kmeans_oracle,
+        ensure_semdedup_oracle,
         ensure_knn_idw_oracle,
         ensure_minhash_incr_oracle,
         ensure_minhash_oracle,
@@ -6956,6 +7038,7 @@ def ensure_generated_oracles() -> None:
     ensure_pq_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
+    ensure_semdedup_oracle(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
     ensure_overlap_oracle()
     ensure_ttl_oracle(_TTL_US)
     ensure_psnr_oracle(_N_ORACLE)
@@ -6971,6 +7054,7 @@ def build_queries() -> dict:
         sql_dsir_weights,
         sql_dup_gram_frac,
         sql_langid,
+        sql_lexical,
         sql_source_gram_overlap,
         sql_quality,
         sql_repetition,
@@ -6996,6 +7080,8 @@ def build_queries() -> dict:
         sql_image_thumbs,
         sql_minhash_incr,
         sql_minhash_pairs,
+        sql_prototype_select,
+        sql_semdedup,
         sql_ngram_jaccard_pairs,
         sql_phash_neardup,
         sql_embedding_pca,
@@ -7217,6 +7303,15 @@ def build_queries() -> dict:
         "unigram_lm_nll": (q_unigram_lm_nll, sql_unigram_lm_nll()),
         "dsir_weights": (q_dsir_weights, sql_dsir_weights()),
         "dsir_select": (q_dsir_select, _sql_dsir_select()),
+        "lexical_diversity": (q_lexical_diversity, sql_lexical()),
+        "semdedup": (
+            q_semdedup,
+            sql_semdedup(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
+        ),
+        "prototype_select": (
+            q_prototype_select,
+            sql_prototype_select(KMEANS_K, KMEANS_ITERS, PROTO_FRAC),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -604,6 +604,108 @@ def embedding_neardup_pairs(
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
 
 
+# -- SemDeDup: semantic dedup inside k-means clusters -------------------------
+#
+# Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication" (2023): cluster the embedding space with
+# k-means, find cosine-near-duplicate GROUPS only WITHIN each cluster
+# (the k-means pass is what kills the corpus-wide all-pairs problem),
+# and from every duplicate group keep exactly one representative — the
+# member LEAST similar to its cluster centroid (the paper's keeper
+# rule: prototypical members are the redundant ones).  At 10¹²-vector
+# scale k grows with n so clusters stay bounded (the paper runs 50k
+# clusters); the per-cluster work is then exact and embarrassingly
+# parallel across clusters — one groupby shuffle total.
+
+
+def semdedup_flags(ds, cents: np.ndarray, tau: float = 0.3,
+                   row_chunk: int = 1024):
+    """Per-row SemDeDup verdicts ``(vec_id, centroid, cos, grp, keep)``.
+
+    ``cents`` are pre-fit k-means centroids (``stages/kmeans.kmeans_fit``
+    — broadcast once via ``ray.put``).  Stage 1 assigns every row its
+    centroid + cosine in one scan (shape-stable ``dots`` kernel, so the
+    keeper comparisons below are bit-equal to the sequential oracle);
+    stage 2 groups by centroid and, inside each cluster, runs the same
+    blocked exact all-pairs kernel as ``embedding_neardup_pairs``
+    (O(chunk × n) memory) at threshold ``tau``, resolves duplicate
+    groups with an in-group union-find (clusters are bounded — k scales
+    with n, see module note), and keeps per group the member with the
+    LOWEST centroid cosine (ties → lowest vec_id).  ``grp`` is the
+    group's min vec_id (singletons: the row itself, keep=1)."""
+    import ray
+
+    from .kmeans import dots, prep_rows  # function-level: kmeans imports ann
+
+    ref = ray.put(np.ascontiguousarray(cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, mat = embedding_matrix(batch)
+        ids, mat = prep_rows(ids, mat)
+        sims = dots(mat, c)
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid": pa.array(best.astype(np.int64)),
+                "cos": pa.array(sims[np.arange(len(best)), best]),
+                "embedding": pa.array(list(mat)),
+            }
+        )
+
+    def per_cluster(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        cos = g["cos"].to_numpy(np.float64)
+        emb = np.asarray(list(g["embedding"]), dtype=np.float64)
+        n = len(ids)
+        ii, jj = _exact_pairs_block(emb, np.arange(n), tau, row_chunk)
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        root = np.fromiter((find(i) for i in range(n)), np.int64, count=n)
+        # keeper per group: lowest (cos-to-centroid, vec_id) — vec_id
+        # order is ascending already, so a stable argsort by cos gives
+        # the paper's keeper as each group's first-seen member
+        order = np.argsort(cos, kind="stable")
+        keep = np.zeros(n, dtype=np.int64)
+        seen: set = set()
+        for i in order.tolist():
+            r = int(root[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = 1
+        from ..functions.rounding import round_away
+
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid": pa.array(
+                    np.full(n, np.int64(g["centroid"].iloc[0]), np.int64)
+                ),
+                "cos": pa.array(round_away(cos, 6), pa.float64()),
+                "grp": pa.array(ids[root], pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+
+
 # -- product quantization (PQ) — the memory-compression scale path -----------
 #
 # At 10⁹+ vectors the raw float matrix does not fit a cluster's RAM;

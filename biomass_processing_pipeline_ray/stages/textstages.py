@@ -821,6 +821,72 @@ def sql_repetition(table: str = "documents") -> str:
     """
 
 
+# -- lexical diversity (type–token ratio, the Gopher §A1.1 family) ------------
+#
+# TTR = distinct tokens / total tokens per document: the classic
+# lexical-diversity quality signal (low TTR ⇒ repetitive boilerplate).
+# Complements ``repetition_batch``: that flags ONE dominating bigram,
+# TTR catches a document cycling a small vocabulary without any single
+# dominant n-gram.  Keep rule in exact integer arithmetic (5·types ≥
+# tokens, i.e. TTR ≥ 0.2) so the gate flag is float-free; the ratio
+# itself is one exact float64 division rounded like every other
+# fraction in the repo (mirrors DuckDB ``ROUND(x, 6)``).
+
+
+def lexical_batch(batch: pa.Table) -> pa.Table:
+    """Per-document token count, distinct-token count, TTR and keep
+    flag.  Space-split tokens (same ``text.split(" ")`` contract as the
+    gram operators; DuckDB twin ``string_split(text, ' ')`` — both
+    sides yield ``['']`` for the empty string, so n_tokens ≥ 1
+    always).  Vectorized via one flattened token Series + two grouped
+    nunique/size reductions — no per-document Counter loop."""
+    from ..functions.rounding import round_away
+
+    ids = np.asarray(batch["doc_id"].to_numpy(), dtype=np.int64)
+    toks = [t.split(" ") for t in batch["text"].to_pylist()]
+    lens = np.fromiter((len(w) for w in toks), np.int64, count=len(toks))
+    flat = pd.DataFrame(
+        {
+            "d": np.repeat(np.arange(len(toks), dtype=np.int64), lens),
+            "w": pd.Series(
+                [w for lst in toks for w in lst], dtype=object, copy=False
+            ),
+        }
+    )
+    types = np.zeros(len(toks), dtype=np.int64)
+    g = flat.groupby("d", sort=False)["w"].nunique()
+    types[g.index.to_numpy()] = g.to_numpy()
+    ttr = round_away(types / np.maximum(lens, 1), 6)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_types": pa.array(types, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64()),
+            "keep": pa.array((types * 5 >= lens).astype(np.int64)),
+        }
+    )
+
+
+def sql_lexical(table: str = "documents") -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM {table}
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+        FROM tok GROUP BY 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
+           CAST(CASE WHEN n_types * 5 >= n_tokens THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM agg
+    """
+
+
 # -- cross-document duplicated-gram fraction (RefinedWeb-style) ---------------
 #
 # The intra-CORPUS complement of the two signals above: decontam

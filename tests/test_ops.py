@@ -3465,3 +3465,137 @@ def test_dsir_weights_vs_bruteforce(rd, ray_session):
     assert got == exp
     assert out["dsir_w"].idxmax() == 0  # target-exclusive tokens
     assert out["dsir_w"].idxmin() == 1  # raw-exclusive tokens
+
+
+def test_lexical_batch_vs_bruteforce():
+    from biomass_processing_pipeline_ray.stages.textstages import lexical_batch
+
+    texts = [
+        "a b a c a b",        # 6 tokens, 3 types
+        "",                   # [''] -> 1/1 (string_split parity)
+        "x x x x x x x x x",  # 9 tokens, 1 type -> keep=0 (5*1 < 9)
+        "u v w x y",          # 5/5 -> keep=1
+    ]
+    b = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    out = lexical_batch(b).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        assert out.loc[i, "n_tokens"] == len(w)
+        assert out.loc[i, "n_types"] == len(set(w))
+        assert out.loc[i, "keep"] == int(len(set(w)) * 5 >= len(w))
+    assert out.loc[0, "ttr"] == 0.5
+    assert out.loc[1, "ttr"] == 1.0
+
+
+def test_lexical_sql_parity_duckdb():
+    import duckdb
+
+    from biomass_processing_pipeline_ray.stages.textstages import (
+        lexical_batch,
+        sql_lexical,
+    )
+
+    texts = ["a b a", "", "p q p q p q p q p q p q", "lone"]
+    b = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    got = lexical_batch(b).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", b)
+    exp = (
+        con.sql(sql_lexical("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ["n_tokens", "n_types", "keep"]:
+        assert got[c].tolist() == exp[c].astype("int64").tolist()
+    assert got["ttr"].tolist() == exp["ttr"].astype("float64").tolist()
+
+
+def test_semdedup_flags_vs_bruteforce(rd, ray_session):
+    from biomass_processing_pipeline_ray.stages.ann import (
+        _exact_pairs_block,
+        semdedup_flags,
+    )
+    from biomass_processing_pipeline_ray.stages.kmeans import dots, prep_rows
+
+    rng = np.random.default_rng(23)
+    n, d, tau = 120, 16, 0.9
+    base = rng.normal(size=(n, d))
+    # plant near-duplicate runs: rows 10/11/12 jitter row 10, 50/51 jitter 50
+    for a, b in [(11, 10), (12, 10), (51, 50)]:
+        base[a] = base[b] + rng.normal(scale=1e-3, size=d)
+    cents_raw = rng.normal(size=(4, d))
+    _, cents = prep_rows(np.zeros(4), cents_raw)
+
+    ids0 = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": pa.array(ids0), "embedding": pa.array(list(base))}
+    )
+    got = (
+        semdedup_flags(rd.from_arrow(tbl), cents, tau=tau)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # sequential reference: same kernels, same tie rules
+    ids, mat = prep_rows(ids0, base)
+    sims = dots(mat, cents)
+    best = np.argmax(sims, axis=1)
+    cos = sims[np.arange(n), best]
+    exp_keep = np.zeros(n, dtype=np.int64)
+    exp_grp = np.zeros(n, dtype=np.int64)
+    for c in range(4):
+        idx = np.flatnonzero(best == c)
+        if not len(idx):
+            continue
+        m = len(idx)
+        ii, jj = _exact_pairs_block(mat[idx], np.arange(m), tau, 1024)
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        root = np.fromiter((find(i) for i in range(m)), np.int64, count=m)
+        exp_grp[idx] = ids[idx][root]
+        order = np.argsort(cos[idx], kind="stable")
+        seen = set()
+        for i in order.tolist():
+            r = int(root[i])
+            if r not in seen:
+                seen.add(r)
+                exp_keep[idx[i]] = 1
+
+    assert got["centroid"].to_numpy().tolist() == best.tolist()
+    assert got["grp"].to_numpy().tolist() == exp_grp.tolist()
+    assert got["keep"].to_numpy().tolist() == exp_keep.tolist()
+    # planted dups resolved into one group with exactly one keeper
+    g = got.set_index("vec_id")
+    assert g.loc[11, "grp"] == g.loc[10, "grp"]
+    assert g.loc[12, "grp"] == g.loc[10, "grp"]
+    assert g.loc[51, "grp"] == g.loc[50, "grp"]
+    trio = got[got["grp"] == g.loc[10, "grp"]]
+    assert trio["keep"].sum() == 1
+    # the keeper is the least prototypical member (lowest centroid cos)
+    kept = trio[trio["keep"] == 1].iloc[0]
+    assert kept["cos"] == trio["cos"].min()
+    # every group keeps exactly one row
+    per_grp = got.groupby("grp")["keep"].sum()
+    assert (per_grp == 1).all()
