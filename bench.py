@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "unigram_lm_nll",
     "dsir_weights",
     "dsir_select",
+    "lexical_diversity",
+    "semdedup",
+    "prototype_select",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -3706,6 +3706,28 @@ def q_lexical_diversity(sf_dir: str):
 
 
 SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
+SEMDEDUP_CLUSTER_ROWS = 250  # target mean cluster size: k = max(8, n/250)
+
+
+def _semdedup_k(sf_dir: str) -> int:
+    """k scales with corpus size (the paper runs 50k clusters at
+    web scale) so the within-cluster exact all-pairs stays bounded —
+    mean cluster size pinned at ``SEMDEDUP_CLUSTER_ROWS`` rows.  At the
+    sf0.01 gate and the sf0.1 bench this derives exactly KMEANS_K=8,
+    so the pinned-k sequential oracle is unchanged; the 5× ladder twin
+    derives k=40 and per-cluster work stays constant."""
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        n = sum(
+            _pq.read_metadata(os.path.join(p, f)).num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = _pq.read_metadata(p).num_rows
+    return max(KMEANS_K, n // SEMDEDUP_CLUSTER_ROWS)
 
 
 def q_semdedup(sf_dir: str):
@@ -3716,13 +3738,14 @@ def q_semdedup(sf_dir: str):
     prototypical member (lowest centroid-cos, vec_id tie-break) — the
     semantic-dedup curation step that makes corpus-wide embedding
     dedup tractable: one groupby shuffle, per-cluster work bounded
-    because k scales with n (``stages/ann.semdedup_flags``; sequential
-    twin ``ensure_semdedup_oracle`` shares the fit + pair kernels)."""
+    because k scales with n (``_semdedup_k``;
+    ``stages/ann.semdedup_flags``; sequential twin
+    ``ensure_semdedup_oracle`` shares the fit + pair kernels)."""
     from ..stages.ann import semdedup_flags
     from ..stages.kmeans import kmeans_fit
 
     ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = kmeans_fit(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    cents = kmeans_fit(ds, k=_semdedup_k(sf_dir), n_iters=KMEANS_ITERS)
     return semdedup_flags(
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
         cents,

@@ -109,6 +109,14 @@ LADDER = {
     # linearly, the same broadcast-fit claim as the LM scorer with the
     # broadcast additionally constant-capped by the hash width.
     "dsir_weights": "documents",
+    # round-5: SemDeDup.  The 5x twin's replicas are EXACT duplicate
+    # vectors (offset ids), so every vector gains 4 cross-replica
+    # cos=1 partners — duplicate-group structure grows honestly with
+    # the corpus.  k derives from n (queries._semdedup_k: mean cluster
+    # pinned at 250 rows -> k=8 at sf0.1, k=40 at the twin) so the
+    # within-cluster exact all-pairs cost per row stays constant —
+    # the paper's own scaling regime, which is the claim to check.
+    "semdedup": "embeddings",
 }
 
 
