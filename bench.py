@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "lexical_diversity",
     "semdedup",
     "prototype_select",
+    "curation_funnel",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -3379,6 +3379,184 @@ def _sql_corpus_curation() -> str:
     """
 
 
+def q_curation_funnel(sf_dir: str):
+    """Per-source curation FUNNEL: how many documents survive each
+    successive filter stage — the dashboard every pretraining-data
+    team reads before changing a mix.  Cumulative stages: quality
+    (score > 18) → repetition (top bigram ≤ 4 %) → lexical diversity
+    (TTR ≥ 0.4) → exact dedup (min doc_id per text) → MinHash
+    near-dup drop.  Funnel thresholds sit near the corpus medians
+    (deliberately tighter than the standalone operators' keep rules)
+    so every stage shows real attrition; the repetition and TTR gates
+    are exact integer comparisons, the quality gate compares the
+    bit-equal score.  The three text signals come from ONE scan
+    (in-batch kernels); the exact-dedup keeper set joins by
+    co-partitioned doc-id buckets (doc-sized, never broadcast); only
+    the near-dup DROP set — tiny by construction — broadcasts; the
+    output shuffle moves |sources| integer partial rows per bucket.
+    Same composition discipline as ``corpus_curation``, but emitting
+    the per-stage attrition counts instead of the final budget."""
+    from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+    from ..stages.textstages import (
+        lexical_batch,
+        quality_batch,
+        repetition_batch,
+    )
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    drop = np.asarray(
+        sorted(
+            minhash_lsh_pairs(
+                _tbl(sf_dir, "documents", ["doc_id", "text"]),
+                _tbl(sf_dir, "documents", ["doc_id", "text"]),
+                threshold=0.7,
+            ).unique("b")
+        ),
+        dtype=np.int64,
+    )
+    nb = 64
+
+    def features(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        r = repetition_batch(b)
+        x = lexical_batch(b)
+        ids = b["doc_id"].to_numpy()
+        fq = (q["quality_score"].to_numpy() > 18.0).astype(np.int64)
+        fr = (
+            r["top_bigram_count"].to_numpy() * 25
+            <= r["n_bigrams"].to_numpy()
+        ).astype(np.int64)
+        fx = (
+            x["n_types"].to_numpy() * 5 >= x["n_tokens"].to_numpy() * 2
+        ).astype(np.int64)
+        fn = (~np.isin(ids, drop)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "fq": pa.array(fq),
+                "fr": pa.array(fr),
+                "fx": pa.array(fx),
+                "fn": pa.array(fn),
+                "side": pa.array(np.zeros(len(ids), np.int8)),
+                "bk": pa.array(ids % nb),
+            }
+        )
+
+    kept = exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+    def tag_kept(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        n = len(ids)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": pa.array([""] * n, pa.string()),
+                "fq": z,
+                "fr": z,
+                "fx": z,
+                "fn": z,
+                "side": pa.array(np.ones(n, np.int8)),
+                "bk": pa.array(ids % nb),
+            }
+        )
+
+    merged = docs.map_batches(features, batch_format="pyarrow").union(
+        kept.map_batches(tag_kept, batch_format="pyarrow")
+    )
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        keepers = g.loc[g["side"] == 1, "doc_id"].to_numpy()
+        f = g[g["side"] == 0].copy()
+        fe = np.isin(f["doc_id"].to_numpy(), keepers).astype(np.int64)
+        c1 = f["fq"].to_numpy(np.int64)
+        c2 = c1 * f["fr"].to_numpy(np.int64)
+        c3 = c2 * f["fx"].to_numpy(np.int64)
+        c4 = c3 * fe
+        c5 = c4 * f["fn"].to_numpy(np.int64)
+        f = f.assign(c1=c1, c2=c2, c3=c3, c4=c4, c5=c5)
+        p = f.groupby("source", as_index=False).agg(
+            n_docs=("c1", "size"),
+            n_quality=("c1", "sum"),
+            n_repetition=("c2", "sum"),
+            n_lexical=("c3", "sum"),
+            n_exact=("c4", "sum"),
+            n_neardup=("c5", "sum"),
+        )
+        return pa.table(
+            {
+                "source": pa.array(p["source"].astype(str), pa.string()),
+                **{
+                    c: pa.array(p[c].to_numpy(np.int64))
+                    for c in [
+                        "n_docs",
+                        "n_quality",
+                        "n_repetition",
+                        "n_lexical",
+                        "n_exact",
+                        "n_neardup",
+                    ]
+                },
+            }
+        )
+
+    partials = merged.groupby("bk").map_groups(funnel, batch_format="pandas")
+    return _grouped_sums(
+        partials,
+        ["source"],
+        {
+            c: c
+            for c in [
+                "n_docs",
+                "n_quality",
+                "n_repetition",
+                "n_lexical",
+                "n_exact",
+                "n_neardup",
+            ]
+        },
+        None,
+    )
+
+
+def _sql_curation_funnel() -> str:
+    from ..stages.textstages import sql_lexical, sql_quality, sql_repetition
+    from .oracles import minhash_oracle_path
+
+    return f"""
+    WITH q AS ({sql_quality()}),
+         r AS ({sql_repetition()}),
+         x AS ({sql_lexical()}),
+         keepers AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+                     FROM documents GROUP BY text),
+         f AS (
+           SELECT d.doc_id, d.source,
+                  CASE WHEN q.quality_score > 18.0 THEN 1 ELSE 0 END AS fq,
+                  CASE WHEN r.top_bigram_count * 25 <= r.n_bigrams
+                       THEN 1 ELSE 0 END AS fr,
+                  CASE WHEN x.n_types * 5 >= x.n_tokens * 2
+                       THEN 1 ELSE 0 END AS fx,
+                  CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fe,
+                  CASE WHEN d.doc_id IN
+                       (SELECT b FROM read_parquet('{minhash_oracle_path()}'))
+                       THEN 0 ELSE 1 END AS fn
+           FROM documents d
+           JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN x USING (doc_id)
+           LEFT JOIN keepers k USING (doc_id)
+         )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fq) AS BIGINT) AS n_quality,
+           CAST(SUM(fq * fr) AS BIGINT) AS n_repetition,
+           CAST(SUM(fq * fr * fx) AS BIGINT) AS n_lexical,
+           CAST(SUM(fq * fr * fx * fe) AS BIGINT) AS n_exact,
+           CAST(SUM(fq * fr * fx * fe * fn) AS BIGINT) AS n_neardup
+    FROM f GROUP BY source
+    """
+
+
 def q_fingerprints(sf_dir: str):
     from ..stages.textstages import fingerprint_batch
 
@@ -6986,6 +7164,7 @@ _R5_GATE_WINDOW = [
     "lexical_diversity",
     "semdedup",
     "prototype_select",
+    "curation_funnel",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7335,6 +7514,7 @@ def build_queries() -> dict:
             q_prototype_select,
             sql_prototype_select(KMEANS_K, KMEANS_ITERS, PROTO_FRAC),
         ),
+        "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]
