@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "semdedup",
     "prototype_select",
     "curation_funnel",
+    "source_temperature_mix",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

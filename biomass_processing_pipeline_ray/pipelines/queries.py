@@ -4787,6 +4787,59 @@ _SQL_STRATIFIED_QUOTA_SAMPLE = f"""
 """
 
 
+def q_source_temperature_mix(sf_dir: str):
+    """Temperature-based mixture sampling (count^α, α = 0.5): per-LANG
+    quota ∝ isqrt(n_s) against a global 20 % budget — upweights
+    low-resource languages relative to proportional sampling, the
+    standard multilingual-pretraining mixture move (mC4/XLM-R-style
+    α-sampling; the ``lang`` strata are the corpus's skewed dimension
+    — en is ~3.4× fr — so the rebalancing is non-degenerate, unlike
+    the uniform ``source`` strata).  Reference analog: fixed county
+    batching only (src/pipeline/optimized_county_processor_v3.py) —
+    mixing is a beyond-reference training-data operator.  Selection
+    rides the same zero-shuffle bounded-histogram threshold machinery
+    as ``stratified_quota_sample``
+    (``stages/sampling.stratified_sample`` with
+    ``temperature_quotas``); exact integer quotas both sides."""
+    from ..stages.sampling import stratified_sample, temperature_quotas
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds,
+        stratum="lang",
+        frac_pct=_SAMPLE_PCT,
+        quota_fn=lambda c: temperature_quotas(c, _SAMPLE_PCT),
+    )
+
+
+_SQL_SOURCE_TEMPERATURE_MIX = f"""
+    WITH k AS (
+      SELECT lang, doc_id,
+             (doc_id * 2654435761) % 4294967296 AS skey
+      FROM documents
+    ), c AS (
+      SELECT lang, COUNT(*) AS n FROM k GROUP BY lang
+    ), w AS (
+      SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wgt FROM c
+    ), tot AS (
+      SELECT SUM(n) * {_SAMPLE_PCT} // 100 AS b,
+             GREATEST(1, SUM(wgt)) AS wsum
+      FROM w
+    ), q AS (
+      SELECT lang, LEAST(n, GREATEST(1, b * wgt // wsum)) AS keep
+      FROM w, tot
+    ), r AS (
+      SELECT lang, doc_id, skey,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rn
+      FROM k
+    )
+    SELECT r.lang, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(skey AS BIGINT) AS skey
+    FROM r JOIN q USING (lang) WHERE rn <= keep
+"""
+
+
 # ---------------------------------------------------------------------------
 # cluster + sketch family (round 3): pair edges -> components, KMV
 # distinct sketch, caption agreement over image near-dup pairs
@@ -7165,6 +7218,7 @@ _R5_GATE_WINDOW = [
     "semdedup",
     "prototype_select",
     "curation_funnel",
+    "source_temperature_mix",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7515,6 +7569,10 @@ def build_queries() -> dict:
             sql_prototype_select(KMEANS_K, KMEANS_ITERS, PROTO_FRAC),
         ),
         "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
+        "source_temperature_mix": (
+            q_source_temperature_mix,
+            _SQL_SOURCE_TEMPERATURE_MIX,
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -47,9 +47,16 @@ def skey_u32(doc_id: np.ndarray) -> np.ndarray:
 
 
 def stratified_sample(ds, stratum: str = "source", id_col: str = "doc_id",
-                      frac_pct: int = 20):
+                      frac_pct: int = 20, quota_fn=None):
     """keep max(1, floor(n_s * frac_pct / 100)) rows per stratum — the
     rows with the SMALLEST (skey, id) — without shuffling the data.
+
+    ``quota_fn`` (optional): ``dict[stratum, n_s] -> dict[stratum,
+    keep_s]`` overrides the default proportional rule — the hook the
+    temperature-mixing sampler uses to set quotas ∝ isqrt(n_s) against
+    a GLOBAL budget instead of per-stratum fractions.  Quotas are
+    clamped to [1, n_s]; everything downstream (histogram walk,
+    boundary-bin resolve, final filter) is unchanged.
 
     Pass 1: bounded (stratum, skey>>20) histogram via per-batch
     partials + one small bucketed aggregate (≤ strata × 4096 rows).
@@ -91,11 +98,15 @@ def stratified_sample(ds, stratum: str = "source", id_col: str = "doc_id",
     ).to_pandas()
 
     # driver: boundary bin + residual rank per stratum (bounded state)
+    counts = {s: int(g["cnt"].sum()) for s, g in hist.groupby("s")}
+    quotas = quota_fn(counts) if quota_fn is not None else {
+        s: n_s * frac_pct // 100 for s, n_s in counts.items()
+    }
     bounds: dict[str, tuple[int, int]] = {}
     for s, g in hist.groupby("s"):
         g = g.sort_values("bin")
-        n_s = int(g["cnt"].sum())
-        keep = max(1, n_s * frac_pct // 100)
+        n_s = counts[s]
+        keep = min(n_s, max(1, int(quotas[s])))
         cum = g["cnt"].cumsum().to_numpy()
         i = int(np.searchsorted(cum, keep, side="left"))
         b_star = int(g["bin"].iloc[i])
@@ -147,6 +158,28 @@ def stratified_sample(ds, stratum: str = "source", id_col: str = "doc_id",
         )
 
     return ds.map_batches(final_filter, batch_format="pyarrow")
+
+
+def temperature_quotas(counts: dict[str, int], frac_pct: int = 20) -> dict[str, int]:
+    """Temperature-sampled source-mixing quotas: keep_s = B · w_s // W
+    with w_s = isqrt(n_s) (α = 0.5 in the count^α mixing family — the
+    UnifiedSQA/T5-style upweighting of small sources; Raffel et al.
+    2020 §3.4.3 examined-proportional-to-size^α mixing) against the
+    GLOBAL budget B = floor(N · frac_pct / 100).
+
+    Exact integer arithmetic end-to-end: ``math.isqrt`` on Python ints
+    here, ``CAST(FLOOR(SQRT(n)) AS BIGINT)`` in the DuckDB twin —
+    equal for any realistic count (float64 sqrt of n < 2^50 only
+    crosses an integer boundary at exact squares, where both are
+    exact).  Caller (`stratified_sample`) clamps each quota to
+    [1, n_s]; the SQL twin mirrors with LEAST/GREATEST."""
+    import math
+
+    total = sum(counts.values())
+    budget = total * frac_pct // 100
+    w = {s: math.isqrt(n) for s, n in counts.items()}
+    wsum = max(1, sum(w.values()))
+    return {s: budget * w[s] // wsum for s in counts}
 
 
 def shard_packing(ds, budget: int, id_col: str = "doc_id",

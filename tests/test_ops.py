@@ -2141,6 +2141,57 @@ def test_stratified_quota_sample_exact_quota(rd, ray_session):
     assert got[["source", "doc_id", "skey"]].equals(exp)
 
 
+def test_temperature_mix_quotas_and_selection(rd, ray_session):
+    """count^α (α=0.5) mixing: quotas are B·isqrt(n_s)//W clamped to
+    [1, n_s], so small strata gain share vs proportional and huge
+    strata lose it; selection equals a literal per-stratum sort under
+    those quotas."""
+    import math
+
+    from biomass_processing_pipeline_ray.stages.sampling import (
+        skey_u32,
+        stratified_sample,
+        temperature_quotas,
+    )
+
+    sizes = {"big": 6400, "mid": 400, "tiny": 4, "one": 1}
+    rows_s = [s for s, k in sizes.items() for _ in range(k)]
+    rows_i = np.arange(len(rows_s), dtype=np.int64)
+    tbl = pa.table(
+        {"doc_id": pa.array(rows_i), "lang": pa.array(rows_s, pa.string())}
+    )
+    quotas = temperature_quotas(sizes, 20)
+    n, w = sum(sizes.values()), {s: math.isqrt(k) for s, k in sizes.items()}
+    b, wsum = n * 20 // 100, sum(w.values())
+    assert quotas == {s: b * w[s] // wsum for s in sizes}
+    # α=0.5 rebalancing: big's share drops below proportional (20 % of
+    # 6400 = 1280), small strata rise above it (20 % of 4 < 1 → 1+)
+    assert quotas["big"] < 1280 and quotas["mid"] > 80
+    got = (
+        stratified_sample(
+            rd.from_arrow(tbl),
+            stratum="lang",
+            frac_pct=20,
+            quota_fn=lambda c: temperature_quotas(c, 20),
+        )
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["skey"] = skey_u32(df["doc_id"].to_numpy()).astype(np.int64)
+    expect = []
+    for s, g in df.groupby("lang"):
+        keep = min(len(g), max(1, quotas[s]))
+        expect.append(g.sort_values(["skey", "doc_id"]).head(keep))
+    exp = (
+        pd.concat(expect)[["lang", "doc_id", "skey"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["lang", "doc_id", "skey"]].equals(exp)
+
+
 def test_curation_sweep_checkpointed_resume(ray_session, tiles_small, tmp_path):
     """The checkpointed fused-decode sweep must (a) resume to a
     bit-identical frame, (b) recompute only invalidated sub-partitions
