@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "prototype_select",
     "curation_funnel",
     "source_temperature_mix",
+    "county_mosaic",
+    "fps_diversity",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

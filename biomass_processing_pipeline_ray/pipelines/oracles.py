@@ -2377,3 +2377,204 @@ def sql_county_hull(n: int) -> str:
         "SELECT county_fips, n_vertices, area2_cells, perim_deg "
         f"FROM read_parquet('{hull_oracle_path(n)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# mosaic oracle: per-ABSOLUTE-pixel max over overlapping tiles, reduced
+# to county (n_px, snapped value sum).  Structurally independent of the
+# engine's owner-computes bucketing (stages/mosaic.py): this path emits
+# every in-domain pixel as a (key, val) row, takes ONE global
+# groupby-max over the flat key space, and only then assigns counties —
+# no spatial buckets, no canvas.  Grid spec (ix = 8kx+4-w/2+c,
+# iy = 11ky+5+h/2-r, county = (ix//4096, iy//5632), domain
+# [0,32768)x[0,45056)) mirrors the docstring contract in
+# stages/mosaic.py; reference analog: Sentinel scene mosaicking via the
+# per-county tile cache (src/core/blob_manager_v3.py:458-547).
+# ---------------------------------------------------------------------------
+
+_MOSAIC_DX = 32768  # county domain width in pixels
+_MOSAIC_DY = 45056
+
+
+def mosaic_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"mosaic_n{n}_v1.parquet")
+
+
+def _mosaic_oracle_chunk(ids: np.ndarray) -> pa.Table:
+    """(key = iy * 32768 + ix, val) rows for every in-domain pixel of
+    the chunk's tiles, pre-reduced by a LOCAL groupby-max."""
+    import pandas as pd
+
+    from ..functions import georef as G
+    from ..image import codecs
+    from ..sources import tiles as T
+
+    ids = np.asarray(ids, dtype=np.int64)
+    keys_parts: list[np.ndarray] = []
+    vals_parts: list[np.ndarray] = []
+    for i in ids:
+        px = T.make_pixels(int(i))
+        w_, h_, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+        w, h = int(w_[0]), int(h_[0])
+        fmt = T.FMTS[int(fidx[0])]
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, h, w)
+        red = dec[:, :, 0].astype(np.float64)
+        nir = dec[:, :, 2].astype(np.float64)
+        v = (nir - red) / (nir + red + 1.0)
+        key = G.derive_key(np.asarray([i], dtype=np.int64))[0]
+        kx = int(key % G.GRID)
+        ky = int((key // G.GRID) % G.GRID)
+        ix = 8 * kx + 4 - w // 2 + np.arange(w, dtype=np.int64)
+        iy = 11 * ky + 5 + h // 2 - np.arange(h, dtype=np.int64)
+        cm = (ix >= 0) & (ix < _MOSAIC_DX)
+        rm = (iy >= 0) & (iy < _MOSAIC_DY)
+        if not (cm.any() and rm.any()):
+            continue
+        kk = iy[rm, None] * _MOSAIC_DX + ix[None, cm]
+        keys_parts.append(kk.ravel())
+        vals_parts.append(v[np.ix_(rm, cm)].ravel())
+    if not keys_parts:
+        return pa.table(
+            {"key": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
+        )
+    df = pd.DataFrame(
+        {"key": np.concatenate(keys_parts), "val": np.concatenate(vals_parts)}
+    )
+    g = df.groupby("key", sort=False)["val"].max().reset_index()
+    return pa.table(
+        {
+            "key": pa.array(g["key"].to_numpy(np.int64)),
+            "val": pa.array(g["val"].to_numpy(np.float64)),
+        }
+    )
+
+
+def ensure_mosaic_oracle(n: int, chunk: int = 2048) -> str:
+    """Generate (once, cached) the 64-row county mosaic oracle."""
+    import pandas as pd
+
+    from ..functions import georef as G
+    from ..functions.rounding import round_away, snap_binary
+
+    path = mosaic_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_mosaic_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_mosaic_oracle_chunk(c) for c in chunks]
+    df = pa.concat_tables(tables).to_pandas()
+    g = df.groupby("key", sort=False)["val"].max().reset_index()
+    key = g["key"].to_numpy(np.int64)
+    iy, ix = key // _MOSAIC_DX, key % _MOSAIC_DX
+    code = G.FIPS_BASE + (iy // 5632) * G.COUNTY_NX + ix // 4096
+    vals = snap_binary(g["val"].to_numpy(np.float64))
+    agg = (
+        pd.DataFrame({"c": code, "v": vals})
+        .groupby("c", sort=True)
+        .agg(n_px=("v", "size"), val_sum=("v", "sum"))
+        .reset_index()
+    )
+    tbl = pa.table(
+        {
+            "county_fips": pa.array(
+                [f"{int(c):05d}" for c in agg["c"]], pa.string()
+            ),
+            "n_px": pa.array(agg["n_px"].to_numpy(np.int64)),
+            "mosaic_sum": pa.array(
+                round_away(agg["val_sum"].to_numpy(np.float64), 6), pa.float64()
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_mosaic(n: int) -> str:
+    return (
+        "SELECT county_fips, n_px, mosaic_sum "
+        f"FROM read_parquet('{mosaic_oracle_path(n)}')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FPS (k-center greedy) oracle: plain sequential loop over the sorted
+# sf0.01 embeddings — one dense maxsim vector, global argmin per round —
+# vs the engine's broadcast-fold + per-block partial argmin
+# (stages/fps.py).  Shares the dots/prep_rows float contract with the
+# k-means oracle family so parity is bitwise, not approximate.
+# ---------------------------------------------------------------------------
+
+FPS_K = 32
+
+
+def fps_oracle_path(k: int = FPS_K) -> str:
+    return os.path.join(ORACLE_DIR, f"fps_sf001_k{k}_v1.parquet")
+
+
+def ensure_fps_oracle(k: int = FPS_K) -> str:
+    from ..functions.rounding import round_away
+    from ..stages.kmeans import dots, prep_rows
+
+    path = fps_oracle_path(k)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    ids, mat = prep_rows(ids, emb)
+
+    maxsim = np.full(len(ids), -2.0, dtype=np.float64)
+    chosen_mask = np.zeros(len(ids), dtype=bool)
+    j = int(np.argmin(ids))  # rank-0 seed: lowest vec_id
+    ranks, picks, sims = [0], [int(ids[j])], [-2.0]
+    for rank in range(1, k):
+        fold = dots(mat, mat[j][None, :])[:, 0]
+        maxsim = np.maximum(maxsim, fold)
+        chosen_mask[j] = True
+        live = ~chosen_mask
+        lj = np.lexsort((ids[live], maxsim[live]))[0]
+        j = int(np.flatnonzero(live)[lj])
+        ranks.append(rank)
+        picks.append(int(ids[j]))
+        sims.append(float(maxsim[j]))
+    tbl = pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(picks, pa.int64()),
+            "sim_at_pick": pa.array(
+                round_away(np.asarray(sims, np.float64), 6), pa.float64()
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_fps_diversity(k: int = FPS_K) -> str:
+    return (
+        "SELECT rank, vec_id, sim_at_pick "
+        f"FROM read_parquet('{fps_oracle_path(k)}')"
+    )

@@ -1376,6 +1376,28 @@ def _sql_tile_meta_stats(n: int) -> str:
     """
 
 
+def q_county_mosaic(sf_dir: str):
+    """County raster MOSAIC: overlapping tiles resolved to ONE value
+    per absolute pixel (max across covering tiles — the cloud-free
+    composite rule), then zonal (n_px, value sum) per county.  The
+    reference's Sentinel scene-merge step (bulk per-county tile fetch +
+    overlap handling, ``blob_manager_v3.py:458-547``) as a distributed
+    operator: one bounded spatial shuffle (owner-computes 2048²-pixel
+    buckets, tiles duplicated ~1.06×), per-bucket canvas scatter-max,
+    narrow county partials (``stages/mosaic.py``).  Pixel identity,
+    county assignment and the dedup itself are pure int64 arithmetic;
+    hash-checked against a structurally independent global
+    groupby-max oracle (``oracles.ensure_mosaic_oracle``)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.mosaic import mosaic_zonal
+
+    return mosaic_zonal(
+        lambda: read_tiles(
+            tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
+        )
+    )
+
+
 def q_county_gradient(sf_dir: str):
     """Per-county image texture rollup: integer total-variation edge
     energy per tile (decode → |Δrow|+|Δcol| of the channel sum, pure
@@ -5498,6 +5520,33 @@ def _sql_caption_cell_stats(sf_dir: str) -> str:
     """
 
 
+def q_fps_diversity(sf_dir: str):
+    """Farthest-point sampling (k-center greedy, Gonzalez 1985) over
+    the embeddings table: k=32 maximally-spread vectors with the
+    coverage-radius curve (max cosine to the previously-chosen set at
+    selection time).  The diversity-SELECTION complement of the
+    redundancy-PRUNING operators (semdedup/prototype_select): seed-set
+    builder for active learning / diversity quotas.  Per round: ONE
+    new center broadcast + incremental max-fold over a materialized
+    narrow state + per-block argmin partials (≤ n_blocks rows to the
+    driver) — round cost n·d, never n·r·d recompute
+    (``stages/fps.py``; bit-exact vs the sequential global-argmin
+    oracle ``oracles.ensure_fps_oracle``)."""
+    from ..stages.fps import fps_select
+    from .oracles import FPS_K
+
+    out = fps_select(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), FPS_K)
+    return pa.table(
+        {
+            "rank": out["rank"],
+            "vec_id": out["vec_id"],
+            "sim_at_pick": pa.array(
+                round_away(out["sim_at_pick"].to_numpy(), 6), pa.float64()
+            ),
+        }
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed fixed-round Lloyd k-means over the full embeddings
     table (the at-scale IVF trainer: per-batch combiner partials +
@@ -7219,6 +7268,8 @@ _R5_GATE_WINDOW = [
     "prototype_select",
     "curation_funnel",
     "source_temperature_mix",
+    "county_mosaic",
+    "fps_diversity",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7255,6 +7306,7 @@ def ensure_generated_oracles() -> None:
         ensure_clip_oracle,
         ensure_dbscan_oracle,
         ensure_fingerprint_oracle,
+        ensure_fps_oracle,
         ensure_hull_oracle,
         ensure_ivf_oracle,
         ensure_ivfpq_oracle,
@@ -7265,6 +7317,7 @@ def ensure_generated_oracles() -> None:
         ensure_minhash_incr_oracle,
         ensure_minhash_oracle,
         ensure_overlap_oracle,
+        ensure_mosaic_oracle,
         ensure_ngram_oracle,
         ensure_grad_oracle,
         ensure_pca_oracle,
@@ -7279,6 +7332,7 @@ def ensure_generated_oracles() -> None:
 
     ensure_px_oracle(_N_ORACLE)
     ensure_grad_oracle(_N_ORACLE)
+    ensure_mosaic_oracle(_N_ORACLE)
     ensure_clip_oracle(_N_ORACLE)
     ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
@@ -7294,6 +7348,7 @@ def ensure_generated_oracles() -> None:
     ensure_pq_oracle()
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
+    ensure_fps_oracle()
     ensure_semdedup_oracle(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
     ensure_overlap_oracle()
     ensure_ttl_oracle(_TTL_US)
@@ -7324,10 +7379,12 @@ def build_queries() -> dict:
         sql_cell_index,
         sql_county_clip_stats,
         sql_county_gradient,
+        sql_county_mosaic,
         sql_county_overlap,
         sql_county_simplify,
         sql_county_hull,
         sql_fingerprints,
+        sql_fps_diversity,
         sql_ivf_topk,
         sql_ivfpq_topk,
         sql_pq_topk,
@@ -7573,6 +7630,8 @@ def build_queries() -> dict:
             q_source_temperature_mix,
             _SQL_SOURCE_TEMPERATURE_MIX,
         ),
+        "county_mosaic": (q_county_mosaic, sql_county_mosaic(_N_ORACLE)),
+        "fps_diversity": (q_fps_diversity, sql_fps_diversity()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

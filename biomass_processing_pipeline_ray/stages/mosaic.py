@@ -1,0 +1,254 @@
+"""County raster MOSAIC: per-pixel max over overlapping tiles → zonal
+stats on the deduplicated pixel surface.
+
+The reference merges multiple Sentinel-2 scenes covering one county
+before analysis (bulk tile fetch + per-county cache,
+``src/core/blob_manager_v3.py:458-547``; overlapping-scene handling in
+the tile-index date pick, ``:408-435``) — the classic mosaicking step
+every raster pipeline needs when input scenes overlap.  Our tiles
+genuinely overlap: footprints span ~4–8 lon lattice steps while tile
+centers sit on the 4096² lattice, so at 60k tiles 27.5k overlapping
+pairs share 22.9M pixels (16 % of all pixels), and summing per-tile
+stats (the headline zonal) double-counts them.  The mosaic resolves
+each ABSOLUTE pixel to the max value across covering tiles (max =
+cloud-free composite rule), then aggregates per county.
+
+Exact integer pixel grid: PIX_DEG = 2^-13 divides both georef lattice
+steps (LON_STEP = 8·PIX_DEG, LAT_STEP = 11·PIX_DEG), so every tile's
+pixel CENTERS land on one shared absolute integer grid:
+
+    ix = 8·kx + 4 − w/2 + c          (c = 0..w−1, west→east)
+    iy = 11·ky + 5 + h/2 − r          (r = 0..h−1, north row 0)
+
+with (kx, ky) the georef lattice cell of the tile id.  Both engine and
+oracle derive (ix, iy) in pure int64 arithmetic — no float compare
+anywhere in the dedup.  County of a pixel is integer too: COUNTY_W =
+4096·PIX_DEG and COUNTY_H = 5632·PIX_DEG exactly, so cx = ix // 4096,
+cy = iy // 5632.  Pixels OUTSIDE the 8×8 county domain ([0, 32768) ×
+[0, 45056)) are excluded (the mosaic covers the domain — unlike the
+centroid-clamped tile assignment, a pixel rule must pick a side and
+clamping would smear edge tiles into border counties).
+
+Scale shape (owner-computes spatial bucketing, decode-before-shuffle):
+
+1. ``decode_slices`` (stateless ``map_batches``, fused with the read):
+   decode each tile ONCE, and for every 2048×2048-pixel bucket its
+   footprint intersects emit only the bucket-OWNED sub-rectangle as
+   two uint8 blobs (red, nir channels — the minimal exact inputs of
+   the value kernel).  Slices are DISJOINT, so nothing is shipped or
+   decoded twice; the encoded payload, ids and metadata never enter
+   the shuffle at all.  Measured at the 3M-tile ladder this cuts the
+   exchange from 20.2 GB of re-sorted payload (165 s in Ray's sort)
+   to ~13 GB of channel slices and removes the straddler re-decode.
+2. Per-bucket ``map_groups``: v = (nir − red)/(nir + red + 1)
+   (bit-identical to ``stages/decode.py``) per slice, scatter-max into
+   the bucket's OWN canvas — owner-computes, the same discipline as
+   the DBSCAN ghost cells.  Canvas is 2048² float64 = 32 MB, dies in
+   the task.
+3. Bucket partials (≤ |buckets| × 64 narrow rows) → county rollup via
+   lattice-snapped order-free sums.
+
+The ONE spatial exchange is the irreducible cost of mosaicking a
+spatially-unordered table; over the geoindex-partitioned store
+(partitions already spatial) it disappears entirely.
+
+Value snap: ``snap_binary`` AFTER the max — floor-snap is monotonic, so
+snap(max(a, b)) == max(snap(a), snap(b)) and the oracle (global
+groupby-max, structurally independent of the bucketing) lands on the
+identical county sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import georef as G
+from ..functions.rounding import round_away, snap_binary
+from ..image import codecs
+from ..sources.tiles import image_ids_to_int
+
+BUCKET_PX = 2048
+DOMAIN_X = G.GRID * 8  # 32768 = COUNTY_NX * 4096 px
+DOMAIN_Y = G.GRID * 11  # 45056 = COUNTY_NY * 5632 px
+NBX = DOMAIN_X // BUCKET_PX  # 16
+NBY = DOMAIN_Y // BUCKET_PX  # 22
+CNTY_PX_X = 4096  # COUNTY_W / PIX_DEG
+CNTY_PX_Y = 5632  # COUNTY_H / PIX_DEG
+
+
+def tile_pixel_extent(ids: np.ndarray, ws: np.ndarray, hs: np.ndarray):
+    """Absolute integer pixel extent [ix0, ix1] × [iy0, iy1] (inclusive)
+    of each tile's pixel-CENTER grid; pure int64 arithmetic."""
+    key = G.derive_key(ids)
+    kx = (key % G.GRID).astype(np.int64)
+    ky = ((key // G.GRID) % G.GRID).astype(np.int64)
+    w = ws.astype(np.int64)
+    h = hs.astype(np.int64)
+    ix0 = 8 * kx + 4 - w // 2
+    ix1 = ix0 + w - 1
+    iy1 = 11 * ky + 5 + h // 2
+    iy0 = iy1 - (h - 1)
+    return ix0, ix1, iy0, iy1
+
+
+def decode_slices(batch: pa.Table) -> pa.Table:
+    """map_batches body: decode once, emit one (bucket, abs-origin,
+    shape, red-blob, nir-blob) row per bucket-owned sub-rectangle.
+
+    Tiles span ≤ 64 px per axis vs 2048-px buckets, so ≤ 2 buckets per
+    axis; slices are disjoint (each pixel goes to exactly its owner
+    bucket) and out-of-domain pixels are dropped here."""
+    ids = image_ids_to_int(batch["image_id"])
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    ix0s, ix1s, iy0s, iy1s = tile_pixel_extent(ids, ws, hs)
+    bufs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    o_bucket: list[int] = []
+    o_ax: list[int] = []  # abs ix of slice col 0
+    o_ay: list[int] = []  # abs iy of slice row 0 (northmost)
+    o_w: list[int] = []
+    o_h: list[int] = []
+    o_red: list[bytes] = []
+    o_nir: list[bytes] = []
+    for k in range(len(ids)):
+        w, h = int(ws[k]), int(hs[k])
+        ix0, ix1 = int(ix0s[k]), int(ix1s[k])
+        iy0, iy1 = int(iy0s[k]), int(iy1s[k])
+        if ix1 < 0 or ix0 >= DOMAIN_X or iy1 < 0 or iy0 >= DOMAIN_Y:
+            continue
+        px = codecs.decode(bufs[k], fmts[k], h, w)
+        red = np.ascontiguousarray(px[:, :, 0])
+        nir = np.ascontiguousarray(px[:, :, 2])
+        bx_lo = max(ix0, 0) // BUCKET_PX
+        bx_hi = min(ix1, DOMAIN_X - 1) // BUCKET_PX
+        byr_lo = max(iy0, 0) // BUCKET_PX
+        byr_hi = min(iy1, DOMAIN_Y - 1) // BUCKET_PX
+        for by in range(byr_lo, byr_hi + 1):
+            # rows r with iy = iy1 - r inside [by*B, (by+1)*B) ∩ [0, DY)
+            y_hi = min((by + 1) * BUCKET_PX - 1, iy1, DOMAIN_Y - 1)
+            y_lo = max(by * BUCKET_PX, iy0, 0)
+            r0 = iy1 - y_hi  # northmost row of the slice
+            r1 = iy1 - y_lo  # southmost row (inclusive)
+            for bx in range(bx_lo, bx_hi + 1):
+                x_lo = max(bx * BUCKET_PX, ix0, 0)
+                x_hi = min((bx + 1) * BUCKET_PX - 1, ix1, DOMAIN_X - 1)
+                c0 = x_lo - ix0
+                c1 = x_hi - ix0  # inclusive
+                o_bucket.append(by * NBX + bx)
+                o_ax.append(x_lo)
+                o_ay.append(y_hi)
+                o_w.append(c1 - c0 + 1)
+                o_h.append(r1 - r0 + 1)
+                o_red.append(red[r0 : r1 + 1, c0 : c1 + 1].tobytes())
+                o_nir.append(nir[r0 : r1 + 1, c0 : c1 + 1].tobytes())
+    return pa.table(
+        {
+            "bucket": pa.array(o_bucket, pa.int64()),
+            "ax": pa.array(o_ax, pa.int32()),
+            "ay": pa.array(o_ay, pa.int32()),
+            "sw": pa.array(o_w, pa.int32()),
+            "sh": pa.array(o_h, pa.int32()),
+            "red": pa.array(o_red, pa.binary()),
+            "nir": pa.array(o_nir, pa.binary()),
+        }
+    )
+
+
+def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: scatter-max the bucket's slices into the 2048²
+    canvas, reduce to per-county partials."""
+    bucket = int(df["bucket"].iloc[0])
+    bx, by = bucket % NBX, bucket // NBX
+    ox0, oy0 = bx * BUCKET_PX, by * BUCKET_PX
+    canvas = np.full(BUCKET_PX * BUCKET_PX, -np.inf, dtype=np.float64)
+    axs = df["ax"].to_numpy()
+    ays = df["ay"].to_numpy()
+    sws = df["sw"].to_numpy()
+    shs = df["sh"].to_numpy()
+    reds = df["red"].tolist()
+    nirs = df["nir"].tolist()
+    for k in range(len(df)):
+        sw, sh = int(sws[k]), int(shs[k])
+        red = np.frombuffer(reds[k], np.uint8).reshape(sh, sw)
+        nir = np.frombuffer(nirs[k], np.uint8).reshape(sh, sw)
+        v = (nir.astype(np.float64) - red) / (
+            nir.astype(np.float64) + red + 1.0
+        )
+        ix = int(axs[k]) + np.arange(sw, dtype=np.int64)
+        iy = int(ays[k]) - np.arange(sh, dtype=np.int64)
+        flat = (iy[:, None] - oy0) * BUCKET_PX + (ix[None, :] - ox0)
+        np.maximum.at(canvas, flat.ravel(), v.ravel())
+    idx = np.flatnonzero(canvas > -np.inf)
+    if len(idx) == 0:
+        return pd.DataFrame(
+            {"county_fips": pd.Series([], dtype=str),
+             "n_px": pd.Series([], dtype=np.int64),
+             "val_sum": pd.Series([], dtype=np.float64)}
+        )
+    iy = oy0 + idx // BUCKET_PX
+    ix = ox0 + idx % BUCKET_PX
+    code = G.FIPS_BASE + (iy // CNTY_PX_Y) * G.COUNTY_NX + ix // CNTY_PX_X
+    vals = snap_binary(canvas[idx])
+    g = pd.DataFrame({"c": code, "v": vals}).groupby("c", sort=True)
+    agg = g.agg(n_px=("v", "size"), val_sum=("v", "sum")).reset_index()
+    return pd.DataFrame(
+        {
+            "county_fips": agg["c"].astype(np.int64).astype(str).str.zfill(5),
+            "n_px": agg["n_px"].to_numpy(np.int64),
+            "val_sum": agg["val_sum"].to_numpy(np.float64),
+        }
+    )
+
+
+def mosaic_zonal(make_ds):
+    """tiles Dataset factory → 64-row (county_fips, n_px, mosaic_sum).
+
+    ``make_ds`` is a zero-arg callable building the tiles Dataset; it
+    runs INSIDE a push-based-shuffle context scope because Ray captures
+    the DataContext at the ROOT dataset's creation (scoping only the
+    groupby construction does not reach the sort — measured: the
+    root-scoped form runs the 3M-tile exchange in 86–99 s vs 182–187 s
+    pull-based / groupby-scoped; sf0.1 unchanged ±10 %).  Push-based
+    pipelines map-side merge with reduce — also the multi-node-correct
+    choice for the one large exchange here.  The global flag is
+    restored before returning."""
+    from ray.data import DataContext
+
+    from .zonal import bucketed_agg
+
+    ctx = DataContext.get_current()
+    prev = ctx.use_push_based_shuffle
+    ctx.use_push_based_shuffle = True
+    try:
+        parts = (
+            make_ds()
+            .map_batches(decode_slices, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(mosaic_bucket, batch_format="pandas")
+        )
+    finally:
+        ctx.use_push_based_shuffle = prev
+    out = bucketed_agg(
+        parts,
+        ["county_fips"],
+        {"n_px": ("n_px", "sum"), "val_sum": ("val_sum", "sum")},
+        nb=16,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n_px": pa.array(
+                    b["n_px"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "mosaic_sum": pa.array(
+                    round_away(b["val_sum"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

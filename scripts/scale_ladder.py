@@ -117,6 +117,12 @@ LADDER = {
     # within-cluster exact all-pairs cost per row stays constant —
     # the paper's own scaling regime, which is the claim to check.
     "semdedup": "embeddings",
+    # round-5: county mosaic.  The 3M-tile universe is 5x denser on the
+    # same pixel domain, so overlap (the work the per-pixel max
+    # resolves) GROWS superlinearly while the scatter-max stays
+    # canvas-bounded per bucket — the honest stress for the
+    # owner-computes shuffle + canvas design.
+    "county_mosaic": "tiles",
 }
 
 

@@ -1,6 +1,14 @@
 import numpy as np
+import pytest
 
 from biomass_processing_pipeline_ray.image import codecs, phash
+
+
+@pytest.fixture
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
 
 
 def test_raw_png_lossless(rng):
@@ -84,3 +92,129 @@ def test_phash_stable_and_sensitive(rng):
     d_far = phash.hamming_i64(np.array([h1]), np.array([phash.dhash(other)]))[0]
     assert d_near <= 4
     assert d_far > 10
+
+
+def test_mosaic_zonal_overlap_and_bucket_straddle(rd, ray_session):
+    """County mosaic vs a test-local brute force on a hand-picked tile
+    set containing (a) genuinely overlapping footprints and (b) tiles
+    straddling 2048-px bucket boundaries — the owner-computes rule must
+    neither drop nor double-count straddled pixels, and the per-pixel
+    max must differ from a naive per-tile sum."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.functions.rounding import (
+        round_away,
+        snap_binary,
+    )
+    from biomass_processing_pipeline_ray.sources.tiles import (
+        gen_tiles_batch,
+        tile_dims,
+    )
+    from biomass_processing_pipeline_ray.stages.mosaic import (
+        BUCKET_PX,
+        decode_slices,
+        mosaic_zonal,
+        tile_pixel_extent,
+    )
+
+    # scan a candidate id range for overlap pairs + bucket straddlers
+    cand = np.arange(0, 120_000, dtype=np.int64)
+    w_, h_, _ = tile_dims(cand)
+    ix0, ix1, iy0, iy1 = tile_pixel_extent(cand, w_, h_)
+    # footprint-interval sweep: sort by ix0, test the next 64 sorted
+    # neighbors for x-interval AND y-interval intersection (footprints
+    # span ≤ 64 px, so farther neighbors cannot overlap in x)
+    order = np.argsort(ix0, kind="stable")
+    a0, a1 = ix0[order], ix1[order]
+    b0, b1 = iy0[order], iy1[order]
+    pick = set()
+    for off in range(1, 64):
+        i = np.arange(len(cand) - off)
+        k = i + off
+        hit = (a0[k] <= a1[i]) & ~((b1[k] < b0[i]) | (b0[k] > b1[i]))
+        for j in np.flatnonzero(hit)[:2]:
+            pick.add(int(cand[order[j]]))
+            pick.add(int(cand[order[j + off]]))
+        if len(pick) >= 16:
+            break
+    assert len(pick) >= 2, "fixture id space lost its overlap pairs"
+    # bucket straddlers: footprint crosses a 2048-px line in x and in y
+    sx = np.flatnonzero(ix0 // BUCKET_PX != ix1 // BUCKET_PX)[:4]
+    sy = np.flatnonzero(iy0 // BUCKET_PX != iy1 // BUCKET_PX)[:4]
+    assert len(sx) and len(sy)
+    pick.update(int(i) for i in cand[sx])
+    pick.update(int(i) for i in cand[sy])
+    pick.update(range(64))  # filler spread
+    ids = np.asarray(sorted(pick), dtype=np.int64)
+    tbl = gen_tiles_batch(ids)
+
+    # straddlers really fan out to >1 bucket, and slices are disjoint:
+    # total slice pixels == total in-domain pixels (nothing shipped twice)
+    fan = decode_slices(tbl)
+    assert len(fan) > len(ids)  # at least one tile emitted ≥ 2 slices
+    n_slice_px = int(
+        (fan["sw"].to_numpy().astype(np.int64) * fan["sh"].to_numpy()).sum()
+    )
+
+    got = (
+        mosaic_zonal(lambda: rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+
+    # brute force: global per-pixel dict-max, then county reduce
+    from biomass_processing_pipeline_ray.image import codecs as C
+    from biomass_processing_pipeline_ray.sources.tiles import FMTS, make_pixels
+
+    best: dict[int, float] = {}
+    n_total_px = 0
+    for i in ids:
+        w0, h0, fidx = tile_dims(np.asarray([i], dtype=np.int64))
+        w0, h0 = int(w0[0]), int(h0[0])
+        fmt = FMTS[int(fidx[0])]
+        dec = C.decode(C.encode(make_pixels(int(i)), fmt), fmt, h0, w0)
+        v = (dec[:, :, 2].astype(np.float64) - dec[:, :, 0]) / (
+            dec[:, :, 2].astype(np.float64) + dec[:, :, 0] + 1.0
+        )
+        x0, x1, y0, y1 = tile_pixel_extent(
+            np.asarray([i], np.int64),
+            np.asarray([w0], np.int64),
+            np.asarray([h0], np.int64),
+        )
+        ix = int(x0[0]) + np.arange(w0, dtype=np.int64)
+        iy = int(y1[0]) - np.arange(h0, dtype=np.int64)
+        for r in range(h0):
+            if not (0 <= iy[r] < 45056):
+                continue
+            for c in range(w0):
+                if not (0 <= ix[c] < 32768):
+                    continue
+                kk = int(iy[r]) * 32768 + int(ix[c])
+                n_total_px += 1
+                val = float(v[r, c])
+                if kk not in best or val > best[kk]:
+                    best[kk] = val
+    assert n_total_px > len(best), "no pixel overlap exercised"
+    assert n_slice_px == n_total_px  # disjoint slice cover of in-domain px
+    keys = np.fromiter(best.keys(), np.int64, len(best))
+    vals = snap_binary(np.fromiter(best.values(), np.float64, len(best)))
+    code = G.FIPS_BASE + (keys // 32768 // 5632) * G.COUNTY_NX + (
+        keys % 32768
+    ) // 4096
+    exp = (
+        pd.DataFrame({"c": code, "v": vals})
+        .groupby("c", sort=True)
+        .agg(n_px=("v", "size"), val_sum=("v", "sum"))
+        .reset_index()
+    )
+    exp = pd.DataFrame(
+        {
+            "county_fips": exp["c"].astype(np.int64).astype(str).str.zfill(5),
+            "n_px": exp["n_px"].astype(np.int64),
+            "mosaic_sum": round_away(exp["val_sum"].to_numpy(), 6),
+        }
+    ).sort_values("county_fips").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)

@@ -3650,3 +3650,34 @@ def test_semdedup_flags_vs_bruteforce(rd, ray_session):
     # every group keeps exactly one row
     per_grp = got.groupby("grp")["keep"].sum()
     assert (per_grp == 1).all()
+
+
+def test_fps_select_invariants_and_exhaustion(rd, ray_session):
+    """FPS: rank 0 = lowest vec_id; picks distinct; coverage radius
+    (sim_at_pick) non-decreasing once real folds start; k = n selects
+    every point exactly once (chosen-exclusion keeps the loop total
+    even when duplicates reach maxsim == self-sim)."""
+    from biomass_processing_pipeline_ray.stages.fps import fps_select
+
+    rng = np.random.default_rng(3)
+    n, d = 12, 8
+    mat = rng.normal(size=(n, d))
+    mat[5] = mat[2]  # exact duplicate pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(100, 100 + n, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    out = fps_select(rd.from_arrow(tbl), k=n).to_pandas()
+    assert out["rank"].tolist() == list(range(n))
+    assert out["vec_id"].iloc[0] == 100
+    assert out["vec_id"].is_unique and set(out["vec_id"]) == set(range(100, 100 + n))
+    sims = out["sim_at_pick"].to_numpy()
+    assert sims[0] == -2.0
+    assert (np.diff(sims[1:]) >= -1e-12).all()  # non-decreasing radius
+    # the duplicate is picked LAST (its maxsim hits ~1.0 once its twin
+    # is chosen, the worst coverage gain)
+    assert out["vec_id"].iloc[-1] in (102, 105)
+    assert sims[-1] > 0.999
