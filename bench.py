@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "source_temperature_mix",
     "county_mosaic",
     "fps_diversity",
+    "county_winsorized",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -559,6 +559,94 @@ def q_county_mad(sf_dir: str):
     return grouped_mad(make_ds, "county_fips", "vq", "coarse")
 
 
+_TRIM_PCT = 5  # winsorize/trim tail fraction (t = n*5//100 per county)
+
+
+def q_county_winsorized(sf_dir: str):
+    """Per-county winsorized + trimmed means of the quantized biomass —
+    the Tukey robust-location pair next to MAD's robust spread: tail
+    values beyond the t-th order statistics (t = n·5 %) are clipped
+    (winsorized) or dropped (trimmed) before the mean, so single
+    outlier tiles cannot move a county's figure.  ONE grouped pass by
+    exact rank selection in the integer domain
+    (``stages/analytic.grouped_winsorized``); means rounded at the
+    query edge only."""
+    from ..stages.analytic import grouped_winsorized
+
+    ds = _pip(_range_geo(universe_n(sf_dir)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        vq = round_away(
+            G.derive_biomass(b["tile_id"].to_numpy()) * _MAD_Q, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {"county_fips": b["county_fips"], "vq": pa.array(vq, pa.int64())}
+        )
+        return _add_fips_coarse(t)
+
+    out = grouped_winsorized(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "county_fips",
+        "vq",
+        "coarse",
+        trim_pct=_TRIM_PCT,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.float64)
+        t = b["n"].to_numpy() * _TRIM_PCT // 100
+        trim_n = (b["n"].to_numpy() - 2 * t).astype(np.float64)
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n": b["n"],
+                "lo_cut": b["lo_cut"],
+                "hi_cut": b["hi_cut"],
+                "win_mean": pa.array(
+                    round_away(b["win_sum"].to_numpy() / n, 4), pa.float64()
+                ),
+                "trim_mean": pa.array(
+                    round_away(b["trim_sum"].to_numpy() / trim_n, 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_county_winsorized(n: int) -> str:
+    _, _, fips = _geo_sql_fragments()
+    bm = G.sql_biomass("id")
+    return f"""
+    WITH q AS (
+      SELECT {fips} AS county_fips,
+             CAST(ROUND({bm} * {_MAD_Q:.1f}, 0) AS BIGINT) AS vq
+      FROM (SELECT range AS id FROM range({n}))),
+    r AS (
+      SELECT county_fips, vq,
+             row_number() OVER (PARTITION BY county_fips ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY county_fips) AS cnt
+      FROM q),
+    s AS (
+      SELECT county_fips, CAST(MAX(cnt) AS BIGINT) AS n,
+             CAST(MAX(cnt) * {_TRIM_PCT} // 100 AS BIGINT) AS t,
+             MAX(CASE WHEN rn = cnt * {_TRIM_PCT} // 100 + 1
+                      THEN vq END) AS lo_cut,
+             MAX(CASE WHEN rn = cnt - cnt * {_TRIM_PCT} // 100
+                      THEN vq END) AS hi_cut,
+             SUM(CASE WHEN rn > cnt * {_TRIM_PCT} // 100
+                       AND rn <= cnt - cnt * {_TRIM_PCT} // 100
+                      THEN vq ELSE 0 END) AS trim_sum
+      FROM r GROUP BY county_fips)
+    SELECT county_fips, n, lo_cut, hi_cut,
+           ROUND((trim_sum + t * (lo_cut + hi_cut)) / CAST(n AS DOUBLE), 4)
+             AS win_mean,
+           ROUND(trim_sum / CAST(n - 2 * t AS DOUBLE), 4) AS trim_mean
+    FROM s
+    """
+
+
 def _sql_county_mad(n: int) -> str:
     _, _, fips = _geo_sql_fragments()
     bm = G.sql_biomass("id")
@@ -7270,6 +7358,7 @@ _R5_GATE_WINDOW = [
     "source_temperature_mix",
     "county_mosaic",
     "fps_diversity",
+    "county_winsorized",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7632,6 +7721,10 @@ def build_queries() -> dict:
         ),
         "county_mosaic": (q_county_mosaic, sql_county_mosaic(_N_ORACLE)),
         "fps_diversity": (q_fps_diversity, sql_fps_diversity()),
+        "county_winsorized": (
+            q_county_winsorized,
+            _sql_county_winsorized(_N_ORACLE),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

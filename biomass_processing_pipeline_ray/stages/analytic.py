@@ -1301,6 +1301,52 @@ def grouped_median_int(ds, key: str, val: str, coarse_col: str,
     return ds.groupby(coarse_col).map_groups(per_bucket, batch_format="pandas")
 
 
+def grouped_winsorized(ds, key: str, val: str, coarse_col: str,
+                       trim_pct: int = 5):
+    """Per-group winsorized + trimmed means by exact rank selection —
+    the outlier-robust location statistics (Tukey; the standard pair
+    next to MAD for per-stratum quality gates).  With t =
+    floor(n·trim_pct/100) per group:
+
+    - trimmed sum  = Σ of the elements at sort ranks [t, n−t) — a
+      RANK-range sum, tie-invariant (equal values sum equally in any
+      tie order), so exact in the integer value domain;
+    - winsorize cutoffs lo = vals[t], hi = vals[n−1−t]; winsorized
+      sum = trimmed sum + t·lo + t·hi (each clipped tail collapses to
+      its cutoff).
+
+    ONE pass: the per-coarse-bucket kernel sorts its groups (same
+    shape as :func:`grouped_median_int`) and emits a bounded row per
+    group (n, lo_cut, hi_cut, trim_sum, win_sum) — means are left to
+    the caller so rounding rules stay at the query edge.  n − 2t ≥ 1
+    always (t < n/2 by construction for trim_pct < 50)."""
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        keys = g[key].to_numpy()
+        vals = g[val].to_numpy()
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts, sizes, _ = _group_offsets(keys)
+        t = sizes * trim_pct // 100
+        cum = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+        lo_cut = vals[starts + t]
+        hi_cut = vals[starts + sizes - 1 - t]
+        trim_sum = cum[starts + sizes - t] - cum[starts + t]
+        win_sum = trim_sum + t * (lo_cut + hi_cut)
+        return pa.table(
+            {
+                key: pa.array(keys[starts]),
+                "n": pa.array(sizes.astype(np.int64), pa.int64()),
+                "lo_cut": pa.array(lo_cut.astype(np.int64), pa.int64()),
+                "hi_cut": pa.array(hi_cut.astype(np.int64), pa.int64()),
+                "trim_sum": pa.array(trim_sum.astype(np.int64), pa.int64()),
+                "win_sum": pa.array(win_sum.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby(coarse_col).map_groups(per_bucket, batch_format="pandas")
+
+
 def grouped_mad(make_ds, key: str, val: str, coarse_col: str):
     """Per-group exact median absolute deviation — the robust spread
     statistic (outlier-insensitive, unlike stddev) every

@@ -482,3 +482,44 @@ def test_grouped_gini_matches_textbook(rd, ray_session):
         assert abs(r["gini"] - exp) < 1e-6, (r["g"], r["gini"], exp)
     assert got.loc[got["g"] == "b", "gini"].iloc[0] == 0.0
     assert abs(got.loc[got["g"] == "c", "gini"].iloc[0] - 0.99) < 1e-9
+
+
+def test_grouped_winsorized_ties_and_small_groups(rd, ray_session):
+    """Rank-range trimming must be tie-invariant and total for tiny
+    groups (t = 0 when n*5//100 == 0 → trim == plain sum, cuts = min/max
+    elements)."""
+    from biomass_processing_pipeline_ray.stages.analytic import (
+        grouped_winsorized,
+    )
+
+    vals = {
+        "a": [5, 1, 1, 1, 9, 9, 9, 2, 2, 2] * 4,  # n=40, t=2, heavy ties
+        "b": [7, 3, 11],  # n=3, t=0
+        "c": [4],  # n=1, t=0
+    }
+    rows_k, rows_v = [], []
+    for k, vs in vals.items():
+        rows_k += [k] * len(vs)
+        rows_v += vs
+    tbl = pa.table(
+        {
+            "k": pa.array(rows_k, pa.string()),
+            "v": pa.array(np.asarray(rows_v, np.int64)),
+            "coarse": pa.array(np.zeros(len(rows_k), np.int64)),
+        }
+    )
+    got = (
+        grouped_winsorized(rd.from_arrow(tbl), "k", "v", "coarse")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for k, vs in vals.items():
+        s = np.sort(np.asarray(vs, np.int64))
+        n = len(s)
+        t = n * 5 // 100
+        row = got[got["k"] == k].iloc[0]
+        assert row["n"] == n
+        assert row["lo_cut"] == s[t] and row["hi_cut"] == s[n - 1 - t]
+        assert row["trim_sum"] == s[t : n - t].sum()
+        assert row["win_sum"] == s[t : n - t].sum() + t * (s[t] + s[n - 1 - t])
