@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "county_mosaic",
     "fps_diversity",
     "county_winsorized",
+    "county_overlap_depth",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

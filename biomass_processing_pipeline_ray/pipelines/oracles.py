@@ -2578,3 +2578,115 @@ def sql_fps_diversity(k: int = FPS_K) -> str:
         "SELECT rank, vec_id, sim_at_pick "
         f"FROM read_parquet('{fps_oracle_path(k)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# coverage-depth oracle: per-absolute-pixel covering-tile COUNT, banded
+# (1 / 2 / ≥3) per county.  Structurally independent of the engine's
+# difference-array bucketing (stages/mosaic.depth_bucket): this path
+# emits every in-domain pixel key and takes one global groupby-count.
+# Pure arithmetic — no decode.
+# ---------------------------------------------------------------------------
+
+
+def depth_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"depth_n{n}_v1.parquet")
+
+
+def _depth_oracle_chunk(ids: np.ndarray) -> pa.Table:
+    import pandas as pd
+
+    from ..functions import georef as G
+    from ..sources import tiles as T
+
+    ids = np.asarray(ids, dtype=np.int64)
+    w_, h_, _ = T.tile_dims(ids)
+    key = G.derive_key(ids)
+    kx = (key % G.GRID).astype(np.int64)
+    ky = ((key // G.GRID) % G.GRID).astype(np.int64)
+    w = w_.astype(np.int64)
+    h = h_.astype(np.int64)
+    ix0 = 8 * kx + 4 - w // 2
+    iy1 = 11 * ky + 5 + h // 2
+    parts: list[np.ndarray] = []
+    for j in range(len(ids)):
+        ix = ix0[j] + np.arange(w[j], dtype=np.int64)
+        iy = iy1[j] - np.arange(h[j], dtype=np.int64)
+        ix = ix[(ix >= 0) & (ix < _MOSAIC_DX)]
+        iy = iy[(iy >= 0) & (iy < _MOSAIC_DY)]
+        if len(ix) == 0 or len(iy) == 0:
+            continue
+        parts.append((iy[:, None] * _MOSAIC_DX + ix[None, :]).ravel())
+    if not parts:
+        return pa.table(
+            {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    df = pd.DataFrame({"key": np.concatenate(parts)})
+    g = df.groupby("key", sort=False).size().reset_index(name="cnt")
+    return pa.table(
+        {
+            "key": pa.array(g["key"].to_numpy(np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+        }
+    )
+
+
+def ensure_depth_oracle(n: int, chunk: int = 4096) -> str:
+    import pandas as pd
+
+    from ..functions import georef as G
+
+    path = depth_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_depth_oracle_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_depth_oracle_chunk(c) for c in chunks]
+    df = pa.concat_tables(tables).to_pandas()
+    g = df.groupby("key", sort=False)["cnt"].sum().reset_index()
+    key = g["key"].to_numpy(np.int64)
+    iy, ix = key // _MOSAIC_DX, key % _MOSAIC_DX
+    code = G.FIPS_BASE + (iy // 5632) * G.COUNTY_NX + ix // 4096
+    band = np.minimum(g["cnt"].to_numpy(np.int64), 3)
+    agg = (
+        pd.DataFrame({"c": code, "b": band, "one": np.ones(len(key), np.int64)})
+        .groupby(["c", "b"], sort=True)["one"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(columns=[1, 2, 3], fill_value=0)
+        .reset_index()
+    )
+    tbl = pa.table(
+        {
+            "county_fips": pa.array(
+                [f"{int(c):05d}" for c in agg["c"]], pa.string()
+            ),
+            "d1": pa.array(agg[1].to_numpy(np.int64)),
+            "d2": pa.array(agg[2].to_numpy(np.int64)),
+            "d3p": pa.array(agg[3].to_numpy(np.int64)),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_overlap_depth(n: int) -> str:
+    return (
+        "SELECT county_fips, d1, d2, d3p "
+        f"FROM read_parquet('{depth_oracle_path(n)}')"
+    )

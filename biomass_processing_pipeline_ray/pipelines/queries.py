@@ -1486,6 +1486,24 @@ def q_county_mosaic(sf_dir: str):
     )
 
 
+def q_county_overlap_depth(sf_dir: str):
+    """Coverage-depth histogram per county: covered surface seen by
+    exactly 1 / 2 / ≥3 tiles — the mosaic's QA dashboard (depth-1 area
+    has zero redundancy; deep areas waste acquisition; the reference's
+    tile-index date pick resolves exactly this multiplicity,
+    ``blob_manager_v3.py:408-435``).  Pure arithmetic: ~40 B slice
+    EXTENTS shuffle (no decode, no payload), per-bucket 2-D difference
+    arrays — O(1) per rectangle + one cumsum
+    (``stages/mosaic.overlap_depth``; independent global
+    pixel-groupby-count oracle ``oracles.ensure_depth_oracle``)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.mosaic import overlap_depth
+
+    return overlap_depth(
+        read_tiles(tiles_path(sf_dir), columns=["image_id", "w", "h"])
+    )
+
+
 def q_county_gradient(sf_dir: str):
     """Per-county image texture rollup: integer total-variation edge
     energy per tile (decode → |Δrow|+|Δcol| of the channel sum, pure
@@ -7359,6 +7377,7 @@ _R5_GATE_WINDOW = [
     "county_mosaic",
     "fps_diversity",
     "county_winsorized",
+    "county_overlap_depth",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7406,6 +7425,7 @@ def ensure_generated_oracles() -> None:
         ensure_minhash_incr_oracle,
         ensure_minhash_oracle,
         ensure_overlap_oracle,
+        ensure_depth_oracle,
         ensure_mosaic_oracle,
         ensure_ngram_oracle,
         ensure_grad_oracle,
@@ -7422,6 +7442,7 @@ def ensure_generated_oracles() -> None:
     ensure_px_oracle(_N_ORACLE)
     ensure_grad_oracle(_N_ORACLE)
     ensure_mosaic_oracle(_N_ORACLE)
+    ensure_depth_oracle(_N_ORACLE)
     ensure_clip_oracle(_N_ORACLE)
     ensure_thumb_oracle(_N_ORACLE)
     ensure_cell_oracle(_N_ORACLE)
@@ -7469,6 +7490,7 @@ def build_queries() -> dict:
         sql_county_clip_stats,
         sql_county_gradient,
         sql_county_mosaic,
+        sql_overlap_depth,
         sql_county_overlap,
         sql_county_simplify,
         sql_county_hull,
@@ -7724,6 +7746,10 @@ def build_queries() -> dict:
         "county_winsorized": (
             q_county_winsorized,
             _sql_county_winsorized(_N_ORACLE),
+        ),
+        "county_overlap_depth": (
+            q_county_overlap_depth,
+            sql_overlap_depth(_N_ORACLE),
         ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]

@@ -252,3 +252,144 @@ def mosaic_zonal(make_ds):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def slice_extents(batch: pa.Table) -> pa.Table:
+    """Narrow twin of :func:`decode_slices`: bucket-owned sub-rectangle
+    EXTENTS only — no decode, no payload (coverage depth needs counts,
+    not values), so the exchange is ~40 bytes per slice."""
+    ids = image_ids_to_int(batch["image_id"])
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    ix0s, ix1s, iy0s, iy1s = tile_pixel_extent(ids, ws, hs)
+    o_bucket: list[int] = []
+    o_ax: list[int] = []
+    o_ay: list[int] = []
+    o_w: list[int] = []
+    o_h: list[int] = []
+    for k in range(len(ids)):
+        ix0, ix1 = int(ix0s[k]), int(ix1s[k])
+        iy0, iy1 = int(iy0s[k]), int(iy1s[k])
+        if ix1 < 0 or ix0 >= DOMAIN_X or iy1 < 0 or iy0 >= DOMAIN_Y:
+            continue
+        bx_lo = max(ix0, 0) // BUCKET_PX
+        bx_hi = min(ix1, DOMAIN_X - 1) // BUCKET_PX
+        by_lo = max(iy0, 0) // BUCKET_PX
+        by_hi = min(iy1, DOMAIN_Y - 1) // BUCKET_PX
+        for by in range(by_lo, by_hi + 1):
+            y_hi = min((by + 1) * BUCKET_PX - 1, iy1, DOMAIN_Y - 1)
+            y_lo = max(by * BUCKET_PX, iy0, 0)
+            for bx in range(bx_lo, bx_hi + 1):
+                x_lo = max(bx * BUCKET_PX, ix0, 0)
+                x_hi = min((bx + 1) * BUCKET_PX - 1, ix1, DOMAIN_X - 1)
+                o_bucket.append(by * NBX + bx)
+                o_ax.append(x_lo)
+                o_ay.append(y_hi)
+                o_w.append(x_hi - x_lo + 1)
+                o_h.append(y_hi - y_lo + 1)
+    return pa.table(
+        {
+            "bucket": pa.array(o_bucket, pa.int64()),
+            "ax": pa.array(o_ax, pa.int32()),
+            "ay": pa.array(o_ay, pa.int32()),
+            "sw": pa.array(o_w, pa.int32()),
+            "sh": pa.array(o_h, pa.int32()),
+        }
+    )
+
+
+def depth_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: 2-D difference array over the bucket canvas —
+    O(1) per rectangle (4 corner increments) + one double cumsum — then
+    per-county coverage-depth band counts (1 / 2 / ≥3 tiles)."""
+    bucket = int(df["bucket"].iloc[0])
+    bx, by = bucket % NBX, bucket // NBX
+    ox0, oy0 = bx * BUCKET_PX, by * BUCKET_PX
+    diff = np.zeros((BUCKET_PX + 1, BUCKET_PX + 1), dtype=np.int32)
+    c0 = df["ax"].to_numpy().astype(np.int64) - ox0
+    r0 = (oy0 + BUCKET_PX - 1) - df["ay"].to_numpy().astype(np.int64)
+    # rows grow southward in canvas space: slice row 0 is its NORTH
+    # edge (ay); canvas row index = (bucket top iy) − iy
+    sw = df["sw"].to_numpy().astype(np.int64)
+    sh = df["sh"].to_numpy().astype(np.int64)
+    np.add.at(diff, (r0, c0), 1)
+    np.add.at(diff, (r0, c0 + sw), -1)
+    np.add.at(diff, (r0 + sh, c0), -1)
+    np.add.at(diff, (r0 + sh, c0 + sw), 1)
+    cnt = diff.cumsum(axis=0).cumsum(axis=1)[:BUCKET_PX, :BUCKET_PX]
+    # a 2048-px bucket sits inside exactly ONE county column (4096 =
+    # 2 buckets) and crosses at most one county ROW boundary (5632 px),
+    # so the per-county reduce is ≤ 2 contiguous row-slice bincounts —
+    # no per-pixel key array, no pandas groupby over canvas pixels
+    cx = ox0 // CNTY_PX_X
+    iy_top = oy0 + BUCKET_PX - 1  # canvas row 0 (north edge)
+    segs: list[tuple[int, int, int]] = []  # (cy, r_start, r_stop_excl)
+    cy_top = iy_top // CNTY_PX_Y
+    cy_bot = oy0 // CNTY_PX_Y
+    if cy_top == cy_bot:
+        segs.append((cy_top, 0, BUCKET_PX))
+    else:
+        split_iy = cy_top * CNTY_PX_Y  # lowest iy of the upper county
+        r_split = iy_top - split_iy + 1
+        segs.append((cy_top, 0, r_split))
+        segs.append((cy_bot, r_split, BUCKET_PX))
+    out_c: list[str] = []
+    out_b: list[np.ndarray] = []
+    for cy, r0, r1 in segs:
+        bc = np.bincount(
+            np.minimum(cnt[r0:r1, :], 3).ravel(), minlength=4
+        ).astype(np.int64)
+        if bc[1:].sum() == 0:
+            continue
+        out_c.append(f"{G.FIPS_BASE + cy * G.COUNTY_NX + cx:05d}")
+        out_b.append(bc[1:4])
+    if not out_c:
+        return pd.DataFrame(
+            {"county_fips": pd.Series([], dtype=str),
+             "d1": pd.Series([], dtype=np.int64),
+             "d2": pd.Series([], dtype=np.int64),
+             "d3p": pd.Series([], dtype=np.int64)}
+        )
+    bands = np.stack(out_b)
+    return pd.DataFrame(
+        {
+            "county_fips": out_c,
+            "d1": bands[:, 0],
+            "d2": bands[:, 1],
+            "d3p": bands[:, 2],
+        }
+    )
+
+
+def overlap_depth(ds):
+    """tiles Dataset → 64-row (county_fips, d1, d2, d3p) coverage-depth
+    histogram: how much of each county's covered surface is seen by
+    exactly 1 / 2 / ≥3 tiles — the mosaic's QA dashboard (depth-1 area
+    has no redundancy; deep areas waste acquisition).  Same
+    owner-computes buckets as the mosaic but the exchange is ~40 B
+    slice extents (no decode, no payload) — arithmetic end-to-end."""
+    from .zonal import bucketed_agg
+
+    parts = (
+        ds.map_batches(slice_extents, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(depth_bucket, batch_format="pandas")
+    )
+    out = bucketed_agg(
+        parts,
+        ["county_fips"],
+        {"d1": ("d1", "sum"), "d2": ("d2", "sum"), "d3p": ("d3p", "sum")},
+        nb=16,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "d1": pa.array(b["d1"].to_numpy().astype(np.int64)),
+                "d2": pa.array(b["d2"].to_numpy().astype(np.int64)),
+                "d3p": pa.array(b["d3p"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

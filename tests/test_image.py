@@ -218,3 +218,88 @@ def test_mosaic_zonal_overlap_and_bucket_straddle(rd, ray_session):
         }
     ).sort_values("county_fips").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_overlap_depth_vs_bruteforce(rd, ray_session):
+    """Difference-array depth banding vs a literal per-pixel dict count
+    on a tile set with real overlaps and bucket straddlers."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.sources.tiles import (
+        gen_tiles_batch,
+        tile_dims,
+    )
+    from biomass_processing_pipeline_ray.stages.mosaic import (
+        overlap_depth,
+        tile_pixel_extent,
+    )
+
+    cand = np.arange(0, 120_000, dtype=np.int64)
+    w_, h_, _ = tile_dims(cand)
+    ix0, ix1, iy0, iy1 = tile_pixel_extent(cand, w_, h_)
+    order = np.argsort(ix0, kind="stable")
+    a0, a1 = ix0[order], ix1[order]
+    b0, b1 = iy0[order], iy1[order]
+    pick = set(range(48))
+    for off in range(1, 64):
+        i = np.arange(len(cand) - off)
+        k = i + off
+        hit = (a0[k] <= a1[i]) & ~((b1[k] < b0[i]) | (b0[k] > b1[i]))
+        for j in np.flatnonzero(hit)[:3]:
+            pick.add(int(cand[order[j]]))
+            pick.add(int(cand[order[j + off]]))
+        if len(pick) >= 72:
+            break
+    ids = np.asarray(sorted(pick), dtype=np.int64)
+    tbl = gen_tiles_batch(ids)
+    got = (
+        overlap_depth(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+
+    cnt: dict[int, int] = {}
+    for i in ids:
+        w0, h0, _ = tile_dims(np.asarray([i], dtype=np.int64))
+        x0, _, _, y1 = tile_pixel_extent(
+            np.asarray([i], np.int64),
+            w0.astype(np.int64),
+            h0.astype(np.int64),
+        )
+        for r in range(int(h0[0])):
+            iy = int(y1[0]) - r
+            if not (0 <= iy < 45056):
+                continue
+            for c in range(int(w0[0])):
+                ix = int(x0[0]) + c
+                if not (0 <= ix < 32768):
+                    continue
+                kk = iy * 32768 + ix
+                cnt[kk] = cnt.get(kk, 0) + 1
+    keys = np.fromiter(cnt.keys(), np.int64, len(cnt))
+    depth = np.fromiter(cnt.values(), np.int64, len(cnt))
+    assert (depth >= 2).any(), "no overlap depth exercised"
+    code = G.FIPS_BASE + (keys // 32768 // 5632) * G.COUNTY_NX + (
+        keys % 32768
+    ) // 4096
+    band = np.minimum(depth, 3)
+    exp = (
+        pd.DataFrame({"c": code, "b": band, "one": 1})
+        .groupby(["c", "b"])["one"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(columns=[1, 2, 3], fill_value=0)
+        .reset_index()
+    )
+    exp = pd.DataFrame(
+        {
+            "county_fips": exp["c"].astype(np.int64).astype(str).str.zfill(5),
+            "d1": exp[1].astype(np.int64),
+            "d2": exp[2].astype(np.int64),
+            "d3p": exp[3].astype(np.int64),
+        }
+    ).sort_values("county_fips").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
