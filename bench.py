@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "fps_diversity",
     "county_winsorized",
     "county_overlap_depth",
+    "ann_pq_rerank",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

