@@ -7428,9 +7428,9 @@ _R5_GATE_WINDOW = [
     "exact_dedup",
     "simhash_pairs",
     "ngram_jaccard_pairs",
-    "hourly_event_stats",
-    "anti_join_customers",
-    # new in round 5
+    # new in round 5 (never driver-attested — they outrank merely-stale
+    # r1/r2 entries, so hourly_event_stats + anti_join_customers move
+    # below the additions; both keep r1/r2-green rows + local sweeps)
     "audio_features",
     "video_frame_stats",
     "benchmark_decontam",
@@ -7450,6 +7450,8 @@ _R5_GATE_WINDOW = [
     "county_winsorized",
     "county_overlap_depth",
     "ann_pq_rerank",
+    "hourly_event_stats",
+    "anti_join_customers",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
