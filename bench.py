@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "county_winsorized",
     "county_overlap_depth",
     "ann_pq_rerank",
+    "ivf_recall_eval",
+    "events_token_bucket",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

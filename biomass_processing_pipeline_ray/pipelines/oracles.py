@@ -2771,3 +2771,71 @@ def sql_pq_rerank() -> str:
         'SELECT query_id, vec_id, "rank", cos '
         f"FROM read_parquet('{pq_rerank_oracle_path()}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# token-bucket oracle: literal per-EVENT sequential scan with dict state
+# (tok, last_keep_ts) per user — vs the engine's kept-row jump chain
+# (stages/analytic.token_bucket).  Integer µs end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def token_bucket_oracle_path(cost_us: int, cap_us: int) -> str:
+    return os.path.join(
+        ORACLE_DIR, f"token_bucket_sf001_k{cost_us}_c{cap_us}.parquet"
+    )
+
+
+def ensure_token_bucket_oracle(cost_us: int, cap_us: int) -> str:
+    path = token_bucket_oracle_path(cost_us, cap_us)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    ts_us = ev["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    rows = sorted(
+        zip(
+            ev["user_id"].to_pylist(),
+            ts_us,
+            ev["event_id"].to_pylist(),
+            ev["event_type"].to_pylist(),
+        )
+    )
+    state: dict[int, tuple[int, int]] = {}  # uid -> (tok, last_keep_ts)
+    kept = []
+    for uid, t, eid, typ in rows:
+        st = state.get(uid)
+        if st is None:
+            tok = cap_us - cost_us
+            state[uid] = (tok, t)
+            kept.append((eid, uid, typ, t, tok))
+            continue
+        tok, prev = st
+        avail = min(cap_us, tok + (t - prev))
+        if avail >= cost_us:
+            tok = avail - cost_us
+            state[uid] = (tok, t)
+            kept.append((eid, uid, typ, t, tok))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in kept], pa.int64()),
+            "user_id": pa.array([r[1] for r in kept], pa.int64()),
+            "event_type": pa.array([r[2] for r in kept], pa.string()),
+            "ts_us": pa.array([r[3] for r in kept], pa.int64()),
+            "tokens_left": pa.array([r[4] for r in kept], pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_token_bucket(cost_us: int, cap_us: int) -> str:
+    return (
+        "SELECT event_id, user_id, event_type, ts_us, tokens_left "
+        f"FROM read_parquet('{token_bucket_oracle_path(cost_us, cap_us)}')"
+    )

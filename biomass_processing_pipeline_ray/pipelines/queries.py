@@ -4557,6 +4557,28 @@ def q_events_ttl_throttle(sf_dir: str):
     return ttl_throttle(ds, ttl_us=_TTL_US)
 
 
+_TB_COST_US = 24 * 3600 * 1_000_000  # one event costs 24 h of credit
+_TB_CAP_US = 96 * 3600 * 1_000_000  # bucket capacity: burst of 4
+# (keeps 4,876 / 10,000 events at sf0.01 — the limiter genuinely bites;
+# 6 h/24 h kept 98.8 %, a degenerate gate)
+
+
+def q_events_token_bucket(sf_dir: str):
+    """Streaming token-bucket rate limiter per user (keyed sequential
+    state — ``stages/analytic.token_bucket``): burst of 4 passes
+    immediately, then one event per 24 h of refill; dropped events
+    neither spend nor reset the clock.  The burst-tolerant
+    generalization of the TTL throttle (cost == cap degenerate case).
+    Oracle: literal per-event sequential dict-state scan
+    (``oracles.ensure_token_bucket_oracle``) — integer µs both sides,
+    emitted ``tokens_left`` checks the STATE trajectory, not just the
+    keep set."""
+    from ..stages.analytic import token_bucket
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return token_bucket(ds, cost_us=_TB_COST_US, cap_us=_TB_CAP_US)
+
+
 _LSH_COPY_OFFSET = 1_000_000
 
 
@@ -7312,6 +7334,50 @@ def q_ann_pq_topk(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_ivf_recall_eval(sf_dir: str):
+    """Index-quality metric: recall@10 of the IVF-probed search against
+    the exact brute-force top-10, per query — the dashboard number an
+    ANN deployment watches when tuning nlist/nprobe.  Runs both
+    D-checked distributed paths (each result is nq×10 rows — bounded),
+    intersects per query on the driver.  The SQL twin composes the
+    SAME two oracles (exact SQL top-10 ⋈ the sequential IVF oracle
+    parquet), so the gate checks the composition end-to-end."""
+    ex = q_ann_topk(sf_dir).to_pandas()[["query_id", "vec_id"]]
+    iv = q_ann_ivf_topk(sf_dir).to_pandas()[["query_id", "vec_id"]]
+    iv = iv.assign(hit=np.int64(1))
+    m = ex.merge(iv, on=["query_id", "vec_id"], how="left")
+    g = (
+        m.groupby("query_id", sort=True)["hit"]
+        .agg(lambda s: int(s.notna().sum()))
+        .reset_index(name="n_hit")
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(g["query_id"].to_numpy(np.int64)),
+            "n_hit": pa.array(g["n_hit"].to_numpy(np.int64)),
+            "recall": pa.array(
+                round_away(g["n_hit"].to_numpy(np.float64) / 10.0, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_ivf_recall_eval() -> str:
+    from .oracles import ivf_oracle_path
+
+    return f"""
+    WITH ex AS ({_SQL_ANN_TOPK}),
+    iv AS (SELECT query_id, vec_id
+           FROM read_parquet('{ivf_oracle_path()}'))
+    SELECT ex.query_id,
+           CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(iv.vec_id) / 10.0, 6) AS recall
+    FROM ex LEFT JOIN iv USING (query_id, vec_id)
+    GROUP BY ex.query_id
+    """
+
+
 _RERANK_SHORTLIST = 50  # PQ-ADC candidates per query before exact rerank
 _RERANK_K = 10
 
@@ -7450,6 +7516,8 @@ _R5_GATE_WINDOW = [
     "county_winsorized",
     "county_overlap_depth",
     "ann_pq_rerank",
+    "ivf_recall_eval",
+    "events_token_bucket",
     "hourly_event_stats",
     "anti_join_customers",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
@@ -7511,6 +7579,7 @@ def ensure_generated_oracles() -> None:
         ensure_simhash_oracle,
         ensure_simplify_oracle,
         ensure_thumb_oracle,
+        ensure_token_bucket_oracle,
         ensure_ttl_oracle,
     )
 
@@ -7538,6 +7607,7 @@ def ensure_generated_oracles() -> None:
     ensure_semdedup_oracle(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
     ensure_overlap_oracle()
     ensure_ttl_oracle(_TTL_US)
+    ensure_token_bucket_oracle(_TB_COST_US, _TB_CAP_US)
     ensure_psnr_oracle(_N_ORACLE)
     ensure_pca_oracle(k=PCA_K)
     ensure_dbscan_oracle(_N_ORACLE)
@@ -7590,6 +7660,7 @@ def build_queries() -> dict:
         sql_tile_dbscan,
         sql_psnr_pairs,
         sql_simhash_pairs,
+        sql_token_bucket,
         sql_ttl_throttle,
         sql_zonal_px,
     )
@@ -7829,6 +7900,11 @@ def build_queries() -> dict:
             sql_overlap_depth(_N_ORACLE),
         ),
         "ann_pq_rerank": (q_ann_pq_rerank, sql_pq_rerank()),
+        "ivf_recall_eval": (q_ivf_recall_eval, _sql_ivf_recall_eval()),
+        "events_token_bucket": (
+            q_events_token_bucket,
+            sql_token_bucket(_TB_COST_US, _TB_CAP_US),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

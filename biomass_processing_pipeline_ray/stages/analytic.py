@@ -416,6 +416,84 @@ def ttl_throttle(ds, ttl_us: int, n_coarse: int = 256):
     )
 
 
+def token_bucket(ds, cost_us: int, cap_us: int, n_coarse: int = 256):
+    """Streaming token-bucket rate limiter per ``user_id`` — the
+    burst-tolerant generalization of :func:`ttl_throttle` (which is the
+    degenerate bucket cost == cap): a user's bucket holds ``cap_us``
+    time-units of credit, refills 1 unit per µs of wall time, and each
+    KEPT event spends ``cost_us`` — so bursts up to cap/cost events
+    pass immediately, then the stream throttles to one per ``cost_us``.
+
+    Like the TTL chain, state changes ONLY on kept rows (dropped events
+    neither spend nor reset the refill clock, which accrues in wall
+    time), so the per-key walk jumps kept→kept with one searchsorted:
+    after a keep at t₀ with leftover L, the next keep is the first
+    arrival ≥ t₀ + max(0, cost − L) — exact under same-µs ties because
+    the array is (ts, event_id)-sorted and the jump clamps past the
+    current row.  O(kept · log n) per key; state is two scalars.
+
+    Emits kept rows + ``tokens_left`` (µs credit after the spend, the
+    number a rate-limit dashboard graphs).  Integer µs end-to-end."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "ts_us": _ts_us_col(b["ts"]),
+                "coarse": pa.array(uid % n_coarse),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, typ = uid[order], ts[order], eid[order], typ[order]
+        starts, sizes, _ = _group_offsets(uid)
+        keep = np.zeros(len(uid), dtype=bool)
+        left = np.zeros(len(uid), dtype=np.int64)
+        for s, sz in zip(starts, sizes):
+            t = ts[s : s + sz]
+            i = 0
+            tok = cap_us - cost_us  # first event always kept (cap ≥ cost)
+            keep[s] = True
+            left[s] = tok
+            prev = t[0]
+            while True:
+                need = prev + max(0, cost_us - tok)
+                j = int(np.searchsorted(t, need, side="left"))
+                if j <= i:
+                    j = i + 1
+                if j >= sz:
+                    break
+                tok = min(cap_us, tok + int(t[j] - prev)) - cost_us
+                prev = t[j]
+                keep[s + j] = True
+                left[s + j] = tok
+                i = j
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[k], pa.int64()),
+                "user_id": pa.array(uid[k], pa.int64()),
+                "event_type": pa.array(typ[k].astype(str), pa.string()),
+                "ts_us": pa.array(ts[k], pa.int64()),
+                "tokens_left": pa.array(left[k], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact grouped quantiles (element selection — no float interpolation)
 # ---------------------------------------------------------------------------

@@ -523,3 +523,47 @@ def test_grouped_winsorized_ties_and_small_groups(rd, ray_session):
         assert row["lo_cut"] == s[t] and row["hi_cut"] == s[n - 1 - t]
         assert row["trim_sum"] == s[t : n - t].sum()
         assert row["win_sum"] == s[t : n - t].sum() + t * (s[t] + s[n - 1 - t])
+
+
+def test_token_bucket_burst_and_refill(rd, ray_session):
+    """Crafted single-user stream: burst of 4 drains the bucket, the
+    5th (immediate) drops, refill readmits exactly on the cost
+    boundary, cap clips long idle accrual, and dropped events do not
+    touch state."""
+    from biomass_processing_pipeline_ray.stages.analytic import token_bucket
+
+    cost, cap = 10, 40
+    # times: burst 0,1,2,3 (kept, tokens 30,21,13,6... recompute below),
+    # 4 drops; 20 readmits; 21 drops; 1000 (cap-clipped) keeps; 1001 keeps
+    ts = [0, 1, 2, 3, 4, 20, 21, 1000, 1001, 1002, 1003, 1004]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+            "ts": pa.array(
+                np.asarray(ts, np.int64), pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.full(len(ts), 7, np.int64)),
+            "event_type": pa.array(["x"] * len(ts), pa.string()),
+        }
+    )
+    got = (
+        token_bucket(rd.from_arrow(tbl), cost_us=cost, cap_us=cap)
+        .to_pandas()
+        .sort_values("ts_us")
+        .reset_index(drop=True)
+    )
+    # sequential reference
+    tok, prev = cap - cost, 0
+    exp = [(0, tok)]
+    for t in ts[1:]:
+        avail = min(cap, tok + (t - prev))
+        if avail >= cost:
+            tok, prev = avail - cost, t
+            exp.append((t, tok))
+    assert list(zip(got["ts_us"], got["tokens_left"])) == exp
+    # structure asserts: the burst kept exactly 4, immediate 5th dropped
+    kept_ts = got["ts_us"].tolist()
+    assert kept_ts[:4] == [0, 1, 2, 3] and 4 not in kept_ts
+    # idle accrual is cap-clipped: after t=1000 the burst size is again 4
+    assert {1000, 1001, 1002, 1003}.issubset(set(kept_ts))
+    assert 1004 not in kept_ts
