@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ivf_recall_eval",
     "events_token_bucket",
+    "user_retention_cohorts",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

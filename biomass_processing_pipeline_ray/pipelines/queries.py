@@ -4557,6 +4557,105 @@ def q_events_ttl_throttle(sf_dir: str):
     return ttl_throttle(ds, ttl_us=_TTL_US)
 
 
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix: users grouped by FIRST-event
+    week (the cohort), counted distinct per (cohort, week offset) they
+    were active — the canonical product-analytics triangle.  ONE
+    coarse shuffle: events co-partition by user bucket, each bucket
+    derives its users' cohorts locally (all of a user's events share
+    its bucket), dedups (user, offset) and emits integer partials;
+    a bounded (cohorts × offsets) groupby sums them."""
+    from ..stages.analytic import _ts_us_col
+    from ..stages.zonal import bucketed_agg
+
+    nb = 256
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        wk = _ts_us_col(b["ts"]).to_numpy() // _WEEK_US
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "wk": pa.array(wk, pa.int64()),
+                "coarse": pa.array(uid % nb, pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        wk = g["wk"].to_numpy()
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        cohort = wk[np.flatnonzero(first)][
+            np.cumsum(first) - 1
+        ]  # per-row cohort = its user's min week (sorted-first element)
+        off = wk - cohort
+        tup = np.stack([uid, off], axis=1)
+        uniq = np.unique(tup, axis=0)
+        cw = cohort[
+            np.searchsorted(uid, uniq[:, 0])
+        ]  # cohort of each unique (user, offset)
+        df = pd.DataFrame({"cohort_week": cw, "week_offset": uniq[:, 1]})
+        agg = df.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    agg["cohort_week"].to_numpy(np.int64)
+                ),
+                "week_offset": pa.array(
+                    agg["week_offset"].to_numpy(np.int64)
+                ),
+                "n_users": pa.array(agg["size"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        _tbl(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = bucketed_agg(
+        parts,
+        ["cohort_week", "week_offset"],
+        {"n_users": ("n_users", "sum")},
+        nb=16,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": b["cohort_week"],
+                "week_offset": b["week_offset"],
+                "n_users": pa.array(
+                    b["n_users"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+_SQL_RETENTION_COHORTS = f"""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
+      FROM w JOIN c USING (user_id)
+    )
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cw, off
+"""
+
+
 _TB_COST_US = 24 * 3600 * 1_000_000  # one event costs 24 h of credit
 _TB_CAP_US = 96 * 3600 * 1_000_000  # bucket capacity: burst of 4
 # (keeps 4,876 / 10,000 events at sf0.01 — the limiter genuinely bites;
@@ -7518,6 +7617,7 @@ _R5_GATE_WINDOW = [
     "ann_pq_rerank",
     "ivf_recall_eval",
     "events_token_bucket",
+    "user_retention_cohorts",
     "hourly_event_stats",
     "anti_join_customers",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
@@ -7904,6 +8004,10 @@ def build_queries() -> dict:
         "events_token_bucket": (
             q_events_token_bucket,
             sql_token_bucket(_TB_COST_US, _TB_CAP_US),
+        ),
+        "user_retention_cohorts": (
+            q_user_retention_cohorts,
+            _SQL_RETENTION_COHORTS,
         ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
