@@ -158,16 +158,22 @@ def decode_slices(batch: pa.Table) -> pa.Table:
 
 
 def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """map_groups body: scatter-max the bucket's slices into the 2048²
-    canvas, reduce to per-county partials."""
-    bucket = int(df["bucket"].iloc[0])
-    bx, by = bucket % NBX, bucket // NBX
-    ox0, oy0 = bx * BUCKET_PX, by * BUCKET_PX
-    canvas = np.full(BUCKET_PX * BUCKET_PX, -np.inf, dtype=np.float64)
-    axs = df["ax"].to_numpy()
-    ays = df["ay"].to_numpy()
-    sws = df["sw"].to_numpy()
-    shs = df["sh"].to_numpy()
+    """map_groups body: scatter-max the bucket's slices into a canvas
+    CROPPED to the slices' bounding box (identical result; cost and
+    memory ∝ occupied area, so sparse buckets — tiny inputs, domain
+    fringes — don't pay the full 2048² fixed cost), reduce to
+    per-county partials."""
+    axs = df["ax"].to_numpy().astype(np.int64)
+    ays = df["ay"].to_numpy().astype(np.int64)
+    sws = df["sw"].to_numpy().astype(np.int64)
+    shs = df["sh"].to_numpy().astype(np.int64)
+    cx0 = int(axs.min())
+    cx1 = int((axs + sws - 1).max())
+    cy1 = int(ays.max())  # northmost iy
+    cy0 = int((ays - shs + 1).min())  # southmost iy
+    W = cx1 - cx0 + 1
+    H = cy1 - cy0 + 1
+    canvas = np.full(H * W, -np.inf, dtype=np.float64)
     reds = df["red"].tolist()
     nirs = df["nir"].tolist()
     for k in range(len(df)):
@@ -179,7 +185,7 @@ def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
         )
         ix = int(axs[k]) + np.arange(sw, dtype=np.int64)
         iy = int(ays[k]) - np.arange(sh, dtype=np.int64)
-        flat = (iy[:, None] - oy0) * BUCKET_PX + (ix[None, :] - ox0)
+        flat = (cy1 - iy[:, None]) * W + (ix[None, :] - cx0)
         np.maximum.at(canvas, flat.ravel(), v.ravel())
     idx = np.flatnonzero(canvas > -np.inf)
     if len(idx) == 0:
@@ -188,8 +194,8 @@ def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
              "n_px": pd.Series([], dtype=np.int64),
              "val_sum": pd.Series([], dtype=np.float64)}
         )
-    iy = oy0 + idx // BUCKET_PX
-    ix = ox0 + idx % BUCKET_PX
+    iy = cy1 - idx // W
+    ix = cx0 + idx % W
     code = G.FIPS_BASE + (iy // CNTY_PX_Y) * G.COUNTY_NX + ix // CNTY_PX_X
     vals = snap_binary(canvas[idx])
     g = pd.DataFrame({"c": code, "v": vals}).groupby("c", sort=True)
@@ -299,40 +305,46 @@ def slice_extents(batch: pa.Table) -> pa.Table:
 
 
 def depth_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """map_groups body: 2-D difference array over the bucket canvas —
-    O(1) per rectangle (4 corner increments) + one double cumsum — then
-    per-county coverage-depth band counts (1 / 2 / ≥3 tiles)."""
-    bucket = int(df["bucket"].iloc[0])
-    bx, by = bucket % NBX, bucket // NBX
-    ox0, oy0 = bx * BUCKET_PX, by * BUCKET_PX
-    diff = np.zeros((BUCKET_PX + 1, BUCKET_PX + 1), dtype=np.int32)
-    c0 = df["ax"].to_numpy().astype(np.int64) - ox0
-    r0 = (oy0 + BUCKET_PX - 1) - df["ay"].to_numpy().astype(np.int64)
-    # rows grow southward in canvas space: slice row 0 is its NORTH
-    # edge (ay); canvas row index = (bucket top iy) − iy
+    """map_groups body: 2-D difference array over the bucket canvas
+    CROPPED to the slices' bounding box (identical result; cost ∝
+    occupied area) — O(1) per rectangle (4 corner increments) + one
+    double cumsum — then per-county coverage-depth band counts
+    (1 / 2 / ≥3 tiles)."""
+    axs = df["ax"].to_numpy().astype(np.int64)
+    ays = df["ay"].to_numpy().astype(np.int64)
     sw = df["sw"].to_numpy().astype(np.int64)
     sh = df["sh"].to_numpy().astype(np.int64)
+    cx0 = int(axs.min())
+    cy1 = int(ays.max())  # northmost iy (canvas row 0)
+    cy0 = int((ays - sh + 1).min())
+    W = int((axs + sw - 1).max()) - cx0 + 1
+    H = cy1 - cy0 + 1
+    diff = np.zeros((H + 1, W + 1), dtype=np.int32)
+    c0 = axs - cx0
+    r0 = cy1 - ays
+    # rows grow southward in canvas space: slice row 0 is its NORTH
+    # edge (ay); canvas row index = cy1 − iy
     np.add.at(diff, (r0, c0), 1)
     np.add.at(diff, (r0, c0 + sw), -1)
     np.add.at(diff, (r0 + sh, c0), -1)
     np.add.at(diff, (r0 + sh, c0 + sw), 1)
-    cnt = diff.cumsum(axis=0).cumsum(axis=1)[:BUCKET_PX, :BUCKET_PX]
+    cnt = diff.cumsum(axis=0).cumsum(axis=1)[:H, :W]
     # a 2048-px bucket sits inside exactly ONE county column (4096 =
-    # 2 buckets) and crosses at most one county ROW boundary (5632 px),
-    # so the per-county reduce is ≤ 2 contiguous row-slice bincounts —
+    # 2 buckets) and crosses at most one county ROW boundary (5632 px)
+    # — both facts survive cropping (bbox ⊆ bucket) — so the
+    # per-county reduce is ≤ 2 contiguous row-slice bincounts:
     # no per-pixel key array, no pandas groupby over canvas pixels
-    cx = ox0 // CNTY_PX_X
-    iy_top = oy0 + BUCKET_PX - 1  # canvas row 0 (north edge)
+    cx = cx0 // CNTY_PX_X
     segs: list[tuple[int, int, int]] = []  # (cy, r_start, r_stop_excl)
-    cy_top = iy_top // CNTY_PX_Y
-    cy_bot = oy0 // CNTY_PX_Y
+    cy_top = cy1 // CNTY_PX_Y
+    cy_bot = cy0 // CNTY_PX_Y
     if cy_top == cy_bot:
-        segs.append((cy_top, 0, BUCKET_PX))
+        segs.append((cy_top, 0, H))
     else:
         split_iy = cy_top * CNTY_PX_Y  # lowest iy of the upper county
-        r_split = iy_top - split_iy + 1
+        r_split = cy1 - split_iy + 1
         segs.append((cy_top, 0, r_split))
-        segs.append((cy_bot, r_split, BUCKET_PX))
+        segs.append((cy_bot, r_split, H))
     out_c: list[str] = []
     out_b: list[np.ndarray] = []
     for cy, r0, r1 in segs:
