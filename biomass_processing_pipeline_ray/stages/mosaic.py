@@ -379,11 +379,18 @@ def overlap_depth(ds):
     exactly 1 / 2 / ≥3 tiles — the mosaic's QA dashboard (depth-1 area
     has no redundancy; deep areas waste acquisition).  Same
     owner-computes buckets as the mosaic but the exchange is ~40 B
-    slice extents (no decode, no payload) — arithmetic end-to-end."""
+    slice extents (no decode, no payload) — arithmetic end-to-end.
+
+    The extent rows COALESCE to 32 blocks before the bucket groupby:
+    the table is tiny (~12 B/tile), but Ray's sort scales its barrier
+    with input-block COUNT, and upstream produces one block per read
+    task (measured at the 3M-tile ladder: 733 blocks → 55 s sort wall
+    on 75 MB with ~9 s of remote time; 32 blocks → seconds)."""
     from .zonal import bucketed_agg
 
     parts = (
         ds.map_batches(slice_extents, batch_format="pyarrow")
+        .repartition(32)
         .groupby("bucket")
         .map_groups(depth_bucket, batch_format="pandas")
     )

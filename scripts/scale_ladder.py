@@ -123,6 +123,9 @@ LADDER = {
     # canvas-bounded per bucket — the honest stress for the
     # owner-computes shuffle + canvas design.
     "county_mosaic": "tiles",
+    # round-5: coverage depth — the no-decode extent shuffle + per-bucket
+    # difference arrays; 5x tiles → 5x rectangles on the same canvas area
+    "county_overlap_depth": "tiles",
 }
 
 
