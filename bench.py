@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "ivf_recall_eval",
     "events_token_bucket",
     "user_retention_cohorts",
+    "doc_signal_sweep",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -4557,6 +4557,84 @@ def q_events_ttl_throttle(sf_dir: str):
     return ttl_throttle(ds, ttl_us=_TTL_US)
 
 
+def q_doc_signal_sweep(sf_dir: str):
+    """Fused ONE-scan text-quality signal bundle — the text analog of
+    the fused-decode ``curation_sweep``: stats + langid + quality +
+    repetition + lexical diversity all emitted from a SINGLE pass over
+    the documents table (five standalone queries = five storage scans;
+    at 100 TB the scan dominates every one of these signal kernels, so
+    a signals table should be built in one).  Each kernel is the
+    already-D-checked batch function; the fusion is a column join by
+    row position inside the batch.  The SQL twin joins the five
+    standalone twins on doc_id — the gate checks the fused pass
+    against the five-way composition."""
+    from ..stages.textstages import (
+        langid_batch,
+        lexical_batch,
+        quality_batch,
+        repetition_batch,
+        text_stats_batch,
+    )
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def fused(b: pa.Table) -> pa.Table:
+        st = text_stats_batch(b)
+        lg = langid_batch(b)
+        q = quality_batch(b)
+        lx = lexical_batch(b)
+        rp = repetition_batch(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": st["n_tokens"],
+                "n_punct": st["n_punct"],
+                "avg_tok_len": st["avg_tok_len"],
+                "predicted_lang": lg["predicted_lang"],
+                "lang_match": lg["lang_match"],
+                "quality_score": q["quality_score"],
+                "quality_bucket": q["quality_bucket"],
+                "n_types": lx["n_types"],
+                "ttr": lx["ttr"],
+                "ttr_keep": lx["keep"],
+                "top_bigram_count": rp["top_bigram_count"],
+                "n_bigrams": rp["n_bigrams"],
+                "rep_keep": rp["keep"],
+            }
+        )
+
+    return ds.map_batches(fused, batch_format="pyarrow")
+
+
+def _sql_doc_signal_sweep() -> str:
+    from ..stages.textstages import (
+        sql_langid,
+        sql_lexical,
+        sql_quality,
+        sql_repetition,
+        sql_text_stats,
+    )
+
+    return f"""
+    WITH st AS ({sql_text_stats()}),
+    lg AS ({sql_langid()}),
+    q AS ({sql_quality()}),
+    lx AS ({sql_lexical()}),
+    rp AS ({sql_repetition()})
+    SELECT CAST(st.doc_id AS BIGINT) AS doc_id,
+           st.n_tokens, st.n_punct, st.avg_tok_len,
+           lg.predicted_lang, lg.lang_match,
+           q.quality_score, q.quality_bucket,
+           lx.n_types, lx.ttr, lx.keep AS ttr_keep,
+           rp.top_bigram_count, rp.n_bigrams, rp.keep AS rep_keep
+    FROM st
+    JOIN lg USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN lx USING (doc_id)
+    JOIN rp USING (doc_id)
+    """
+
+
 _WEEK_US = 7 * 86400 * 1_000_000
 
 
@@ -7618,6 +7696,7 @@ _R5_GATE_WINDOW = [
     "ivf_recall_eval",
     "events_token_bucket",
     "user_retention_cohorts",
+    "doc_signal_sweep",
     "hourly_event_stats",
     "anti_join_customers",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
@@ -8009,6 +8088,7 @@ def build_queries() -> dict:
             q_user_retention_cohorts,
             _SQL_RETENTION_COHORTS,
         ),
+        "doc_signal_sweep": (q_doc_signal_sweep, _sql_doc_signal_sweep()),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]
