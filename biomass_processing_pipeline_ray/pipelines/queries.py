@@ -7659,16 +7659,12 @@ _R5_GATE_WINDOW = [
     "tile_meta_stats",
     "county_shannon",
     "county_dominant_fmt",
-    "q1_pricing",
-    "semi_join_customers",
     "langid",
     "doc_quality",
     "token_counts",
     "knn_idw_sharded_capped",
     "pip_assign",
     "zonal_biomass",
-    "county_top10",
-    "exact_dedup",
     "simhash_pairs",
     "ngram_jaccard_pairs",
     # new in round 5 (never driver-attested — they outrank merely-stale
@@ -7699,6 +7695,10 @@ _R5_GATE_WINDOW = [
     "doc_signal_sweep",
     "hourly_event_stats",
     "anti_join_customers",
+    "q1_pricing",
+    "semi_join_customers",
+    "county_top10",
+    "exact_dedup",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
