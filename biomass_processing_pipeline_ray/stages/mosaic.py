@@ -173,7 +173,7 @@ def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
     cy0 = int((ays - shs + 1).min())  # southmost iy
     W = cx1 - cx0 + 1
     H = cy1 - cy0 + 1
-    canvas = np.full(H * W, -np.inf, dtype=np.float64)
+    canvas = np.full((H, W), -np.inf, dtype=np.float64)
     reds = df["red"].tolist()
     nirs = df["nir"].tolist()
     for k in range(len(df)):
@@ -183,10 +183,14 @@ def mosaic_bucket(df: pd.DataFrame) -> pd.DataFrame:
         v = (nir.astype(np.float64) - red) / (
             nir.astype(np.float64) + red + 1.0
         )
-        ix = int(axs[k]) + np.arange(sw, dtype=np.int64)
-        iy = int(ays[k]) - np.arange(sh, dtype=np.int64)
-        flat = (cy1 - iy[:, None]) * W + (ix[None, :] - cx0)
-        np.maximum.at(canvas, flat.ravel(), v.ravel())
+        # slices are contiguous RECTANGLES on the canvas — a plain 2-D
+        # region max, not a scatter (np.maximum.at was the stage's CPU
+        # hog: ~10 M px/s unbuffered vs memory-speed region ops)
+        r0 = cy1 - int(ays[k])  # slice row 0 (north edge) in canvas rows
+        c0 = int(axs[k]) - cx0
+        reg = canvas[r0 : r0 + sh, c0 : c0 + sw]
+        np.maximum(reg, v, out=reg)
+    canvas = canvas.ravel()
     idx = np.flatnonzero(canvas > -np.inf)
     if len(idx) == 0:
         return pd.DataFrame(
