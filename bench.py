@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "events_token_bucket",
     "user_retention_cohorts",
     "doc_signal_sweep",
+    "county_mosaic_mean",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

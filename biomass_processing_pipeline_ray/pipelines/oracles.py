@@ -2839,3 +2839,127 @@ def sql_token_bucket(cost_us: int, cap_us: int) -> str:
         "SELECT event_id, user_id, event_type, ts_us, tokens_left "
         f"FROM read_parquet('{token_bucket_oracle_path(cost_us, cap_us)}')"
     )
+
+
+# ---------------------------------------------------------------------------
+# MEAN-composite mosaic oracle: per-pixel (Σ snap(v), count) via global
+# groupby over flat pixel keys, mean = snap(S/n), county (n_px, Σ mean).
+# ---------------------------------------------------------------------------
+
+
+def mosaic_mean_oracle_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"mosaic_mean_n{n}_v1.parquet")
+
+
+def _mosaic_mean_chunk(ids: np.ndarray) -> pa.Table:
+    import pandas as pd
+
+    from ..functions import georef as G
+    from ..functions.rounding import snap_binary
+    from ..image import codecs
+    from ..sources import tiles as T
+
+    ids = np.asarray(ids, dtype=np.int64)
+    keys_parts: list[np.ndarray] = []
+    vals_parts: list[np.ndarray] = []
+    for i in ids:
+        px = T.make_pixels(int(i))
+        w_, h_, fidx = T.tile_dims(np.asarray([i], dtype=np.int64))
+        w, h = int(w_[0]), int(h_[0])
+        fmt = T.FMTS[int(fidx[0])]
+        dec = codecs.decode(codecs.encode(px, fmt), fmt, h, w)
+        red = dec[:, :, 0].astype(np.float64)
+        nir = dec[:, :, 2].astype(np.float64)
+        v = snap_binary((nir - red) / (nir + red + 1.0))
+        key = G.derive_key(np.asarray([i], dtype=np.int64))[0]
+        kx = int(key % G.GRID)
+        ky = int((key // G.GRID) % G.GRID)
+        ix = 8 * kx + 4 - w // 2 + np.arange(w, dtype=np.int64)
+        iy = 11 * ky + 5 + h // 2 - np.arange(h, dtype=np.int64)
+        cm = (ix >= 0) & (ix < _MOSAIC_DX)
+        rm = (iy >= 0) & (iy < _MOSAIC_DY)
+        if not (cm.any() and rm.any()):
+            continue
+        kk = iy[rm, None] * _MOSAIC_DX + ix[None, cm]
+        keys_parts.append(kk.ravel())
+        vals_parts.append(v[np.ix_(rm, cm)].ravel())
+    if not keys_parts:
+        return pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    df = pd.DataFrame(
+        {"key": np.concatenate(keys_parts), "v": np.concatenate(vals_parts)}
+    )
+    g = df.groupby("key", sort=False)["v"].agg(["sum", "size"]).reset_index()
+    return pa.table(
+        {
+            "key": pa.array(g["key"].to_numpy(np.int64)),
+            "s": pa.array(g["sum"].to_numpy(np.float64)),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }
+    )
+
+
+def ensure_mosaic_mean_oracle(n: int, chunk: int = 2048) -> str:
+    import pandas as pd
+
+    from ..functions import georef as G
+    from ..functions.rounding import round_away, snap_binary
+
+    path = mosaic_mean_oracle_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    chunks = [all_ids[lo : lo + chunk] for lo in range(0, n, chunk)]
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        ray_up = False
+    if ray_up and len(chunks) > 1:
+        import ray
+
+        fn = ray.remote(_mosaic_mean_chunk)
+        tables = ray.get([fn.remote(c) for c in chunks])
+    else:
+        tables = [_mosaic_mean_chunk(c) for c in chunks]
+    df = pa.concat_tables(tables).to_pandas()
+    g = df.groupby("key", sort=False).agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+    key = g["key"].to_numpy(np.int64)
+    mean = snap_binary(g["s"].to_numpy(np.float64) / g["n"].to_numpy(np.float64))
+    iy, ix = key // _MOSAIC_DX, key % _MOSAIC_DX
+    code = G.FIPS_BASE + (iy // 5632) * G.COUNTY_NX + ix // 4096
+    agg = (
+        pd.DataFrame({"c": code, "v": mean})
+        .groupby("c", sort=True)
+        .agg(n_px=("v", "size"), val_sum=("v", "sum"))
+        .reset_index()
+    )
+    tbl = pa.table(
+        {
+            "county_fips": pa.array(
+                [f"{int(c):05d}" for c in agg["c"]], pa.string()
+            ),
+            "n_px": pa.array(agg["n_px"].to_numpy(np.int64)),
+            "mean_sum": pa.array(
+                round_away(agg["val_sum"].to_numpy(np.float64), 6), pa.float64()
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_county_mosaic_mean(n: int) -> str:
+    return (
+        "SELECT county_fips, n_px, mean_sum "
+        f"FROM read_parquet('{mosaic_mean_oracle_path(n)}')"
+    )

@@ -1486,6 +1486,26 @@ def q_county_mosaic(sf_dir: str):
     )
 
 
+def q_county_mosaic_mean(sf_dir: str):
+    """MEAN-composite county mosaic: per-pixel AVERAGE over covering
+    tiles (the de-seaming rule when overlapping scenes disagree by
+    noise; max is the cloud-free rule) → per-county (n_px, Σ mean).
+    Same decode-once slice exchange as ``county_mosaic`` under
+    root-scoped push shuffle, different per-pixel reduce — region adds
+    into snapped-lattice sum + count canvases, mean = snap(S/n)
+    (identical IEEE operands both sides)
+    (``stages/mosaic.mosaic_mean_zonal``; independent global
+    groupby-(sum,count) oracle ``oracles.ensure_mosaic_mean_oracle``)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.mosaic import mosaic_mean_zonal
+
+    return mosaic_mean_zonal(
+        lambda: read_tiles(
+            tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
+        )
+    )
+
+
 def q_county_overlap_depth(sf_dir: str):
     """Coverage-depth histogram per county: covered surface seen by
     exactly 1 / 2 / ≥3 tiles — the mosaic's QA dashboard (depth-1 area
@@ -7666,7 +7686,6 @@ _R5_GATE_WINDOW = [
     "pip_assign",
     "zonal_biomass",
     "simhash_pairs",
-    "ngram_jaccard_pairs",
     # new in round 5 (never driver-attested — they outrank merely-stale
     # r1/r2 entries, so hourly_event_stats + anti_join_customers move
     # below the additions; both keep r1/r2-green rows + local sweeps)
@@ -7693,12 +7712,14 @@ _R5_GATE_WINDOW = [
     "events_token_bucket",
     "user_retention_cohorts",
     "doc_signal_sweep",
+    "county_mosaic_mean",
     "hourly_event_stats",
     "anti_join_customers",
     "q1_pricing",
     "semi_join_customers",
     "county_top10",
     "exact_dedup",
+    "ngram_jaccard_pairs",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -7748,6 +7769,7 @@ def ensure_generated_oracles() -> None:
         ensure_minhash_oracle,
         ensure_overlap_oracle,
         ensure_depth_oracle,
+        ensure_mosaic_mean_oracle,
         ensure_mosaic_oracle,
         ensure_ngram_oracle,
         ensure_grad_oracle,
@@ -7765,6 +7787,7 @@ def ensure_generated_oracles() -> None:
     ensure_px_oracle(_N_ORACLE)
     ensure_grad_oracle(_N_ORACLE)
     ensure_mosaic_oracle(_N_ORACLE)
+    ensure_mosaic_mean_oracle(_N_ORACLE)
     ensure_depth_oracle(_N_ORACLE)
     ensure_clip_oracle(_N_ORACLE)
     ensure_thumb_oracle(_N_ORACLE)
@@ -7815,6 +7838,7 @@ def build_queries() -> dict:
         sql_county_clip_stats,
         sql_county_gradient,
         sql_county_mosaic,
+        sql_county_mosaic_mean,
         sql_overlap_depth,
         sql_county_overlap,
         sql_county_simplify,
@@ -8089,6 +8113,10 @@ def build_queries() -> dict:
             _SQL_RETENTION_COHORTS,
         ),
         "doc_signal_sweep": (q_doc_signal_sweep, _sql_doc_signal_sweep()),
+        "county_mosaic_mean": (
+            q_county_mosaic_mean,
+            sql_county_mosaic_mean(_N_ORACLE),
+        ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
     rest = [k for k in reg if k not in set(window)]

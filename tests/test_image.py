@@ -303,3 +303,103 @@ def test_overlap_depth_vs_bruteforce(rd, ray_session):
         }
     ).sort_values("county_fips").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_mosaic_mean_vs_bruteforce(rd, ray_session):
+    """Mean composite vs a literal per-pixel (Σ snap(v), n) dict on a
+    small overlapping tile set — checks the snapped-sum exactness and
+    the shared-operand division rule."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.functions import georef as G
+    from biomass_processing_pipeline_ray.functions.rounding import (
+        round_away,
+        snap_binary,
+    )
+    from biomass_processing_pipeline_ray.image import codecs as C
+    from biomass_processing_pipeline_ray.sources.tiles import (
+        FMTS,
+        gen_tiles_batch,
+        make_pixels,
+        tile_dims,
+    )
+    from biomass_processing_pipeline_ray.stages.mosaic import (
+        mosaic_mean_zonal,
+        tile_pixel_extent,
+    )
+
+    cand = np.arange(0, 120_000, dtype=np.int64)
+    w_, h_, _ = tile_dims(cand)
+    ix0, ix1, iy0, iy1 = tile_pixel_extent(cand, w_, h_)
+    order = np.argsort(ix0, kind="stable")
+    a0, a1 = ix0[order], ix1[order]
+    b0, b1 = iy0[order], iy1[order]
+    pick = set(range(32))
+    for off in range(1, 64):
+        i = np.arange(len(cand) - off)
+        k = i + off
+        hit = (a0[k] <= a1[i]) & ~((b1[k] < b0[i]) | (b0[k] > b1[i]))
+        for j in np.flatnonzero(hit)[:2]:
+            pick.add(int(cand[order[j]]))
+            pick.add(int(cand[order[j + off]]))
+        if len(pick) >= 44:
+            break
+    ids = np.asarray(sorted(pick), dtype=np.int64)
+    tbl = gen_tiles_batch(ids)
+    got = (
+        mosaic_mean_zonal(lambda: rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("county_fips")
+        .reset_index(drop=True)
+    )
+
+    acc: dict[int, tuple[float, int]] = {}
+    for i in ids:
+        w0, h0, fidx = tile_dims(np.asarray([i], dtype=np.int64))
+        w0, h0 = int(w0[0]), int(h0[0])
+        fmt = FMTS[int(fidx[0])]
+        dec = C.decode(C.encode(make_pixels(int(i)), fmt), fmt, h0, w0)
+        v = snap_binary(
+            (dec[:, :, 2].astype(np.float64) - dec[:, :, 0])
+            / (dec[:, :, 2].astype(np.float64) + dec[:, :, 0] + 1.0)
+        )
+        x0, _, _, y1 = tile_pixel_extent(
+            np.asarray([i], np.int64),
+            np.asarray([w0], np.int64),
+            np.asarray([h0], np.int64),
+        )
+        for r in range(h0):
+            iy = int(y1[0]) - r
+            if not (0 <= iy < 45056):
+                continue
+            for c in range(w0):
+                ix = int(x0[0]) + c
+                if not (0 <= ix < 32768):
+                    continue
+                kk = iy * 32768 + ix
+                s, n = acc.get(kk, (0.0, 0))
+                acc[kk] = (s + float(v[r, c]), n + 1)
+    assert any(n > 1 for _, n in acc.values()), "no overlap exercised"
+    keys = np.fromiter(acc.keys(), np.int64, len(acc))
+    mean = snap_binary(
+        np.fromiter((s for s, _ in acc.values()), np.float64, len(acc))
+        / np.fromiter((n for _, n in acc.values()), np.float64, len(acc))
+    )
+    code = G.FIPS_BASE + (keys // 32768 // 5632) * G.COUNTY_NX + (
+        keys % 32768
+    ) // 4096
+    exp = (
+        pd.DataFrame({"c": code, "v": mean})
+        .groupby("c", sort=True)
+        .agg(n_px=("v", "size"), val_sum=("v", "sum"))
+        .reset_index()
+    )
+    exp = pd.DataFrame(
+        {
+            "county_fips": exp["c"].astype(np.int64).astype(str).str.zfill(5),
+            "n_px": exp["n_px"].astype(np.int64),
+            "mean_sum": round_away(exp["val_sum"].to_numpy(), 6),
+        }
+    ).sort_values("county_fips").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
