@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "user_retention_cohorts",
     "doc_signal_sweep",
     "county_mosaic_mean",
+    "county_mosaic_sweep",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

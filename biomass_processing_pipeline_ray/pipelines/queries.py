@@ -1506,6 +1506,35 @@ def q_county_mosaic_mean(sf_dir: str):
     )
 
 
+def q_county_mosaic_sweep(sf_dir: str):
+    """FUSED composite sweep: max + mean county mosaics from ONE
+    decode, ONE slice exchange, ONE canvas pass — the pixel-side analog
+    of the fused-decode curation sweep (the two standalone mosaics pay
+    decode + exchange twice for the same slices).  SQL twin: join of
+    the two independent standalone oracles, so the gate checks the
+    fusion against the composition
+    (``stages/mosaic.mosaic_sweep_zonal``)."""
+    from ..sources.tiles import read_tiles
+    from ..stages.mosaic import mosaic_sweep_zonal
+
+    return mosaic_sweep_zonal(
+        lambda: read_tiles(
+            tiles_path(sf_dir), columns=["image_id", "bytes", "w", "h", "fmt"]
+        )
+    )
+
+
+def _sql_county_mosaic_sweep(n: int) -> str:
+    from .oracles import mosaic_mean_oracle_path, mosaic_oracle_path
+
+    return f"""
+    SELECT m.county_fips, m.n_px, m.mosaic_sum, a.mean_sum
+    FROM read_parquet('{mosaic_oracle_path(n)}') m
+    JOIN read_parquet('{mosaic_mean_oracle_path(n)}') a
+      USING (county_fips)
+    """
+
+
 def q_county_overlap_depth(sf_dir: str):
     """Coverage-depth histogram per county: covered surface seen by
     exactly 1 / 2 / ≥3 tiles — the mosaic's QA dashboard (depth-1 area
@@ -7685,7 +7714,6 @@ _R5_GATE_WINDOW = [
     "knn_idw_sharded_capped",
     "pip_assign",
     "zonal_biomass",
-    "simhash_pairs",
     # new in round 5 (never driver-attested — they outrank merely-stale
     # r1/r2 entries, so hourly_event_stats + anti_join_customers move
     # below the additions; both keep r1/r2-green rows + local sweeps)
@@ -7713,6 +7741,7 @@ _R5_GATE_WINDOW = [
     "user_retention_cohorts",
     "doc_signal_sweep",
     "county_mosaic_mean",
+    "county_mosaic_sweep",
     "hourly_event_stats",
     "anti_join_customers",
     "q1_pricing",
@@ -7720,6 +7749,7 @@ _R5_GATE_WINDOW = [
     "county_top10",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "simhash_pairs",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -8116,6 +8146,10 @@ def build_queries() -> dict:
         "county_mosaic_mean": (
             q_county_mosaic_mean,
             sql_county_mosaic_mean(_N_ORACLE),
+        ),
+        "county_mosaic_sweep": (
+            q_county_mosaic_sweep,
+            _sql_county_mosaic_sweep(_N_ORACLE),
         ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]

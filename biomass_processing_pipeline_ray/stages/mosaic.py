@@ -516,3 +516,118 @@ def mosaic_mean_zonal(make_ds):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def mosaic_sweep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body for the FUSED composite sweep: ONE pass over the
+    bucket's slices fills max, snapped-sum and count canvases together
+    (region ops, bbox-cropped) → per-county (n_px, Σ max, Σ mean)
+    partials.  One decode + one exchange + one canvas pass instead of
+    two full standalone mosaics."""
+    axs = df["ax"].to_numpy().astype(np.int64)
+    ays = df["ay"].to_numpy().astype(np.int64)
+    sws = df["sw"].to_numpy().astype(np.int64)
+    shs = df["sh"].to_numpy().astype(np.int64)
+    cx0 = int(axs.min())
+    cx1 = int((axs + sws - 1).max())
+    cy1 = int(ays.max())
+    cy0 = int((ays - shs + 1).min())
+    W = cx1 - cx0 + 1
+    H = cy1 - cy0 + 1
+    maxc = np.full((H, W), -np.inf, dtype=np.float64)
+    sumc = np.zeros((H, W), dtype=np.float64)
+    cntc = np.zeros((H, W), dtype=np.int32)
+    reds = df["red"].tolist()
+    nirs = df["nir"].tolist()
+    for k in range(len(df)):
+        sw, sh = int(sws[k]), int(shs[k])
+        red = np.frombuffer(reds[k], np.uint8).reshape(sh, sw)
+        nir = np.frombuffer(nirs[k], np.uint8).reshape(sh, sw)
+        v = (nir.astype(np.float64) - red) / (
+            nir.astype(np.float64) + red + 1.0
+        )
+        r0 = cy1 - int(ays[k])
+        c0 = int(axs[k]) - cx0
+        reg = maxc[r0 : r0 + sh, c0 : c0 + sw]
+        np.maximum(reg, v, out=reg)
+        sumc[r0 : r0 + sh, c0 : c0 + sw] += snap_binary(v)
+        cntc[r0 : r0 + sh, c0 : c0 + sw] += 1
+    cnt = cntc.ravel()
+    idx = np.flatnonzero(cnt)
+    if len(idx) == 0:
+        return pd.DataFrame(
+            {"county_fips": pd.Series([], dtype=str),
+             "n_px": pd.Series([], dtype=np.int64),
+             "max_sum": pd.Series([], dtype=np.float64),
+             "mean_sum": pd.Series([], dtype=np.float64)}
+        )
+    vmax = snap_binary(maxc.ravel()[idx])
+    vmean = snap_binary(sumc.ravel()[idx] / cnt[idx])
+    iy = cy1 - idx // W
+    ix = cx0 + idx % W
+    code = G.FIPS_BASE + (iy // CNTY_PX_Y) * G.COUNTY_NX + ix // CNTY_PX_X
+    g = pd.DataFrame({"c": code, "mx": vmax, "mn": vmean}).groupby(
+        "c", sort=True
+    )
+    agg = g.agg(
+        n_px=("mx", "size"), max_sum=("mx", "sum"), mean_sum=("mn", "sum")
+    ).reset_index()
+    return pd.DataFrame(
+        {
+            "county_fips": agg["c"].astype(np.int64).astype(str).str.zfill(5),
+            "n_px": agg["n_px"].to_numpy(np.int64),
+            "max_sum": agg["max_sum"].to_numpy(np.float64),
+            "mean_sum": agg["mean_sum"].to_numpy(np.float64),
+        }
+    )
+
+
+def mosaic_sweep_zonal(make_ds):
+    """FUSED composite sweep: max + mean county mosaics from ONE decode,
+    ONE slice exchange, ONE canvas pass — the pixel-side analog of the
+    fused-decode curation sweep (two standalone mosaics pay the decode
+    and the push-shuffled exchange twice for the same slices)."""
+    from ray.data import DataContext
+
+    from .zonal import bucketed_agg
+
+    ctx = DataContext.get_current()
+    prev = ctx.use_push_based_shuffle
+    ctx.use_push_based_shuffle = True
+    try:
+        parts = (
+            make_ds()
+            .map_batches(decode_slices, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(mosaic_sweep_bucket, batch_format="pandas")
+        )
+    finally:
+        ctx.use_push_based_shuffle = prev
+    out = bucketed_agg(
+        parts,
+        ["county_fips"],
+        {
+            "n_px": ("n_px", "sum"),
+            "max_sum": ("max_sum", "sum"),
+            "mean_sum": ("mean_sum", "sum"),
+        },
+        nb=16,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "county_fips": b["county_fips"],
+                "n_px": pa.array(
+                    b["n_px"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "mosaic_sum": pa.array(
+                    round_away(b["max_sum"].to_numpy(), 6), pa.float64()
+                ),
+                "mean_sum": pa.array(
+                    round_away(b["mean_sum"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
