@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "doc_signal_sweep",
     "county_mosaic_mean",
     "county_mosaic_sweep",
+    "q3_shipping_priority",
 ]
 
 # Entries whose first call pays a one-time marker-cached index build;

@@ -7195,6 +7195,147 @@ def _sql_county_fmt_rollup(n: int) -> str:
     """
 
 
+_Q3_SEG = "BUILDING"
+_Q3_CUT_US = 896_659_200_000_000  # 1998-06-01 00:00 UTC in epoch µs
+
+
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 highest-revenue orders from
+    one market segment, ordered before the cut date with items shipped
+    after it.  Plan shape a 100 TB engine needs: the segment's custkey
+    set is a bounded broadcast semi-filter (swap for the Bloom path —
+    ``bloom_semi_join`` — when customers outgrow a broadcast), lineitem
+    pre-aggregates revenue per order INSIDE its batch before the one
+    coarse co-partition exchange with the filtered orders side, and the
+    top-10 is a per-batch partial + tiny driver finish — no global
+    sort, no big–big row join."""
+    import pyarrow.compute as pc
+
+    # segment custkeys (≈ n_cust/5; bounded driver pull at test scale)
+    def seg(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], _Q3_SEG)).select(
+            ["c_custkey"]
+        )
+
+    keys = (
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(seg, batch_format="pyarrow")
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    import ray
+
+    kref = ray.put(np.unique(keys))
+    N_COARSE = 64
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ks = ray.get(kref)
+        m = (ts < _Q3_CUT_US) & np.isin(b["o_custkey"].to_numpy(), ks)
+        key = b["o_orderkey"].to_numpy()[m]
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "coarse": pa.array(key % N_COARSE),
+                "side": pa.array(np.ones(len(key), np.int8)),
+                "rev": pa.array(np.zeros(len(key))),
+                "date_us": pa.array(ts[m], pa.int64()),
+                "prio": pa.array(
+                    np.asarray(b["o_orderpriority"].to_pylist(), object)[
+                        m
+                    ].astype(str),
+                    pa.string(),
+                ),
+            }
+        )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        m = ts > _Q3_CUT_US
+        key = b["l_orderkey"].to_numpy()[m]
+        rev = snap_binary(
+            b["l_extendedprice"].to_numpy()[m]
+            * (1.0 - b["l_discount"].to_numpy()[m])
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        rev_p = np.bincount(inv, weights=rev, minlength=len(uniq))
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "coarse": pa.array(uniq % N_COARSE),
+                "side": pa.array(np.zeros(len(uniq), np.int8)),
+                "rev": pa.array(rev_p),
+                "date_us": pa.array(np.zeros(len(uniq), np.int64)),
+                "prio": pa.array([""] * len(uniq), pa.string()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1]
+        li = g[g["side"] == 0]
+        rev = li.groupby("key")["rev"].sum()  # lattice partials: exact
+        j = o.merge(
+            rev.rename("revenue"), left_on="key", right_index=True
+        ).reset_index(drop=True)
+        j.index.name = None  # pandas: merged-on index keeps the name
+        out = j[["key", "revenue", "date_us", "prio"]]
+        # partial top-10 per coarse group (revenue desc, date, key)
+        return out.sort_values(
+            ["revenue", "date_us", "key"], ascending=[False, True, True]
+        ).head(10)
+
+    parts = (
+        _tbl(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _tbl(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            ).map_batches(tag_li, batch_format="pyarrow")
+        )
+        .groupby("coarse")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    top = parts.sort_values(
+        ["revenue", "date_us", "key"], ascending=[False, True, True]
+    ).head(10)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(top["key"].to_numpy(np.int64)),
+            "revenue": pa.array(
+                round_away(top["revenue"].to_numpy(), 6), pa.float64()
+            ),
+            "o_orderdate_us": pa.array(top["date_us"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(
+                top["prio"].astype(str).tolist(), pa.string()
+            ),
+        }
+    )
+
+
+_SQL_Q3 = f"""
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           ROUND(SUM({{snap}}), 6) AS revenue,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = '{_Q3_SEG}'
+      AND epoch_us(o.o_orderdate) < {_Q3_CUT_US}
+      AND epoch_us(l.l_shipdate) > {_Q3_CUT_US}
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+    LIMIT 10
+"""
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Three-table join composition: lineitem ⋈ orders is big–big
     (union-tag coarse co-partition, the `orders_customer_join` shape),
@@ -7708,7 +7849,6 @@ _R5_GATE_WINDOW = [
     "tile_meta_stats",
     "county_shannon",
     "county_dominant_fmt",
-    "langid",
     "doc_quality",
     "token_counts",
     "knn_idw_sharded_capped",
@@ -7742,6 +7882,7 @@ _R5_GATE_WINDOW = [
     "doc_signal_sweep",
     "county_mosaic_mean",
     "county_mosaic_sweep",
+    "q3_shipping_priority",
     "hourly_event_stats",
     "anti_join_customers",
     "q1_pricing",
@@ -7750,6 +7891,7 @@ _R5_GATE_WINDOW = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "langid",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -8150,6 +8292,12 @@ def build_queries() -> dict:
         "county_mosaic_sweep": (
             q_county_mosaic_sweep,
             _sql_county_mosaic_sweep(_N_ORACLE),
+        ),
+        "q3_shipping_priority": (
+            q_q3_shipping_priority,
+            _SQL_Q3.format(
+                snap=sql_snap("l.l_extendedprice * (1.0 - l.l_discount)")
+            ),
         ),
     }
     window = [k for k in _R5_GATE_WINDOW if k in reg]
