@@ -1506,6 +1506,55 @@ def q_county_mosaic_mean(sf_dir: str):
     )
 
 
+def q_tile_overlap_pairs(sf_dir: str):
+    """Tile↔tile spatial overlap join: every pair of tiles with
+    intersecting footprints, plus the intersection dims — the 2-D
+    interval self-join behind scene stitching / de-seaming (the edge
+    set the reference's overlapping-scene handling implies,
+    ``blob_manager_v3.py:408-435``).  One narrow co-location exchange
+    (5-int extent rows fanned ≤ 4× into 512-px cells), per-cell
+    x-sorted neighbor sweep with a density-safe monotone stop,
+    owner-corner dedup across cells
+    (``stages/mosaic.tile_overlap_pairs``).  SQL twin: a pure
+    inequality self-join over the arithmetically derived extents."""
+    from ..sources.tiles import read_tiles
+    from ..stages.mosaic import tile_overlap_pairs
+
+    return tile_overlap_pairs(
+        read_tiles(tiles_path(sf_dir), columns=["image_id", "w", "h"])
+    )
+
+
+def _sql_tile_overlap_pairs(n: int) -> str:
+    key = G.SQL_KEY.format(id="id")
+    return f"""
+    WITH t AS (
+      SELECT id,
+             8 * ({key} % 4096) + 4 - (32 + 16 * ({key} % 3)) // 2 AS x0,
+             8 * ({key} % 4096) + 4 - (32 + 16 * ({key} % 3)) // 2
+               + (32 + 16 * ({key} % 3)) - 1 AS x1,
+             11 * (({key} // 4096) % 4096) + 5
+               + (32 + 16 * (({key} // 3) % 3)) // 2 AS y1,
+             11 * (({key} // 4096) % 4096) + 5
+               + (32 + 16 * (({key} // 3) % 3)) // 2
+               - (32 + 16 * (({key} // 3) % 3)) + 1 AS y0
+      FROM (SELECT range AS id FROM range({n}))
+    )
+    SELECT CAST(a.id AS BIGINT) AS a, CAST(b.id AS BIGINT) AS b,
+           CAST(LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0) + 1 AS BIGINT)
+             AS ox_px,
+           CAST(LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0) + 1 AS BIGINT)
+             AS oy_px,
+           CAST((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0) + 1)
+                * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0) + 1) AS BIGINT)
+             AS shared_px
+    FROM t a JOIN t b
+      ON b.id > a.id
+     AND a.x0 <= b.x1 AND b.x0 <= a.x1
+     AND a.y0 <= b.y1 AND b.y0 <= a.y1
+    """
+
+
 def q_county_mosaic_sweep(sf_dir: str):
     """FUSED composite sweep: max + mean county mosaics from ONE
     decode, ONE slice exchange, ONE canvas pass — the pixel-side analog
@@ -7849,7 +7898,6 @@ _R5_GATE_WINDOW = [
     "tile_meta_stats",
     "county_shannon",
     "county_dominant_fmt",
-    "doc_quality",
     "token_counts",
     "knn_idw_sharded_capped",
     "pip_assign",
@@ -7883,6 +7931,7 @@ _R5_GATE_WINDOW = [
     "county_mosaic_mean",
     "county_mosaic_sweep",
     "q3_shipping_priority",
+    "tile_overlap_pairs",
     "hourly_event_stats",
     "anti_join_customers",
     "q1_pricing",
@@ -7892,6 +7941,7 @@ _R5_GATE_WINDOW = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "langid",
+    "doc_quality",
     # r3-green fills: flagship + heaviest + r4 timing-flagged
     "zonal_biomass_px",
     "knn_idw_sharded",
@@ -8292,6 +8342,10 @@ def build_queries() -> dict:
         "county_mosaic_sweep": (
             q_county_mosaic_sweep,
             _sql_county_mosaic_sweep(_N_ORACLE),
+        ),
+        "tile_overlap_pairs": (
+            q_tile_overlap_pairs,
+            _sql_tile_overlap_pairs(_N_ORACLE),
         ),
         "q3_shipping_priority": (
             q_q3_shipping_priority,

@@ -631,3 +631,133 @@ def mosaic_sweep_zonal(make_ds):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+OVL_BUCKET = 512  # overlap-join bucket edge in px (footprints ≤ 64 px)
+
+
+def overlap_assign(batch: pa.Table) -> pa.Table:
+    """Tile extents fanned to every OVL_BUCKET×OVL_BUCKET cell their
+    FULL (unclipped) footprint intersects — the co-location exchange of
+    the tile↔tile overlap join.  Rows are 5 ints; a tile hits ≤ 2
+    cells per axis (64-px footprints vs 512-px cells)."""
+    ids = image_ids_to_int(batch["image_id"])
+    ix0, ix1, iy0, iy1 = tile_pixel_extent(
+        ids, batch["w"].to_numpy(), batch["h"].to_numpy()
+    )
+    o_key: list[int] = []
+    o_id: list[int] = []
+    o: dict[str, list[int]] = {"x0": [], "x1": [], "y0": [], "y1": []}
+    for k in range(len(ids)):
+        for by in range(int(iy0[k]) // OVL_BUCKET, int(iy1[k]) // OVL_BUCKET + 1):
+            for bx in range(
+                int(ix0[k]) // OVL_BUCKET, int(ix1[k]) // OVL_BUCKET + 1
+            ):
+                # +8 offsets keep both components non-negative (tile
+                # footprints can start a few px west/south of the
+                # domain → bx/by = −1; a negative component breaks the
+                # floor-div/mod decode on the other side)
+                o_key.append((by + 8) * 100_000 + (bx + 8))
+                o_id.append(int(ids[k]))
+                o["x0"].append(int(ix0[k]))
+                o["x1"].append(int(ix1[k]))
+                o["y0"].append(int(iy0[k]))
+                o["y1"].append(int(iy1[k]))
+    return pa.table(
+        {
+            "cell": pa.array(o_key, pa.int64()),
+            "tid": pa.array(o_id, pa.int64()),
+            "x0": pa.array(o["x0"], pa.int64()),
+            "x1": pa.array(o["x1"], pa.int64()),
+            "y0": pa.array(o["y0"], pa.int64()),
+            "y1": pa.array(o["y1"], pa.int64()),
+        }
+    )
+
+
+def overlap_pairs_bucket(g: pd.DataFrame) -> pa.Table:
+    """map_groups body: x-sorted neighbor sweep inside one cell (sorted
+    offsets 1..63 suffice — footprints span ≤ 64 px, so a pair farther
+    apart in ix0 order cannot overlap in x), y-interval test, and the
+    OWNER rule — a pair counts only in the cell containing its
+    intersection's (x_lo, y_lo) corner — so straddling pairs are
+    emitted exactly once across cells."""
+    cell = int(g["cell"].iloc[0])
+    by, bx = cell // 100_000 - 8, cell % 100_000 - 8
+    tid = g["tid"].to_numpy()
+    x0 = g["x0"].to_numpy()
+    x1 = g["x1"].to_numpy()
+    y0 = g["y0"].to_numpy()
+    y1 = g["y1"].to_numpy()
+    order = np.lexsort((tid, x0))
+    tid, x0, x1, y0, y1 = tid[order], x0[order], x1[order], y0[order], y1[order]
+    out_a, out_b, out_ox, out_oy = [], [], [], []
+    n = len(tid)
+    for off in range(1, n):
+        i = np.arange(n - off)
+        j = i + off
+        hit_x = x0[j] <= x1[i]
+        if not hit_x.any():
+            # x0 is sorted: per i, x0[i+off] > x1[i] implies the same
+            # for every larger offset — the sweep is density-safe, not
+            # capped at a fixed window
+            break
+        hit = hit_x & (y0[j] <= y1[i]) & (y0[i] <= y1[j])
+        hit &= tid[i] != tid[j]  # same tile fanned twice can meet itself
+        if not hit.any():
+            continue
+        ii, jj = i[hit], j[hit]
+        ox_lo = np.maximum(x0[ii], x0[jj])
+        oy_lo = np.maximum(y0[ii], y0[jj])
+        own = (ox_lo // OVL_BUCKET == bx) & (oy_lo // OVL_BUCKET == by)
+        ii, jj = ii[own], jj[own]
+        if len(ii) == 0:
+            continue
+        a = np.minimum(tid[ii], tid[jj])
+        b = np.maximum(tid[ii], tid[jj])
+        out_a.append(a)
+        out_b.append(b)
+        out_ox.append(
+            np.minimum(x1[ii], x1[jj]) - np.maximum(x0[ii], x0[jj]) + 1
+        )
+        out_oy.append(
+            np.minimum(y1[ii], y1[jj]) - np.maximum(y0[ii], y0[jj]) + 1
+        )
+    if not out_a:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "ox_px": pa.array([], pa.int64()),
+                "oy_px": pa.array([], pa.int64()),
+                "shared_px": pa.array([], pa.int64()),
+            }
+        )
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    ox = np.concatenate(out_ox)
+    oy = np.concatenate(out_oy)
+    return pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "ox_px": pa.array(ox, pa.int64()),
+            "oy_px": pa.array(oy, pa.int64()),
+            "shared_px": pa.array(ox * oy, pa.int64()),
+        }
+    )
+
+
+def tile_overlap_pairs(ds):
+    """All tile pairs with intersecting footprints + the intersection
+    dims — the 2-D spatial interval self-join (the edge discovery the
+    reference's scene-overlap handling implies, and the candidate set
+    any stitching/de-seaming pass starts from).  One narrow co-location
+    exchange (5-int extent rows fanned ≤ 4×), per-cell sorted neighbor
+    sweep, owner-corner dedup."""
+    return (
+        ds.map_batches(overlap_assign, batch_format="pyarrow")
+        .repartition(32)
+        .groupby("cell")
+        .map_groups(overlap_pairs_bucket, batch_format="pandas")
+    )

@@ -403,3 +403,44 @@ def test_mosaic_mean_vs_bruteforce(rd, ray_session):
         }
     ).sort_values("county_fips").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_overlap_pairs_dense_window_and_negative_cells(rd, ray_session):
+    """The per-cell sweep must be density-safe (more co-window tiles
+    than any fixed offset cap) and the owner rule must survive
+    negative extents (cells west/south of the domain).  Brute force
+    O(n²) over a crafted extent set via the pure bucket kernel +
+    assign/dedup pipeline driven end-to-end."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biomass_processing_pipeline_ray.sources.tiles import tile_dims
+    from biomass_processing_pipeline_ray.stages.mosaic import (
+        tile_overlap_pairs,
+        tile_pixel_extent,
+    )
+
+    # find 200 ids whose extents we compute, then brute-force all pairs
+    ids = np.arange(0, 3000, dtype=np.int64)
+    w, h, _ = tile_dims(ids)
+    x0, x1, y0, y1 = tile_pixel_extent(ids, w, h)
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if (
+                x0[j] <= x1[i]
+                and x0[i] <= x1[j]
+                and y0[j] <= y1[i]
+                and y0[i] <= y1[j]
+            ):
+                exp.add((int(ids[i]), int(ids[j])))
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img{i:012d}" for i in ids], pa.string()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+        }
+    )
+    got = tile_overlap_pairs(rd.from_arrow(tbl)).to_pandas()
+    assert set(zip(got["a"], got["b"])) == exp
+    assert got[["a", "b"]].duplicated().sum() == 0  # owner dedup exact
